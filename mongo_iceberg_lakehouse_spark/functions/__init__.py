@@ -1,0 +1,3 @@
+from .vectors import cosine_similarity, dot, l2_norm
+
+__all__ = ["cosine_similarity", "dot", "l2_norm"]

@@ -1,0 +1,118 @@
+"""Relational operator helpers beyond single built-in calls.
+
+Most of the reference's operator surface maps 1:1 onto DataFrame built-ins
+(SURVEY.md §2) and needs no wrapper. This module holds the composite shapes:
+top-k, as-of joins, and skew-safe aggregation — each expressed so Catalyst
+keeps the efficient physical plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k. ``orderBy().limit()`` adjacency makes Spark plan
+    TakeOrderedAndProject — per-partition heaps + single merge, no global
+    sort-shuffle (SURVEY.md §2.6)."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column], k: int
+) -> DataFrame:
+    """Top-k within each group via ranking window; shuffles once on the group
+    key. For heavily skewed groups pre-aggregate or salt first."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, attach the latest right row with
+    right_time <= left_time (backward) or earliest >= (forward), per key.
+
+    Implemented as union + window (the merge-sorted-streams formulation), not
+    a range cross join: both sides shuffle once on the key, the window scans
+    each key's timeline once — O(n log n) per key, no quadratic candidate set,
+    which is what survives at 100 TB.
+    """
+    lcols, rcols = set(left.columns), set(right.columns)
+    rpayload = [c for c in right.columns if c not in (on, right_time)]
+    l2 = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rpayload],
+    )
+    r2 = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None)
+        .cast(
+            "struct<" + ",".join(f"{c}:{left.schema[c].dataType.simpleString()}" for c in left.columns) + ">"
+        )
+        .alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in rpayload],
+    )
+    merged = l2.unionByName(r2)
+    if direction == "backward":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    elif direction == "forward":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    filled = merged.select(
+        "__k",
+        "__t",
+        "__is_left",
+        "__lrow",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}")
+            for c in rpayload
+        ],
+    ).filter(F.col("__is_left") == 1)
+    return filled.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__r_{c}").alias(c if c not in lcols else f"right_{c}") for c in rpayload],
+    )
+
+
+def salted_groupby_sum(
+    df: DataFrame, keys: Sequence[str], value_col: str, salt_buckets: int = 32
+) -> DataFrame:
+    """Two-stage skew-safe aggregation: salt the key, partial-aggregate on
+    (key, salt), then final-aggregate on the key. With AQE's skew handling on
+    this is rarely needed explicitly, but it is the canonical manual rewrite
+    for a pathologically hot grouping key."""
+    salted = df.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.sum(value_col).alias("__partial_sum"), F.count(F.lit(1)).alias("__partial_cnt")
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__partial_sum").alias(f"sum_{value_col}"),
+        F.sum("__partial_cnt").alias("cnt"),
+    )

@@ -1,0 +1,155 @@
+"""Text analysis operators for LLM-data pipelines (charter, SURVEY.md §2.11).
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` (split /
+filter / transform / aggregate / regexp) — no Python UDFs — so the operators
+run inside whole-stage codegen and scale linearly with input bytes: exactly
+what a 100 TB text-cleaning pass needs (one narrow map stage, no shuffle
+except the final per-corpus aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-vote language-ID
+# heuristic. Order = deterministic tiebreak priority.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "los", "las", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "des", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+DEFAULT_STOPWORDS: tuple[str, ...] = LANG_STOPWORDS["en"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization, lowercased, empty tokens removed."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND punctuation AND
+    letter/digit boundaries — a cheap stand-in for BPE token budgeting."""
+    t = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(F.lower(t), r"[\s\p{Punct}]+|(?<=\d)(?=\p{L})|(?<=\p{L})(?=\d)")
+    return F.size(F.filter(pieces, lambda x: x != ""))
+
+
+def stopword_count(text: Column | str, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:
+    return F.size(F.filter(tokens(text), lambda x: x.isin(*stopwords)))
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality features: token count, stopword ratio, mean token
+    length, punctuation ratio, and a boolean keep-flag."""
+    tk = tokens(F.col(text_col))
+    n_tok = F.size(tk)
+    stop_cnt = F.size(F.filter(tk, lambda x: x.isin(*DEFAULT_STOPWORDS)))
+    char_len = F.length(F.col(text_col))
+    punct_cnt = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    n_tok_d = n_tok.cast("double")
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        stop_cnt.alias("stopword_cnt"),
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise(stop_cnt.cast("double") / n_tok_d)
+        .alias("stop_ratio"),
+        F.when(char_len == 0, F.lit(0.0))
+        .otherwise(punct_cnt.cast("double") / char_len.cast("double"))
+        .alias("punct_ratio"),
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise(char_len.cast("double") / n_tok_d)
+        .alias("chars_per_token"),
+        ((n_tok >= 10) & (F.when(n_tok == 0, F.lit(0.0)).otherwise(stop_cnt.cast("double") / n_tok_d) < 0.5)).alias(
+            "is_quality"
+        ),
+    )
+
+
+def lang_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Stopword-vote language ID: count per-language stopword hits, predict
+    the argmax with a fixed priority order for ties; 'und' when zero votes.
+
+    The vote loop is a CASE chain over JVM-computed counts — deterministic and
+    mirror-able in ANSI SQL for the oracle.
+    """
+    tk = tokens(F.col(text_col))
+    votes = {
+        lang: F.size(F.filter(tk, lambda x, w=words: x.isin(*w)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[votes[lang] for lang in langs])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in langs:  # first language reaching the max wins (priority order)
+        pred = pred.when(votes[lang] == best, F.lit(lang))
+    out = df.select(
+        F.col(id_col),
+        *[votes[lang].alias(f"votes_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def content_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Normalized-content fingerprint: md5 over the canonicalized token
+    stream. Two documents differing only in whitespace/case share a
+    fingerprint — the cheap exact-dedup key for a 100 TB corpus."""
+    canon = F.concat_ws(" ", tokens(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.md5(canon).alias("fingerprint"),
+        F.length(canon).alias("canon_len"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    kgram: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: hash every k-gram shingle, keep
+    the minimum hash of each sliding window — the classic local fingerprint
+    set for near-dup detection (Schleimer et al., SIGMOD'03 scheme).
+
+    Output: one row per (doc, distinct fingerprint). JVM-side throughout:
+    shingle hashes via transform+xxhash64, window minima via transform over a
+    sequence of window start indices + array_min(slice(...)).
+    """
+    tk = tokens(F.col(text_col))
+    n_sh = F.greatest(F.size(tk) - (kgram - 1), F.lit(0))
+    sh_idx = F.sequence(F.lit(0), n_sh - 1)
+    hashes = F.when(n_sh == 0, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            sh_idx,
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i + 1, kgram))),
+        )
+    )
+    df2 = df.select(F.col(id_col), hashes.alias("__h"))
+    n_win = F.greatest(F.size(F.col("__h")) - (window - 1), F.lit(0))
+    win_idx = F.sequence(F.lit(0), n_win - 1)
+    mins = F.when(n_win == 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                win_idx, lambda i: F.array_min(F.slice(F.col("__h"), i + 1, window))
+            )
+        )
+    )
+    return df2.select(F.col(id_col), F.explode(mins).alias("fingerprint"))

@@ -1,0 +1,1061 @@
+"""Named query registry + DuckDB oracle SQL (the driver contract).
+
+Each entry is a (spark_fn, oracle_sql) pair:
+- spark_fn(spark, sf_dir) -> DataFrame, built with the engine's operators;
+- oracle_sql: equivalent ANSI SQL DuckDB runs over the same parquet tables
+  (views: region nation customer supplier part orders lineitem events
+  documents embeddings). None => non-SQL-expressible; the driver records a
+  rows-only check.
+
+Column-name and column-TYPE parity rules (the driver hashes values after
+sorting columns by name):
+- alias every computed column identically on both sides;
+- DuckDB count/row_number/length return BIGINT where Spark returns int for
+  some — oracle SQL casts to match Spark's types exactly;
+- sums of BIGINT are cast back to BIGINT (DuckDB promotes to HUGEINT);
+- events.ts is TIMESTAMP(NANOS): Spark reads nanos-as-long and truncates to
+  microseconds (sources.tables.load_events); every oracle use of events.ts is
+  wrapped in CAST(ts AS TIMESTAMP), which truncates identically.
+
+Query inventory tracks SURVEY.md §2 line by line; docstrings cite the
+reference operator IDs (e.g. A1-A3 = the gold aggregation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.vectors import cosine_similarity
+from .operators import dedup as D
+from .operators import relational as R
+from .operators import similarity as S
+from .operators import text as T
+from .operators.multimodal import attach_payload, extract_features
+from .session import tune
+from .sources.tables import load_table
+from .streaming.events import run_windowed_counts_available_now
+
+
+@dataclass(frozen=True)
+class Q:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Q(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: scans, projections, aggregation, sort (SURVEY §2.1-2.6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "gold_sales_report",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           sum(o_totalprice) AS total_revenue,
+           count(o_orderkey) AS order_count
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    doc="Reference gold report shape (A1-A3 + O1): groupBy 2 keys, sum + "
+    "count, revenue-desc. gold_reporting.py:104-115.",
+)
+def gold_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum("o_totalprice").alias("total_revenue"),
+            F.count("o_orderkey").alias("order_count"),
+        )
+        .orderBy(F.col("total_revenue").desc())
+    )
+
+
+@register(
+    "bronze_verify_count",
+    "SELECT count(*) AS cnt FROM lineitem",
+    doc="Post-write verification COUNT(*) (A4). mongo_to_iceberg.py:144-146.",
+)
+def bronze_verify_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "silver_struct_evolution",
+    """
+    SELECT c_custkey, c_name AS name, c_mktsegment AS segment,
+           'INDIA' AS country
+    FROM customer
+    """,
+    doc="Struct rebuild + lit injection + nested re-projection (P1-P4): "
+    "build struct<name,segment,country=lit>, project dot-paths back out. "
+    "silver_transformation.py:96-103.",
+)
+def silver_struct_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    built = cust.withColumn(
+        "profile",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.lit("INDIA").alias("country"),
+        ),
+    )
+    return built.select(
+        "c_custkey",
+        F.col("profile.name").alias("name"),
+        F.col("profile.segment").alias("segment"),
+        F.col("profile.country").alias("country"),
+    )
+
+
+@register(
+    "filter_scan_pushdown",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_returnflag IN ('A', 'N')
+    """,
+    doc="Predicates the reference lacks (§2.2 absences): range, BETWEEN, IN; "
+    "filters + projection push to the parquet scan (PushedFilters).",
+)
+def filter_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & F.col("l_returnflag").isin("A", "N")
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+
+
+@register(
+    "window_dedup_latest",
+    """
+    SELECT user_id, last_event_id, last_event_type, last_value
+    FROM (
+      SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+             value AS last_value,
+             CAST(row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS INT) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+    doc="Reference W1 window dedup, generalized with deterministic tiebreak: "
+    "keep latest event per user. iceberg_bronze_to_silver-checkpoint.py:134-141.",
+)
+def window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = D.window_dedup(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="Top-k (O1+O2): orderBy().limit() plans TakeOrderedAndProject — "
+    "per-partition heaps, no global sort shuffle.",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return R.top_k(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        100,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3 — absent in reference, required by the data model)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_customer_orders",
+    """
+    SELECT c_mktsegment,
+           count(o_orderkey) AS order_count,
+           sum(o_totalprice) AS revenue,
+           count(DISTINCT c_custkey) AS customers
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Equi inner join fact->dim + grouped agg + distinct agg.",
+)
+def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.sum("o_totalprice").alias("revenue"),
+            F.countDistinct("c_custkey").alias("customers"),
+        )
+    )
+
+
+@register(
+    "join_broadcast_region_revenue",
+    """
+    SELECT r_name, n_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           count(*) AS line_count
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    doc="Star join: fact joined to 3 dims, dims explicitly broadcast — no "
+    "shuffle of the fact table for the joins, only for the final agg.",
+)
+def join_broadcast_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+@register(
+    "join_left_semi",
+    """
+    SELECT c_mktsegment, count(*) AS active_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate < TIMESTAMP '1996-01-01')
+    GROUP BY c_mktsegment
+    """,
+    doc="Left-semi join: customers with >=1 order before 1996.",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+    )
+
+
+@register(
+    "join_left_anti",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate < TIMESTAMP '1996-01-01')
+    """,
+    doc="Left-anti join: customers with no order before 1996.",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_outer_counts",
+    """
+    SELECT c_custkey,
+           count(o_orderkey) AS orders_1995,
+           coalesce(sum(o_totalprice), 0.0) AS spent_1995
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                 AND o_orderdate <  TIMESTAMP '1995-07-01') o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c_custkey
+    """,
+    doc="Left outer join with null-aware aggregation (count skips nulls, "
+    "coalesced sum).",
+)
+def join_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("orders_1995"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spent_1995"),
+        )
+    )
+
+
+@register(
+    "join_theta_pairs",
+    """
+    SELECT a.n_regionkey, count(*) AS nation_pairs
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    GROUP BY a.n_regionkey
+    """,
+    doc="Theta (non-equi) join predicate on top of an equi key: same-region "
+    "nation pairs.",
+)
+def join_theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .groupBy(F.col("a.n_regionkey").alias("n_regionkey"))
+        .agg(F.count(F.lit(1)).alias("nation_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations beyond the reference (SURVEY §2.4 absences)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_distinct_customers",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS distinct_customers,
+           count(*) AS order_count
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Distinct aggregation (expand + two-phase agg).",
+)
+def agg_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets (subtotals + grand total).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           sum(o_totalprice) AS revenue, count(*) AS cnt
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets (all key subsets).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "agg_stats_percentile",
+    """
+    SELECT l_returnflag,
+           avg(l_quantity) AS avg_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           stddev_samp(l_extendedprice) AS std_price,
+           quantile_cont(l_quantity, 0.5) AS med_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates incl. exact continuous median (Spark "
+    "percentile == DuckDB quantile_cont interpolation).",
+)
+def agg_stats_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.avg("l_quantity").alias("avg_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.stddev_samp("l_extendedprice").alias("std_price"),
+        F.expr("percentile(l_quantity, 0.5D)").alias("med_qty"),
+    )
+
+
+@register(
+    "agg_approx",
+    None,  # approximate results have no exact SQL oracle by definition
+    doc="Approx aggregates for 100TB-scale profiling: approx_count_distinct "
+    "(HLL) + percentile_approx sketch. Rows-only check.",
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_med_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.8 absences)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scalar_datetime",
+    """
+    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+           count(*) AS events, sum(value) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Timestamp scalar functions over the events stream table: "
+    "date_trunc + hour extraction (the reference kept dates as strings).",
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.hour("ts").alias("hr"),
+            "value",
+        )
+        .groupBy("day", "hr")
+        .agg(F.count(F.lit(1)).alias("events"), F.sum("value").alias("total_value"))
+    )
+
+
+@register(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substring(p_name, 1, 10) AS name_prefix,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_slug
+    FROM part
+    WHERE p_name LIKE '%a%'
+    """,
+    doc="String scalar surface: upper/substring/length/concat_ws/replace + "
+    "LIKE predicate.",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%a%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_type", " ", "_").alias("type_slug"),
+    )
+
+
+@register(
+    "scalar_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           count(*) AS cnt, avg(value) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="JSON scalar extraction from the events.props JSON string column.",
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k_val"), "value"
+        )
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.avg("value").alias("avg_value"))
+    )
+
+
+@register(
+    "explode_word_counts",
+    """
+    SELECT word, count(*) AS cnt, count(DISTINCT doc_id) AS docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    doc="explode/unnest normalization (the reference's items array demanded "
+    "this, §2.8): word counts over the documents corpus.",
+)
+def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("doc_id").alias("docs"),
+        )
+    )
+
+
+@register(
+    "case_when_buckets",
+    """
+    SELECT CASE WHEN o_totalprice < 150000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_label,
+           count(*) AS cnt, sum(o_totalprice) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc="CASE WHEN + nullif/coalesce null handling (§2.2 absences).",
+)
+def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 150000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    status = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING"))
+    return (
+        o.select(bucket.alias("bucket"), status.alias("status_label"), "o_totalprice")
+        .groupBy("bucket", "status_label")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frames (SURVEY §2.5 absences)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(row_number() OVER w AS INT) AS order_seq,
+           sum(o_totalprice) OVER w AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Aggregate-over-window with explicit frame: per-customer running "
+    "spend (deterministic ordering => deterministic float accumulation).",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("order_seq"),
+        F.sum("o_totalprice").over(w).alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT event_id, user_id,
+           value - lag(value) OVER w AS delta,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    doc="Analytic lag/lead over per-user event timelines.",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7 — absent in reference)
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_intersect_custkeys",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="INTERSECT (distinct semantics): customers with both F and O orders.",
+)
+def set_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@register(
+    "set_except_custkeys",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="EXCEPT: customers with P orders but no F orders.",
+)
+def set_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    p = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return p.subtract(f)  # EXCEPT (distinct semantics)
+
+
+@register(
+    "union_by_name_drift",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderstatus,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+           o_orderpriority
+    FROM orders
+    """,
+    doc="unionByName(allowMissingColumns=True) — the schema-drift union idiom "
+    "matching the reference's inferred-schema semantics (§1.4).",
+)
+def union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    b = o.select("o_orderkey", "o_orderpriority")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytical queries (flagship + joins at depth)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity) AS avg_qty,
+           avg(l_extendedprice) AS avg_price,
+           avg(l_discount) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship: TPC-H Q1 pricing summary — full scan + pushdown filter + "
+    "8 aggregates over 2 grouping keys; the throughput headline.",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter -> 3-way join -> agg -> top-10 "
+    "(deterministic tiebreak on l_orderkey).",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT sum(l_extendedprice * l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: pure pushdown-filter scan + single global aggregate.",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+# ---------------------------------------------------------------------------
+# Charter extensions: dedup / text / similarity / multimodal (SURVEY §2.11)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_text",
+    """
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_dups
+    FROM documents GROUP BY text
+    """,
+    doc="Exact dedup by content groupBy, deterministic keep-min-id survivor.",
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups")
+    ).select("doc_id", "n_dups")
+
+
+@register(
+    "dedup_exact_hash",
+    """
+    SELECT sha256(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_dups
+    FROM documents GROUP BY sha256(text)
+    """,
+    doc="Hash-based exact dedup: shuffle on the 256-bit digest instead of the "
+    "full text — the 100TB form (constant-width shuffle key).",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # custom hash family — no SQL-oracle equivalent
+    doc="MinHash-LSH near-dup pairs over documents (shingle->minhash->band->"
+    "bucket equi-join->exact Jaccard verify). Rows-only check.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=64, bands=32, shingle_n=1,
+        jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,
+    doc="SimHash near-dup pairs (64-bit sign signature, banded candidates, "
+    "hamming verify). Rows-only check.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, "doc_id", "text", bits=64, chunks=8, max_hamming=6)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    None,
+    doc="Word-bigram Jaccard near-dup pairs with LSH candidate generation + "
+    "exact verification. Rows-only check.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=2, jaccard_threshold=0.3, bands=32
+    )
+
+
+@register(
+    "text_quality_scores",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS INT)
+             AS n_tokens,
+           CAST(len(list_filter(string_split(lower(text), ' '),
+                t -> t IN ('the','a','of','and','to','in','is'))) AS INT)
+             AS stopword_cnt
+    FROM documents
+    """,
+    doc="Per-document token + stopword counts (quality-filter features), all "
+    "JVM-side higher-order functions.",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return T.quality_features(d).select("doc_id", "n_tokens", "stopword_cnt")
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT source,
+           CAST(sum(len(list_filter(string_split(lower(text), ' '), t -> t <> ''))) AS BIGINT)
+             AS total_tokens,
+           count(*) AS docs,
+           avg(CAST(len(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS DOUBLE))
+             AS avg_tokens
+    FROM documents GROUP BY source
+    """,
+    doc="Corpus token budgeting per source: total/avg token counts.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_tok = T.token_count(F.col("text"))
+    return (
+        d.select("source", n_tok.alias("__n"))
+        .groupBy("source")
+        .agg(
+            F.sum("__n").alias("total_tokens"),
+            F.count(F.lit(1)).alias("docs"),
+            F.avg(F.col("__n").cast("double")).alias("avg_tokens"),
+        )
+    )
+
+
+@register(
+    "text_lang_id",
+    None,  # heuristic with priority-order ties — keep rows-only
+    doc="Stopword-vote language ID heuristic per document. Rows-only check.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return T.lang_id(d).select("doc_id", "pred_lang")
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t <> ''), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+    doc="Canonicalized-content md5 fingerprint (whitespace/case-insensitive "
+    "exact-dedup key).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return T.content_fingerprint(d).select("doc_id", "fingerprint")
+
+
+@register(
+    "text_winnow_fingerprints",
+    None,
+    doc="Winnowing rolling-hash fingerprints (k-gram window minima). "
+    "Rows-only check.",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return T.winnow_fingerprints(d)
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])) DESC,
+                        e.vec_id) AS INT) AS rank
+      FROM embeddings e, embeddings q
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+    WHERE rank <= 5
+    """,
+    doc="Brute-force cosine top-5 neighbors for 5 query vectors: broadcast "
+    "query side, one pass over the corpus, per-query rank.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return S.ann_topk_bruteforce(e, q, k=5, include_sim=False)
+
+
+@register(
+    "ann_lsh_topk",
+    None,
+    doc="LSH-bucketed approximate top-k (random hyperplane signatures, "
+    "bucket equi-join). Rows-only check.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return S.ann_topk_lsh(e, q, k=5, dim=64, bits=6)
+
+
+@register(
+    "embedding_neardup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.4).",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_pairs(e, threshold=0.4)
+
+
+@register(
+    "multimodal_payload_stats",
+    """
+    SELECT doc_id, 'text' AS modality, CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    doc="Multimodal plumbing: binary payload column + metadata struct + "
+    "Arrow-batched mapInPandas feature extraction (byte stats).",
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    feats = extract_features(attach_payload(d))
+    return feats.select("doc_id", "modality", "n_bytes")
+
+
+@register(
+    "streaming_window_counts",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, count(*) AS cnt, sum(value) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming tumbling-window counts (availableNow over the "
+    "fixture => batch-equivalent, so a SQL oracle applies).",
+)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return run_windowed_counts_available_now(spark, sf_dir)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -1,0 +1,95 @@
+"""Pluggable external connectors (reference S2/S3/S5/S7, SURVEY.md §2.1).
+
+The reference wires MongoDB (mongo-spark-connector), Iceberg-on-Nessie, and
+Postgres JDBC. Those connectors are configuration + jars, not engine logic, so
+they live behind this thin registry: the rest of the engine only sees
+DataFrames. In the test environment the jars are absent, so each call is
+gated — constructing the reader/writer raises a clear error if the format
+isn't on the classpath, and tests exercise the local formats instead.
+
+Reference citations:
+- MongoDB scan:  spark_jobs/mongo_to_iceberg.py:118-124
+- Iceberg scan:  spark_jobs/silver_transformation.py:85 ("iceberg" by-path load)
+- JDBC sink:     spark_jobs/gold_reporting.py:125-135 (overwrite to Postgres)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConnectorUnavailable(RuntimeError):
+    pass
+
+
+def _gate(fn, format_name: str):
+    try:
+        return fn()
+    except Exception as exc:  # jar missing / class not found / bad config
+        raise ConnectorUnavailable(
+            f"connector format {format_name!r} unavailable in this environment "
+            f"(add the connector jar to spark.jars.packages): {exc}"
+        ) from exc
+
+
+def read_mongodb(
+    spark: SparkSession, uri: str, database: str, collection: str
+) -> DataFrame:
+    """Schema-inferred MongoDB collection scan (reference S3)."""
+    return _gate(
+        lambda: (
+            spark.read.format("mongodb")
+            .option("connection.uri", uri)
+            .option("database", database)
+            .option("collection", collection)
+            .load()
+        ),
+        "mongodb",
+    )
+
+
+def write_mongodb(
+    df: DataFrame, uri: str, database: str, collection: str, mode: str = "append"
+) -> None:
+    """MongoDB collection sink (reference S2's insert_many, as a Spark write)."""
+    _gate(
+        lambda: (
+            df.write.format("mongodb")
+            .option("connection.uri", uri)
+            .option("database", database)
+            .option("collection", collection)
+            .mode(mode)
+            .save()
+        ),
+        "mongodb",
+    )
+
+
+def read_iceberg(spark: SparkSession, ident: str) -> DataFrame:
+    """Iceberg table scan by path API (reference S5)."""
+    return _gate(lambda: spark.read.format("iceberg").load(ident), "iceberg")
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    driver: str = "org.postgresql.Driver",
+    mode: str = "overwrite",
+) -> None:
+    """JDBC sink, overwrite mode (reference S7)."""
+    _gate(
+        lambda: (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("user", user)
+            .option("password", password)
+            .option("driver", driver)
+            .mode(mode)
+            .save()
+        ),
+        "jdbc",
+    )

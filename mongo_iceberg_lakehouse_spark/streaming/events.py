@@ -1,0 +1,89 @@
+"""Structured Streaming over the events table (SURVEY.md §2.9 / phase F).
+
+The reference has no streaming; its cadence is Airflow-triggered batch. The
+engine adds the micro-batch ingestion surface the charter asks for:
+``readStream`` -> watermarked tumbling-window aggregation -> sink. Tests (and
+the driver's oracle query) run with ``availableNow`` against the parquet
+fixture + a memory sink, which exercises the full streaming planner while
+producing a deterministic, batch-equivalent result.
+
+Scale notes: the same code pointed at a real landing directory (or Kafka
+source) runs continuously; the watermark bounds state size, and the window
+aggregation shuffles on (window, event_type) — a bounded-cardinality key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (ns ts -> us timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts + value sums per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def run_windowed_counts_available_now(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    query_name: str = "events_window_counts",
+) -> DataFrame:
+    """Run the windowed aggregation over all available data and return the
+    materialized result (memory sink). Batch-equivalent by construction, so
+    it admits a plain SQL oracle."""
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    stream = windowed_counts(read_events_stream(spark, sf_dir), window=window)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(query_name)
