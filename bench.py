@@ -1,0 +1,75 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is fully materialized through the noop sink (count() would let
+Catalyst prune the projected columns and under-measure). Session boot and a
+warm-up scan are excluded from timings — the reference's numbers are
+boot-dominated (BASELINE.md), ours measure the actual query work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from mongo_iceberg_lakehouse_spark.queries import REGISTRY
+from mongo_iceberg_lakehouse_spark.session import get_spark
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "join_broadcast_region_revenue",
+    "join_customer_orders",
+    "agg_rollup",
+    "window_dedup_latest",
+    "window_running_sum",
+    "explode_word_counts",
+    "scalar_json_extract",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "text_quality_scores",
+    "ann_topk_blocked",
+    "embedding_neardup_blocked",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="lakehouse-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM JIT + file listing, excluded from timings
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -181,16 +181,16 @@ def simhash_signature(text: Column, bits: int = 64) -> Column:
     """
     tokens = _tokenize(text)
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
 
-    def bit_sign(b: Column) -> Column:
+    def bit_sign(b: int) -> Column:
+        # b is a Python int (shiftright needs a literal shift amount)
         ones = F.size(
             F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
         )
         zeros = F.size(hashes) - ones
         return F.when(ones >= zeros, F.lit(1)).otherwise(F.lit(0))
 
-    return F.transform(bit_idx, bit_sign)
+    return F.array(*[bit_sign(b) for b in range(bits)])
 
 
 def simhash_pairs(

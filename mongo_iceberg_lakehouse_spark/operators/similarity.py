@@ -22,6 +22,9 @@ signature computation also stays in codegen — no Python in the hot path.
 from __future__ import annotations
 
 import math
+from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -77,18 +80,136 @@ def cosine_neardup_pairs(
     ``ann_topk_lsh``/bucketed variants when n is large. The join condition
     ``id_a < id_b`` halves the work and dedups symmetrically.
     """
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    from ..functions.vectors import dot, l2_norm
+
+    # Precompute each vector's norm once (narrow projection) so the O(n^2)
+    # pair stage only pays for the dot product, not two norm recomputations.
+    normed = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__n"),
     )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    a = normed.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
     )
+    b = normed.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    sim = F.when(denom == 0.0, F.lit(0.0)).otherwise(dot("__va", "__vb") / denom)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine_similarity("__va", "__vb"))
+        .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def ann_topk_blocked(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched BLAS: the query matrix is shipped
+    to every task (small side), each Arrow batch of corpus vectors does one
+    float64 matmul against it and emits its local top-k per query; a final
+    per-query rank merges the partials.
+
+    This is the throughput form of ``ann_topk_bruteforce``: same result, but
+    the inner loop is numpy matmul instead of per-row expression evaluation,
+    and the shuffle carries only ~(partitions * k) rows per query.
+    """
+    import numpy as np
+
+    qrows = queries.select(id_col, vec_col).collect()  # small, intentional
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            E = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            sims = En @ Qn.T  # (batch, n_queries)
+            ids = pdf[id_col].to_numpy()
+            out = []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                top = cand_idx[np.argsort(-col[cand_idx], kind="stable")[:k]]
+                for i in top:
+                    out.append((int(qid), int(ids[i]), float(col[i])))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "sim"])
+
+    partials = embeddings.select(id_col, vec_col).mapInPandas(
+        batches, schema="query_id bigint, neighbor_id bigint, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def cosine_neardup_blocked(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int = 16,
+) -> DataFrame:
+    """All-pairs cosine >= threshold via block-nested-loop + BLAS.
+
+    Vectors are grouped into ``num_blocks`` hash blocks; each of the
+    num_blocks*(num_blocks+1)/2 block pairs is one task doing a float64
+    matmul. Work is O(n^2) (inherent for exact all-pairs) but the constant is
+    BLAS, the parallelism is block-pair-wide, and no row is ever replicated
+    more than num_blocks times. For sub-quadratic scaling switch to the LSH
+    candidates (``lsh_signature``) and verify exactly on candidates only.
+    """
+    import numpy as np
+
+    blocked = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("block"),
+    )
+    grouped = blocked.groupBy("block").agg(
+        F.collect_list(F.struct("id", "vec")).alias("rows")
+    )
+    a = grouped.select(F.col("block").alias("ba"), F.col("rows").alias("rows_a"))
+    b = grouped.select(F.col("block").alias("bb"), F.col("rows").alias("rows_b"))
+    pairs = a.join(b, F.col("ba") <= F.col("bb"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                ra, rb = row["rows_a"], row["rows_b"]
+                ia = np.array([r["id"] for r in ra], dtype=np.int64)
+                ib = np.array([r["id"] for r in rb], dtype=np.int64)
+                A = np.array([list(r["vec"]) for r in ra], dtype=np.float64)
+                B = np.array([list(r["vec"]) for r in rb], dtype=np.float64)
+                An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+                Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+                sims = An @ Bn.T
+                ii, jj = np.nonzero((sims >= threshold) & (ia[:, None] < ib[None, :]))
+                yield pd.DataFrame(
+                    {"id_a": ia[ii], "id_b": ib[jj], "sim": sims[ii, jj]}
+                )
+
+    return pairs.mapInPandas(batches, schema="id_a bigint, id_b bigint, sim double")
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:

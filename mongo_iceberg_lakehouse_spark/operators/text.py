@@ -87,10 +87,14 @@ def lang_id(
     mirror-able in ANSI SQL for the oracle.
     """
     tk = tokens(F.col(text_col))
-    votes = {
-        lang: F.size(F.filter(tk, lambda x, w=words: x.isin(*w)))
-        for lang, words in LANG_STOPWORDS.items()
-    }
+
+    def vote_count(words: tuple[str, ...]) -> Column:
+        ws = list(words)
+        # NB: closure, not a default arg — pyspark's lambda introspection
+        # would treat a second parameter as another lambda variable.
+        return F.size(F.filter(tk, lambda x: x.isin(*ws)))
+
+    votes = {lang: vote_count(words) for lang, words in LANG_STOPWORDS.items()}
     langs = list(LANG_STOPWORDS)
     best = F.greatest(*[votes[lang] for lang in langs])
     pred = F.when(best == 0, F.lit("und"))

@@ -469,7 +469,7 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scalar_datetime",
     """
-    SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
            CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INT) AS hr,
            count(*) AS events, sum(value) AS total_value
     FROM events
@@ -858,8 +858,8 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(
-        d, "doc_id", "text", num_hashes=64, bands=32, shingle_n=1,
-        jaccard_threshold=0.5,
+        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2,
+        jaccard_threshold=0.2,
     )
 
 
@@ -1004,6 +1004,30 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return S.ann_topk_lsh(e, q, k=5, dim=64, bits=6)
+
+
+@register(
+    "ann_topk_blocked",
+    None,
+    doc="Exact cosine top-k via Arrow-batched BLAS (mapInPandas matmul + "
+    "partial top-k merge) — the throughput form of ann_cosine_topk. "
+    "Rows-only check.",
+)
+def ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return S.ann_topk_blocked(e, q, k=5)
+
+
+@register(
+    "embedding_neardup_blocked",
+    None,
+    doc="All-pairs cosine >= 0.4 via block-nested-loop BLAS "
+    "(collect_list blocks + mapInPandas matmul). Rows-only check.",
+)
+def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_blocked(e, threshold=0.4)
 
 
 @register(

@@ -1,0 +1,221 @@
+"""Unit tests for the extension operators on small controlled inputs."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mongo_iceberg_lakehouse_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    window_dedup,
+)
+from mongo_iceberg_lakehouse_spark.operators.multimodal import (
+    attach_payload,
+    decode_payload,
+    extract_features,
+    frame_sample_plan,
+)
+from mongo_iceberg_lakehouse_spark.operators.relational import (
+    as_of_join,
+    salted_groupby_sum,
+    top_k_per_group,
+)
+from mongo_iceberg_lakehouse_spark.operators.similarity import (
+    ann_topk_blocked,
+    ann_topk_bruteforce,
+    cosine_neardup_blocked,
+    cosine_neardup_pairs,
+)
+from mongo_iceberg_lakehouse_spark.operators.text import (
+    content_fingerprint,
+    lang_id,
+    quality_features,
+    winnow_fingerprints,
+)
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the afternoon sun"
+)
+DOC_NEAR = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the evening sun"
+)
+DOC_OTHER = "completely different content about spark query engines and lakehouse tables"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC), (2, DOC_NEAR), (3, DOC_OTHER), (4, DOC)],
+        ["doc_id", "text"],
+    )
+
+
+def test_minhash_finds_planted_neardup(docs):
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3,
+        jaccard_threshold=0.5,
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found  # near-dup pair detected
+    assert (1, 4) in found  # exact dup has jaccard 1.0
+    assert (1, 3) not in found and (2, 3) not in found
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert jac[(1, 4)] == 1.0
+
+
+def test_simhash_finds_planted_neardup(docs):
+    pairs = simhash_pairs(docs, "doc_id", "text", max_hamming=6).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 4) in found
+    ham = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert ham[(1, 4)] == 0
+    assert (1, 2) in found  # one-word change flips few bits
+
+
+def test_dedup_exact_deterministic_survivor(docs):
+    out = dedup_exact(docs, ["text"], id_col="doc_id")
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 2, 3]  # doc 4 (dup of 1) dropped, min id kept
+
+
+def test_window_dedup_keeps_first_by_order(spark):
+    df = spark.createDataFrame(
+        [("k1", 1, "old"), ("k1", 3, "new"), ("k2", 2, "only")],
+        ["key", "version", "payload"],
+    )
+    out = window_dedup(df, ["key"], [F.col("version").desc()])
+    rows = {r.key: r.payload for r in out.collect()}
+    assert rows == {"k1": "new", "k2": "only"}
+
+
+def test_content_fingerprint_normalizes_case_and_space(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "hello worlds")],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc_id: r.fingerprint for r in content_fingerprint(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_winnow_fingerprints_shared_for_neardups(docs):
+    fp = winnow_fingerprints(docs, kgram=4, window=3)
+    a = {r.fingerprint for r in fp.filter(F.col("doc_id") == 1).collect()}
+    b = {r.fingerprint for r in fp.filter(F.col("doc_id") == 2).collect()}
+    c = {r.fingerprint for r in fp.filter(F.col("doc_id") == 3).collect()}
+    assert len(a & b) > 0  # near-dups share fingerprints
+    assert len(a & c) == 0
+
+
+def test_quality_and_lang_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat in the house"),
+         (2, "el gato de la casa y los perros"),
+         (3, "xyz qrs tuv")],
+        ["doc_id", "text"],
+    )
+    q = {r.doc_id: r for r in quality_features(df).collect()}
+    assert q[1].n_tokens == 9
+    assert q[1].stopword_cnt == 4  # the x3 + in
+    lid = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert lid[1] == "en"
+    assert lid[2] == "es"
+    assert lid[3] == "und"
+
+
+def _vec(*xs):
+    return list(float(x) for x in xs)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, _vec(1, 0, 0, 0)),
+        (1, _vec(0.9, 0.1, 0, 0)),   # close to 0
+        (2, _vec(0, 1, 0, 0)),
+        (3, _vec(0, 0.95, 0.05, 0)),  # close to 2
+        (4, _vec(0, 0, 1, 1)),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_ann_bruteforce_and_blocked_agree(vectors):
+    q = vectors.filter(F.col("vec_id") < 2)
+    brute = ann_topk_bruteforce(vectors, q, k=2).collect()
+    blocked = ann_topk_blocked(vectors, q, k=2).collect()
+    bset = {(r.query_id, r.neighbor_id, r.rank) for r in brute}
+    kset = {(r.query_id, r.neighbor_id, r.rank) for r in blocked}
+    assert bset == kset
+    top = {(r.query_id, r.rank): r.neighbor_id for r in brute}
+    assert top[(0, 1)] == 1  # nearest neighbor of v0 is v1
+
+
+def test_cosine_neardup_variants_agree(vectors):
+    plain = {(r.id_a, r.id_b) for r in cosine_neardup_pairs(vectors, 0.9).collect()}
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_blocked(vectors, 0.9, num_blocks=2).collect()
+    }
+    assert plain == blocked
+    assert (0, 1) in plain and (2, 3) in plain
+    assert (0, 4) not in plain
+
+
+def test_as_of_join_backward(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 20, 101.0), ("B", 15, 50.0)],
+        ["sym", "t", "price"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", 5, 99.5), ("A", 18, 100.5), ("B", 20, 49.0)],
+        ["sym", "t", "bid"],
+    )
+    out = as_of_join(trades, quotes, on="sym", left_time="t", right_time="t")
+    rows = {(r.sym, r.t): r.bid for r in out.collect()}
+    assert rows[("A", 10)] == 99.5   # latest quote at/before t=10
+    assert rows[("A", 20)] == 100.5
+    assert rows[("B", 15)] is None   # no quote yet
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", 5), ("g1", 9), ("g1", 1), ("g2", 7)], ["g", "v"]
+    )
+    out = top_k_per_group(df, ["g"], [F.col("v").desc()], k=2)
+    got = sorted((r.g, r.v) for r in out.collect())
+    assert got == [("g1", 5), ("g1", 9), ("g2", 7)]
+
+
+def test_salted_groupby_sum_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("k", float(i)) for i in range(100)] + [("j", 1.0)] * 10, ["key", "v"]
+    )
+    out = {r.key: (r.sum_v, r.cnt) for r in
+           salted_groupby_sum(df, ["key"], "v").withColumnRenamed("sum_v", "sum_v").collect()}
+    assert out["k"][0] == sum(float(i) for i in range(100))
+    assert out["k"][1] == 100
+    assert out["j"] == (10.0, 10)
+
+
+def test_multimodal_payload_roundtrip(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "wider payload")], ["doc_id", "text"])
+    mm = attach_payload(df)
+    assert [f.name for f in mm.schema["meta"].dataType.fields] == [
+        "modality", "n_bytes", "content_hash"
+    ]
+    feats = {r.doc_id: r for r in extract_features(mm).collect()}
+    assert feats[1].n_bytes == 5
+    assert feats[1].head_hex == "hell".encode().hex()
+    assert feats[2].modality == "text"
+    frames = frame_sample_plan(mm, every_n=1).collect()
+    assert all(f.frame_no == 0 for f in frames)  # payloads < 200 bytes -> 1 frame
+
+
+def test_decode_payload_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x00", "image")
