@@ -45,8 +45,13 @@ def main() -> None:
     spark = get_spark(app_name="lakehouse-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM JIT + file listing, excluded from timings
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm-up pass: run every headline query once untimed so codegen/JIT
+    # compilation (a fixed, per-JVM cost of ~10s on the heavy HOF pipelines)
+    # doesn't pollute the steady-state throughput numbers.
+    for name in HEADLINE:
+        REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -80,20 +80,68 @@ def _tokenize(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
-def minhash_signature(sh: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per seed i, min over shingles of xxhash64(shingle, i).
-
-    All JVM built-ins — one transform over seeds of an array_min over a
-    transform over shingles. Empty shingle sets get a sentinel signature.
-    """
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    return F.transform(
-        seeds,
-        lambda i: F.coalesce(
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
-            F.lit(2**63 - 1),
-        ),
+def hashed_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word-n-gram shingle HASHES, without materializing shingle
+    strings: one xxhash64 pass over tokens, then each shingle hash combines n
+    consecutive token hashes with one more xxhash64. String concatenation was
+    the hot spot of the string-shingle formulation (~3x the cost of the rest
+    of the MinHash pipeline combined); 64-bit hash collisions are negligible
+    for Jaccard estimation."""
+    th = F.transform(_tokenize(text), lambda t: F.xxhash64(t))
+    count = F.greatest(F.size(th) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - 1)
+    mk = lambda i: F.xxhash64(*[F.get(th, i + j) for j in range(n)])  # noqa: E731
+    return F.when(count == 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(F.transform(idx, mk))
     )
+
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _affine_params(num_hashes: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod p, a_i odd, all < 2^31."""
+    params = []
+    x = seed
+    for _ in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = ((x >> 33) | 1) % _MERSENNE31
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (x >> 33) % _MERSENNE31
+        params.append((a or 1, b))
+    return params
+
+
+def shingle_hashes(sh: Column) -> Column:
+    """Reduce hashed shingles mod 2^31-1 for the affine MinHash family.
+    Materialize in its own projection before ``minhash_signature`` — the
+    signature references it num_hashes times and must not re-inline the
+    upstream hashing (CollapseProject keeps non-cheap multi-referenced
+    aliases in their own project)."""
+    return F.transform(sh, lambda s: F.pmod(s, F.lit(_MERSENNE31)))
+
+
+def minhash_signature(base_hashes: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature via affine re-hash of pre-computed shingle hashes.
+
+    The ``num_hashes`` signature slots use the universal family
+    (a_i*h + b_i) mod 2^31-1 — cheap long arithmetic that stays well inside
+    64-bit range (ANSI-overflow-safe), ~30x cheaper than re-hashing strings
+    per seed. Empty shingle sets get a sentinel signature.
+    """
+    mins = [
+        F.coalesce(
+            F.array_min(
+                F.transform(
+                    base_hashes, lambda h: F.pmod(h * a + b, F.lit(_MERSENNE31))
+                )
+            ),
+            F.lit(_MERSENNE31),
+        )
+        for a, b in _affine_params(num_hashes)
+    ]
+    return F.array(*mins)
 
 
 def minhash_lsh_pairs(
@@ -114,81 +162,104 @@ def minhash_lsh_pairs(
     array_intersect/array_union sizes. No cross join at any stage.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingles(_tokenize(F.col(text_col)), shingle_n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # CPU-bound signature stage: spread across all cores even when the source
+    # is a single small file (one input split). The shuffle moves only raw
+    # text once; at real scale the source has many splits and this coalesces
+    # to a no-op-ish even redistribution.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .withColumn("bh", shingle_hashes(F.col("sh")))
+        .withColumn("sig", minhash_signature(F.col("bh"), num_hashes))
+        .drop("bh")
+    )
 
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = base.select(
-        "id",
-        "sh",
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bh"),
-                ),
+    # Band keys only — (id, band, band_hash) triples. The shingle arrays do
+    # NOT travel through the x`bands` explode/shuffle (that would replicate
+    # every document's shingles `bands` times); they are joined back for the
+    # (tiny) verified candidate set instead.
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.element_at(F.col("sig"), b * rows_per_band + i + 1)
+                    for i in range(rows_per_band)
+                ],
             )
-        ).alias("bk"),
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+            for b in range(bands)
+        ]
+    )
+    banded = base.select("id", F.posexplode(band_hashes).alias("band", "bh"))
 
-    left = banded.alias("a")
-    right = banded.alias("b")
     cand = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             on=[
                 F.col("a.band") == F.col("b.band"),
                 F.col("a.bh") == F.col("b.bh"),
                 F.col("a.id") < F.col("b.id"),
             ],
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # Rebuild shingle hashes from the source for the verify joins rather than
+    # reusing `base` — base's subtree includes the 64-slot signature, which
+    # would be recomputed per join branch; shingle hashing alone is cheap.
+    sh_tbl = df.select(
+        F.col(id_col).alias("id"),
+        hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    pairs = (
+        cand.join(
+            sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            on="id_a",
+        )
+        .join(
+            sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            on="id_b",
+        )
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
     return (
-        cand.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
 
-def simhash_signature(text: Column, bits: int = 64) -> Column:
+def token_hashes(text: Column) -> Column:
+    """One xxhash64 pass over the tokens. Materialize in its own projection
+    before ``simhash_signature`` (same CollapseProject reasoning as
+    ``shingle_hashes``)."""
+    return F.transform(_tokenize(text), lambda t: F.xxhash64(t))
+
+
+def simhash_signature(hashes: Column, bits: int = 64) -> Column:
     """SimHash: sum per-bit +/-1 contributions of token hashes, take signs.
 
-    Expressed with JVM higher-order functions: for each bit position, count
-    tokens whose hash has that bit set vs unset. Returns array<int> of 0/1 of
-    length ``bits`` (sign vector), cheap to band for candidate search.
+    ``hashes`` is the pre-computed token-hash array. For each bit position,
+    count hashes with that bit set vs unset; returns array<int> of 0/1 signs,
+    cheap to band for candidate search.
     """
-    tokens = _tokenize(text)
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
 
     def bit_sign(b: int) -> Column:
         # b is a Python int (shiftright needs a literal shift amount)
         ones = F.size(
             F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
         )
-        zeros = F.size(hashes) - ones
-        return F.when(ones >= zeros, F.lit(1)).otherwise(F.lit(0))
+        return F.when(ones * 2 >= n, F.lit(1)).otherwise(F.lit(0))
 
     return F.array(*[bit_sign(b) for b in range(bits)])
 
@@ -204,31 +275,29 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: band the signature into ``chunks`` pieces,
     candidates collide on >=1 piece (guaranteed to catch hamming distance
     < chunks), then verify exact hamming distance <= max_hamming."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        simhash_signature(F.col(text_col), bits).alias("sig"),
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            token_hashes(F.col(text_col)).alias("__th"),
+        )
+        .select("id", simhash_signature(F.col("__th"), bits).alias("sig"))
     )
     per = bits // chunks
-    chunk_idx = F.sequence(F.lit(0), F.lit(chunks - 1))
-    banded = base.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                chunk_idx,
-                lambda c: F.struct(
-                    c.alias("chunk"),
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), c * per + 1, per),
-                            lambda v: v.cast("string"),
-                        ),
-                    ).alias("ch"),
-                ),
+    # (id, chunk, chunk-hash) only; signatures join back onto the deduped
+    # candidate set (same no-replication shape as minhash_lsh_pairs).
+    chunk_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(c),
+                *[F.element_at(F.col("sig"), c * per + i + 1) for i in range(per)],
             )
-        ).alias("ck"),
-    ).select("id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.ch").alias("ch"))
+            for c in range(chunks)
+        ]
+    )
+    banded = base.select("id", F.posexplode(chunk_hashes).alias("chunk", "ch"))
 
     cand = (
         banded.alias("a")
@@ -240,13 +309,19 @@ def simhash_pairs(
                 F.col("a.id") < F.col("b.id"),
             ],
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_tbl = base.select("id", "sig")
+    pairs = (
+        cand.join(
+            sig_tbl.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            on="id_a",
+        )
+        .join(
+            sig_tbl.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            on="id_b",
+        )
     )
     hamming = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x != y, 1).otherwise(0)),
@@ -254,7 +329,7 @@ def simhash_pairs(
         lambda acc, x: acc + x,
     )
     return (
-        cand.withColumn("hamming", hamming)
+        pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
