@@ -706,6 +706,193 @@ def union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b, allowMissingColumns=True)
 
 
+@register(
+    "scalar_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * 100) / 100 AS net_price,
+           sqrt(l_quantity) AS qty_sqrt,
+           ln(l_extendedprice) AS price_ln,
+           power(l_discount, 2) AS disc_sq,
+           abs(l_quantity - 25.0) AS qty_dev
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+    doc="Math scalar surface: round/sqrt/ln/power/abs (§2.8 absences).",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100) / 100)
+        .alias("net_price"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.log(F.col("l_extendedprice")).alias("price_ln"),
+        F.pow("l_discount", F.lit(2)).alias("disc_sq"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+    )
+
+
+@register(
+    "sql_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS through the spark.sql entry point "
+    "(reference §3.3 SQL-string lifecycle).",
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS cnt
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "sql_correlated_subquery",
+    """
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part p
+    WHERE p_retailprice > 1.5 * (SELECT avg(p2.p_retailprice)
+                                 FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+    doc="Correlated scalar subquery (Catalyst decorrelates to an aggregate + "
+    "join), via the SQL entry point.",
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part_v p
+        WHERE p_retailprice > 1.5 * (SELECT avg(p2.p_retailprice)
+                                     FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+@register(
+    "session_window_counts",
+    """
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER
+                      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                      IS NULL
+                    OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER
+                      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                      > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events))
+    GROUP BY user_id, session_id
+    """,
+    doc="Session windows (30-min gap) via Spark's native session_window — the "
+    "stateful-session operator; the oracle derives sessions with the "
+    "lag+cumulative-sum SQL formulation.",
+)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "asof_join_purchase_view",
+    """
+    SELECT p.event_id, p.user_id,
+           v.event_id AS view_event_id, v.value AS view_value
+    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+          FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+          FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="As-of join (custom operator Spark lacks, SURVEY §2.3): each purchase "
+    "matched to the user's latest view at-or-before it. Implemented as "
+    "union+window merge (one shuffle per side, no range cross join); the "
+    "oracle uses DuckDB's native ASOF JOIN.",
+)
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = R.as_of_join(
+        purchases, views, on="user_id", left_time="ts", right_time="ts",
+        direction="backward",
+    )
+    return out.select("event_id", "user_id", "view_event_id", "view_value")
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    SELECT pos, avg(val) AS avg_val, min(val) AS min_val, max(val) AS max_val
+    FROM (SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                 unnest(embedding) AS val
+          FROM embeddings)
+    GROUP BY pos
+    """,
+    doc="posexplode over a real array column: per-dimension embedding stats "
+    "(the data-quality profile of a vector corpus).",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.avg("val").alias("avg_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    None,
+    doc="Frame-sampling fan-out plumbing for video-style payloads "
+    "(explode of per-payload frame indexes, payload dropped post-fanout). "
+    "Rows-only check.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents")
+    return frame_sample_plan(attach_payload(d), every_n=2)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped analytical queries (flagship + joins at depth)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,75 @@
+"""Physical-plan shape assertions — the 100 TB posture, enforced in CI.
+
+These tests pin the plan properties that matter at scale: filters and
+projections reaching the parquet scan, small dims broadcast, top-k planned as
+TakeOrderedAndProject, and whole-stage codegen covering the hot path.
+"""
+
+from __future__ import annotations
+
+from mongo_iceberg_lakehouse_spark.queries import REGISTRY
+
+from .conftest import SF_SMOKE
+
+
+def _plan(spark, name: str, mode: str = "formatted") -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    plan = _plan(spark, "filter_scan_pushdown")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 5 referenced columns are read
+    readschema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in readschema
+    assert "l_extendedprice" in readschema
+
+
+def test_q1_scan_prunes_columns(spark):
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    readschema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    # 7 of 11 lineitem columns needed
+    assert "l_orderkey" not in readschema and "l_suppkey" not in readschema
+    assert "l_quantity" in readschema and "l_tax" in readschema
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "join_broadcast_region_revenue", mode="simple")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_broadcasts_filtered_dim(spark):
+    plan = _plan(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = _plan(spark, "topk_orders", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_uses_whole_stage_codegen_and_partial_agg(spark):
+    codegen = _plan(spark, "tpch_q1_pricing_summary", mode="codegen")
+    assert "WholeStageCodegen" in codegen
+    plan = _plan(spark, "tpch_q1_pricing_summary", mode="simple")
+    # partial + final hash aggregate pair around the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_anti_join_operators(spark):
+    semi = _plan(spark, "join_left_semi", mode="simple")
+    anti = _plan(spark, "join_left_anti", mode="simple")
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_window_dedup_single_shuffle(spark):
+    plan = _plan(spark, "window_dedup_latest", mode="simple")
+    # one exchange for the window partitioning, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
