@@ -212,6 +212,88 @@ def cosine_neardup_blocked(
     return pairs.mapInPandas(batches, schema="id_a bigint, id_b bigint, sim double")
 
 
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer partitions the corpus
+    into inverted lists; each query searches only its ``n_probe`` closest
+    lists.
+
+    Centroids are a deterministic sample (first ``n_centroids`` corpus
+    vectors by id) — a real deployment would k-means them, but the plan shape
+    is identical: centroid assignment is a narrow map against a broadcast
+    centroid matrix, the probe join is an equi-join on the list id, and exact
+    ranking runs only within probed lists. Corpus scanned once; no cross
+    join.
+    """
+    import numpy as np
+
+    cent_rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    def assign(probe: int):
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                E = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+                sims = En @ Cn.T
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+                n = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(pdf[id_col].to_numpy(), probe),
+                        "vec": [v for v in pdf[vec_col] for _ in range(probe)],
+                        "list_id": order.reshape(-1),
+                    }
+                )
+
+        return batches
+
+    corpus = embeddings.select(id_col, vec_col).mapInPandas(
+        assign(1), schema=f"id bigint, vec array<float>, list_id int"
+    )
+    probes = queries.select(id_col, vec_col).mapInPandas(
+        assign(n_probe), schema=f"id bigint, vec array<float>, list_id int"
+    )
+    cand = corpus.join(
+        F.broadcast(
+            probes.select(
+                F.col("id").alias("query_id"),
+                F.col("vec").alias("__qv"),
+                "list_id",
+            )
+        ),
+        on="list_id",
+    ).filter(F.col("id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        cosine_similarity("vec", "__qv").alias("sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (Box-Muller over a simple
     LCG keyed by seed/bit/dim — stable across runs and platforms without

@@ -1264,6 +1264,69 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_windowed_counts_available_now(spark, sf_dir)
 
 
+@register(
+    "ann_topk_ivf",
+    None,
+    doc="IVF-style ANN: deterministic coarse quantizer -> inverted-list "
+    "equi-join on probed lists -> exact rank within candidates. "
+    "Rows-only check.",
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return S.ann_topk_ivf(e, q, k=5, n_centroids=16, n_probe=4)
+
+
+@register(
+    "text_bpe_token_stats",
+    None,  # Java-regex lookarounds aren't RE2-expressible for a DuckDB oracle
+    doc="Sub-word-ish (BPE-style) token budgeting per source: splits on "
+    "whitespace, punctuation, and letter/digit boundaries. Rows-only check.",
+)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n = T.bpe_ish_token_count(F.col("text"))
+    return (
+        d.select("source", n.alias("__n"))
+        .groupBy("source")
+        .agg(
+            F.sum("__n").alias("total_bpe_tokens"),
+            F.avg(F.col("__n").cast("double")).alias("avg_bpe_tokens"),
+        )
+    )
+
+
+@register(
+    "medallion_orders_pipeline",
+    None,  # runs on the re-created reference seed documents, not the sf tables
+    doc="The reference's full bronze->silver->gold pipeline on its 6-document "
+    "seed (re-created in code): returns the golden gold report "
+    "(Hyderabad 1525.5/2, Bangalore 440.0/3, Mumbai 15.99/1). Rows-only "
+    "check; exact rows asserted in tests/test_medallion.py.",
+)
+def medallion_orders_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .fixtures import write_seed_json
+    from .plans.medallion import bronze_ingest, gold_city_sales_report, silver_transform
+
+    tune(spark)
+    return gold_city_sales_report(
+        silver_transform(bronze_ingest(spark, write_seed_json()))
+    )
+
+
+@register(
+    "streaming_user_profiles",
+    None,  # stateful streaming — rows-only per the driver contract
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running profiles with explicit GroupState. Rows-only check.",
+)
+def streaming_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.stateful import run_user_profiles_available_now
+
+    tune(spark)
+    return run_user_profiles_available_now(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -22,52 +22,9 @@ def spark(tmp_path_factory):
     s.stop()
 
 
-# Re-creation of the reference's 6-document seed (FIXTURES.md §1 /
-# airflow/data/BRONZE/orders.json): 4 cities' worth of orders with docs 6
-# carrying deliberate schema drift (landmark + discount). Golden outputs:
-# gold report (Hyderabad 1525.5/2), (Bangalore 440.0/3), (Mumbai 15.99/1).
-def _order(order_id, customer_id, date, status, items, total, city, state, zipc,
-           landmark=None, discount=None):
-    doc = {
-        "order_id": order_id,
-        "customer_id": customer_id,
-        "order_date": date,
-        "status": status,
-        "items": [
-            {"product_id": p, "product_name": n, "quantity": q, "unit_price": u}
-            for p, n, q, u in items
-        ],
-        "total_amount": total,
-        "shipping_address": {"city": city, "state": state, "zip": zipc},
-    }
-    if landmark is not None:
-        doc["shipping_address"]["landmark"] = landmark
-    if discount is not None:
-        doc["discount"] = discount
-    return doc
-
-
-SEED_ORDERS = [
-    _order("ORD-2024-001", "CUST-101", "2024-02-01T08:30:00", "DELIVERED",
-           [("P001", "Gaming Laptop", 1, 1200.50), ("P005", "Wireless Mouse", 1, 25.00)],
-           1225.50, "Hyderabad", "Telangana", "500081"),
-    _order("ORD-2024-002", "CUST-102", "2024-02-02T14:15:00", "PROCESSING",
-           [("P003", "Mechanical Keyboard", 2, 45.00)],
-           90.00, "Bangalore", "Karnataka", "560001"),
-    _order("ORD-2024-003", "CUST-101", "2024-02-03T09:00:00", "SHIPPED",
-           [("P002", "Monitor 27-inch", 1, 300.00)],
-           300.00, "Hyderabad", "Telangana", "500081"),
-    _order("ORD-2024-004", "CUST-103", "2024-02-04T11:45:00", "CANCELLED",
-           [("P010", "USB-C Hub", 1, 15.99)],
-           15.99, "Mumbai", "Maharashtra", "400001"),
-    _order("ORD-2024-005", "CUST-102", "2024-02-05T16:20:00", "DELIVERED",
-           [("P005", "Wireless Mouse", 5, 25.00), ("P009", "Mouse Pad", 5, 10.00)],
-           175.00, "Bangalore", "Karnataka", "560001"),
-    _order("ORD-2024-00600", "CUST-1088", "2024-02-05T16:20:00", "DELIVERED",
-           [("P005555", "Wireless Mouse", 5, 25.00), ("P009", "Mouse Pad", 5, 10.00)],
-           175.00, "Bangalore", "Karnataka", "560001",
-           landmark="more_market", discount=500),
-]
+# The re-created reference seed lives in the package (fixtures.py) so the
+# declared query set can run the full pipeline too.
+from mongo_iceberg_lakehouse_spark.fixtures import SEED_ORDERS  # noqa: E402,F401
 
 
 @pytest.fixture(scope="session")
