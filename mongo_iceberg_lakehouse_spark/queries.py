@@ -540,6 +540,49 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_from_json_struct",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           event_id
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) > 90
+    """,
+    doc="from_json with an explicit schema -> typed struct access + filter "
+    "on the parsed field (vs get_json_object's string path).",
+)
+def scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.filter(F.col("p.k") > 90).select(
+        F.col("p.k").alias("k_val"), "event_id"
+    )
+
+
+@register(
+    "pivot_event_values",
+    """
+    SELECT user_id,
+           sum(value) FILTER (WHERE event_type = 'click')    AS click,
+           sum(value) FILTER (WHERE event_type = 'error')    AS error,
+           sum(value) FILTER (WHERE event_type = 'purchase') AS purchase,
+           sum(value) FILTER (WHERE event_type = 'signup')   AS signup,
+           sum(value) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Pivot (wide aggregation): per-user value sums by event_type; the "
+    "oracle uses equivalent FILTER aggregates.",
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.sum("value"))
+    )
+
+
+@register(
     "explode_word_counts",
     """
     SELECT word, count(*) AS cnt, count(DISTINCT doc_id) AS docs
@@ -646,6 +689,32 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.col("value") - F.lag("value").over(w)).alias("delta"),
         F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id,
+           sum(value) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS value_1h
+    FROM events
+    """,
+    doc="RANGE window frame: per-user rolling 1-hour value sum (time-based "
+    "frame, not row-count-based).",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.sum("value").over(w).alias("value_1h")
     )
 
 
@@ -1311,6 +1380,30 @@ def medallion_orders_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return gold_city_sales_report(
         silver_transform(bronze_ingest(spark, write_seed_json()))
+    )
+
+
+@register(
+    "medallion_items_explode",
+    None,  # runs on the re-created seed documents, not the sf tables
+    doc="Document-model normalization the reference's data demanded but "
+    "never did (§2.8): explode(items) -> order line-items with line "
+    "amounts. Rows-only check; golden row count in tests.",
+)
+def medallion_items_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .fixtures import write_seed_json
+    from .plans.medallion import bronze_ingest
+
+    tune(spark)
+    bronze = bronze_ingest(spark, write_seed_json())
+    item = F.explode("items").alias("item")
+    return bronze.select("order_id", item).select(
+        "order_id",
+        F.col("item.product_id").alias("product_id"),
+        F.col("item.product_name").alias("product_name"),
+        F.col("item.quantity").alias("quantity"),
+        F.col("item.unit_price").alias("unit_price"),
+        (F.col("item.quantity") * F.col("item.unit_price")).alias("line_amount"),
     )
 
 

@@ -46,12 +46,20 @@ STATIC_CONFS: dict[str, str] = {
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an existing session (idempotent)."""
+    """Apply runtime confs to an existing session (idempotent). Also sizes
+    shuffle partitions to the session's actual parallelism when the caller
+    left Spark's 200 default (AQE coalesces below it at runtime)."""
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not settable on this build — keep going
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(32, cores * 2)))
+    except Exception:
+        pass
     return spark
 
 

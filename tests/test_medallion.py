@@ -82,6 +82,17 @@ def test_pipeline_persist_and_catalog(spark, orders_json_path):
     assert out["gold"].count() == 3
 
 
+def test_items_explode_normalization(spark):
+    from mongo_iceberg_lakehouse_spark.queries import REGISTRY
+
+    items = REGISTRY["medallion_items_explode"].fn(spark, "")
+    rows = items.collect()
+    assert len(rows) == 9  # 2+1+1+1+2+2 line items across the 6 seed docs
+    amounts = {(r.order_id, r.product_id): r.line_amount for r in rows}
+    assert amounts[("ORD-2024-001", "P001")] == 1200.50
+    assert amounts[("ORD-2024-005", "P009")] == 50.0
+
+
 def test_empty_source_guard(spark, tmp_path):
     empty = tmp_path / "empty.json"
     empty.write_text("[]")
