@@ -693,6 +693,61 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_rank_family",
+    """
+    SELECT o_orderkey,
+           CAST(rank()       OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           percent_rank()    OVER w         AS prnk,
+           CAST(ntile(4)     OVER w AS INT) AS quartile,
+           cume_dist()       OVER w         AS cdist
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Ranking-function family over a window: rank/dense_rank/"
+    "percent_rank/ntile/cume_dist.",
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    """
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+             AS priorities,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="Set-collecting aggregation with deterministic output: "
+    "sorted-distinct collect rendered as a joined string.",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
     "window_range_frame",
     """
     SELECT event_id, user_id,

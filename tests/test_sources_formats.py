@@ -1,0 +1,53 @@
+"""Source/sink format breadth: JSON (reference S1), CSV, ORC, JSONL, and the
+connector registry's gating behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mongo_iceberg_lakehouse_spark.sources.connectors import (
+    ConnectorUnavailable,
+    read_mongodb,
+)
+from mongo_iceberg_lakehouse_spark.sources.json_source import ingest_json
+
+
+def _sample(spark):
+    return spark.range(50).select(
+        F.col("id"),
+        (F.col("id") * 2.5).alias("amount"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+    )
+
+
+@pytest.mark.parametrize("fmt", ["csv", "orc", "parquet", "json"])
+def test_roundtrip_formats(spark, tmp_path, fmt):
+    df = _sample(spark)
+    path = str(tmp_path / f"t_{fmt}")
+    writer = df.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, "format")(fmt).save(path)
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    back = reader.format(fmt).load(path)
+    assert back.count() == 50
+    assert {r.name for r in back.collect()} == {f"name_{i}" for i in range(50)}
+
+
+def test_jsonl_ingestion_is_splittable(spark, tmp_path):
+    # JSONL (one doc per line) is the scale form of the reference's JSON
+    # array ingest: no multiLine, so the file splits across workers.
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join('{"a": %d, "b": "x%d"}' % (i, i) for i in range(20)))
+    df = ingest_json(spark, str(p), multiline=False)
+    assert df.count() == 20
+    assert set(df.columns) == {"a", "b"}
+
+
+def test_mongodb_connector_gated(spark):
+    with pytest.raises(ConnectorUnavailable):
+        read_mongodb(spark, "mongodb://nohost:1/db", "db", "coll")
