@@ -24,11 +24,15 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
+    "tpch_q12_shipmode",
     "join_broadcast_region_revenue",
     "join_customer_orders",
+    "asof_join_purchase_view",
     "agg_rollup",
     "window_dedup_latest",
     "window_running_sum",
+    "session_window_counts",
+    "pivot_event_values",
     "explode_word_counts",
     "scalar_json_extract",
     "dedup_exact_hash",

@@ -69,6 +69,25 @@ def test_semi_anti_join_operators(spark):
     assert "LeftAnti" in anti
 
 
+def test_asof_join_has_no_cartesian(spark):
+    plan = _plan(spark, "asof_join_purchase_view", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # union + single window pass per key, not a range join
+    assert "Window" in plan and "Union" in plan
+
+
+def test_minhash_candidates_are_equi_join(spark):
+    plan = _plan(spark, "dedup_minhash_lsh", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_session_window_no_cartesian(spark):
+    plan = _plan(spark, "session_window_counts", mode="simple")
+    assert "CartesianProduct" not in plan
+
+
 def test_window_dedup_single_shuffle(spark):
     plan = _plan(spark, "window_dedup_latest", mode="simple")
     # one exchange for the window partitioning, nothing else
