@@ -101,6 +101,29 @@ def as_of_join(
     )
 
 
+def upsert_snapshot(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    version_col: str,
+) -> DataFrame:
+    """MERGE-emulation for engines without Delta/Iceberg MERGE INTO:
+    union base+updates, keep the highest-version row per key (ties prefer
+    the updates side). The anti-join+union+window formulation — one shuffle
+    on the key, snapshot-replace friendly (reference S4 semantics)."""
+    b = base.withColumn("__src", F.lit(0))
+    u = updates.withColumn("__src", F.lit(1))
+    merged = b.unionByName(u)
+    w = Window.partitionBy(key).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
 def salted_groupby_sum(
     df: DataFrame, keys: Sequence[str], value_col: str, salt_buckets: int = 32
 ) -> DataFrame:

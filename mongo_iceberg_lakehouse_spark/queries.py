@@ -748,6 +748,32 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_returnflag, 'sum_qty' AS metric, sum(l_quantity) AS val
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum(l_extendedprice) AS val
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Unpivot/melt: wide per-flag measures back to long (metric, val) "
+    "rows via DataFrame.unpivot.",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
     "window_range_frame",
     """
     SELECT event_id, user_id,

@@ -27,6 +27,61 @@ def test_snapshot_replace_overwrites(spark):
     assert table_exists(spark, "cat_test.t1")
 
 
+def test_bucketed_join_skips_shuffle(spark):
+    """Bucketing both sides on the join key co-locates the join: the
+    SortMergeJoin runs with NO Exchange on either input — the bucket layout
+    IS the shuffle, paid once at write time. This is the 100 TB fact-fact
+    join strategy."""
+    create_namespace(spark, "cat_test")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .saveAsTable("cat_test.li_bucketed"))
+    (o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .saveAsTable("cat_test.o_bucketed"))
+    lb = spark.table("cat_test.li_bucketed")
+    ob = spark.table("cat_test.o_bucketed")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # static final plan
+    # force the SMJ path: at the test's toy scale Spark would (rightly)
+    # broadcast instead, which hides the bucket co-location being asserted
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+            "o_orderstatus"
+        ).count()
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        before_agg = plan.split("SortMergeJoin")[-1]  # join subtree only
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in before_agg
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_upsert_snapshot_merge_emulation(spark):
+    from mongo_iceberg_lakehouse_spark.operators.relational import upsert_snapshot
+
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], ["k", "version", "payload"]
+    )
+    updates = spark.createDataFrame(
+        [(2, 2, "b2"), (4, 1, "d")], ["k", "version", "payload"]
+    )
+    out = {r.k: (r.version, r.payload)
+           for r in upsert_snapshot(base, updates, "k", "version").collect()}
+    assert out == {1: (1, "a"), 2: (2, "b2"), 3: (1, "c"), 4: (1, "d")}
+    # same-version tie prefers the update side
+    tie = upsert_snapshot(base, spark.createDataFrame([(1, 1, "a-new")],
+                          ["k", "version", "payload"]), "k", "version")
+    assert {r.k: r.payload for r in tie.collect()}[1] == "a-new"
+
+
 def test_partitioned_table_prunes(spark):
     """Lake tables are partitioned on their time key (the reference wrote
     unpartitioned tables; at 100 TB that forfeits partition pruning)."""
