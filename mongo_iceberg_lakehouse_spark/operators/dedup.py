@@ -113,6 +113,44 @@ def _affine_params(num_hashes: int, seed: int = 1) -> list[tuple[int, int]]:
     return params
 
 
+def _bucket_pairs(
+    banded: DataFrame,
+    bucket_cols: Sequence[str],
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from LSH buckets, WITHOUT a self-join.
+
+    groupBy(bucket) -> sorted id list -> explode all in-bucket combinations.
+    Compared to the banded self-join this computes the signature pipeline
+    once (the join duplicated it — one side becomes a BroadcastExchange with
+    its own copy of the subtree) and shuffles once.
+
+    Buckets larger than ``max_bucket`` are dropped: an LSH bucket that big
+    means a degenerate band (near-constant content); its pairs are both
+    quadratic and useless — the standard "too common" guard at corpus scale.
+    """
+    grouped = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.collect_list("id").alias("ids0"))
+        .filter((F.size("ids0") > 1) & (F.size("ids0") <= max_bucket))
+        .select(F.array_sort("ids0").alias("ids"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def shingle_hashes(sh: Column) -> Column:
     """Reduce hashed shingles mod 2^31-1 for the affine MinHash family.
     Materialize in its own projection before ``minhash_signature`` — the
@@ -196,20 +234,7 @@ def minhash_lsh_pairs(
         ]
     )
     banded = base.select("id", F.posexplode(band_hashes).alias("band", "bh"))
-
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.bh") == F.col("b.bh"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _bucket_pairs(banded, ["band", "bh"])
 
     # Rebuild shingle hashes from the source for the verify joins rather than
     # reusing `base` — base's subtree includes the 64-slot signature, which
@@ -298,20 +323,7 @@ def simhash_pairs(
         ]
     )
     banded = base.select("id", F.posexplode(chunk_hashes).alias("chunk", "ch"))
-
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            on=[
-                F.col("a.chunk") == F.col("b.chunk"),
-                F.col("a.ch") == F.col("b.ch"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _bucket_pairs(banded, ["chunk", "ch"])
     sig_tbl = base.select("id", "sig")
     pairs = (
         cand.join(
