@@ -583,6 +583,57 @@ def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_try_cast",
+    """
+    SELECT p_partkey,
+           TRY_CAST(regexp_extract(p_name, '([0-9]+)', 1) AS INT) AS name_num,
+           TRY_CAST(p_brand AS DOUBLE) AS brand_num
+    FROM part
+    """,
+    doc="ANSI-safe casting: try_cast returns null instead of raising on "
+    "malformed input (Spark 4 runs ANSI mode by default).",
+)
+def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([0-9]+)", 1)
+        .try_cast("int")
+        .alias("name_num"),
+        F.col("p_brand").try_cast("double").alias("brand_num"),
+    )
+
+
+@register(
+    "scalar_date_arith",
+    """
+    SELECT o_orderkey,
+           CAST(date_part('year', o_orderdate) AS INT) AS yr,
+           CAST(date_part('month', o_orderdate) AS INT) AS mo,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+             AS days_since_epoch_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+    FROM orders
+    WHERE o_orderkey < 3000
+    """,
+    doc="Date arithmetic: year/month extraction, datediff, date_add — the "
+    "reference kept order_date as a raw string (§1.3); this is the typed "
+    "path.",
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("days_since_epoch_start"),
+        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
+    )
+
+
+@register(
     "explode_word_counts",
     """
     SELECT word, count(*) AS cnt, count(DISTINCT doc_id) AS docs
