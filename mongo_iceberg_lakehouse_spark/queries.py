@@ -586,8 +586,8 @@ def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_try_cast",
     """
     SELECT p_partkey,
-           TRY_CAST(regexp_extract(p_name, '([0-9]+)', 1) AS INT) AS name_num,
-           TRY_CAST(p_brand AS DOUBLE) AS brand_num
+           TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+           TRY_CAST(p_name AS DOUBLE) AS name_num
     FROM part
     """,
     doc="ANSI-safe casting: try_cast returns null instead of raising on "
@@ -597,10 +597,10 @@ def scalar_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.regexp_extract("p_name", r"([0-9]+)", 1)
+        F.regexp_extract("p_brand", r"([0-9]+)", 1)
         .try_cast("int")
-        .alias("name_num"),
-        F.col("p_brand").try_cast("double").alias("brand_num"),
+        .alias("brand_num"),
+        F.col("p_name").try_cast("double").alias("name_num"),
     )
 
 
@@ -1264,7 +1264,7 @@ def tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14_promo_ratio",
     """
-    SELECT 100.0 * sum(CASE WHEN p_type LIKE 'type0%'
+    SELECT 100.0 * sum(CASE WHEN p_type LIKE 'ECONOMY%'
                             THEN l_extendedprice * (1 - l_discount)
                             ELSE 0.0 END)
            / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
@@ -1281,11 +1281,182 @@ def tpch_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("type0%"), net).otherwise(F.lit(0.0))
+    promo = F.when(F.col("p_type").like("ECONOMY%"), net).otherwise(F.lit(0.0))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             (F.lit(100.0) * F.sum(promo) / F.sum(net)).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: outer join with a join-side predicate, then the "
+    "distribution of per-customer order counts.",
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    """
+    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    doc="TPC-H Q17 shape: correlated per-part average threshold "
+    "(decorrelated to an aggregate join by Catalyst).",
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty.ap_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, sum(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+    GROUP BY c_custkey, o_orderkey, o_totalprice
+    """,
+    doc="TPC-H Q18 shape: IN over a grouped-HAVING subquery (semi join on "
+    "an aggregate), then a 3-way join + group.",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o_big = o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+    return (
+        li.join(o_big, li.l_orderkey == o_big.o_orderkey)
+        .join(c, o_big.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    """
+    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_type = 'PROMO' AND l_quantity >= 40)
+    """,
+    doc="TPC-H Q19 shape: disjunctive multi-column join predicates (the "
+    "planner keeps the equi key and pushes the OR as a post-join filter).",
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 40))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q22_global_sales",
+    """
+    SELECT cntrycode, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+    FROM (SELECT substring(c_name, 16, 2) AS cntrycode, c_acctbal
+          FROM customer c
+          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0.0)
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+    GROUP BY cntrycode
+    """,
+    doc="TPC-H Q22 shape: uncorrelated scalar average + anti join + "
+    "substring-derived grouping key.",
+)
+def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    # scalar broadcast-joined in, not collect()ed — keeps the plan fully
+    # distributed (the scalar subquery shape Catalyst would build from SQL)
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg_bal")
+    )
+    no_recent = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        no_recent.select(
+            F.substring("c_name", 16, 2).alias("cntrycode"), "c_acctbal"
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("c_acctbal").alias("totacctbal"),
         )
     )
 
