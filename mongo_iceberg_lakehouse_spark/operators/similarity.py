@@ -338,26 +338,42 @@ def ann_topk_lsh(
     queries: DataFrame,
     k: int = 5,
     dim: int = 64,
-    bits: int = 12,
+    bits: int = 4,
+    tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates are corpus vectors sharing the query's
-    LSH bucket; exact cosine rank within candidates.
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH: ``tables``
+    independent signatures per vector; candidates are corpus vectors that
+    collide with the query in ANY table; exact cosine rank within the
+    (deduped) candidate union.
 
-    Scale shape: bucket assignment is a narrow map; the candidate join is an
-    equi-join on the signature — no cross join. Recall is tuned by ``bits``
-    (fewer bits -> bigger buckets -> higher recall, more work).
+    Multi-table is what makes hyperplane LSH usable: single-table recall for
+    a neighbor at angle θ is (1-θ/π)^bits, which collapses for the moderate
+    angles real nearest neighbors have; the union over L tables lifts it to
+    1-(1-p^bits)^L. Plan shape: signature assignment is a narrow map, the
+    candidate join is an equi-join on (table, signature) — no cross join;
+    work scales with bucket occupancy, tuned by ``bits`` vs ``tables``.
     """
-    sig = lambda df, idn: df.select(  # noqa: E731
-        F.col(id_col).alias(idn),
-        F.col(vec_col).alias(f"__v_{idn}"),
-        lsh_signature(vec_col, dim, bits).alias("__sig"),
-    )
-    e = sig(embeddings, "neighbor_id")
-    q = sig(queries, "query_id")
-    cand = e.join(F.broadcast(q), on="__sig").filter(
-        F.col("neighbor_id") != F.col("query_id")
+    def with_sigs(df: DataFrame, idn: str) -> DataFrame:
+        sigs = F.array(
+            *[
+                lsh_signature(vec_col, dim, bits, seed=42 + 97 * t)
+                for t in range(tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(idn),
+            F.col(vec_col).alias(f"__v_{idn}"),
+            F.posexplode(sigs).alias("__tbl", "__sig"),
+        )
+
+    e = with_sigs(embeddings, "neighbor_id")
+    q = with_sigs(queries, "query_id")
+    cand = (
+        e.join(F.broadcast(q), on=["__tbl", "__sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
         "query_id",

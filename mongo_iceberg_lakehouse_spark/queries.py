@@ -1647,13 +1647,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_lsh_topk",
     None,
-    doc="LSH-bucketed approximate top-k (random hyperplane signatures, "
-    "bucket equi-join). Rows-only check.",
+    doc="Multi-table random-hyperplane LSH approximate top-k "
+    "((table, signature) equi-join, candidate union). Rows-only check.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    return S.ann_topk_lsh(e, q, k=5, dim=64, bits=6)
+    return S.ann_topk_lsh(e, q, k=5, dim=64, bits=4, tables=8)
 
 
 @register(

@@ -1,0 +1,67 @@
+"""ANN quality harness: recall of the approximate variants (LSH, IVF)
+against the exact brute-force top-k on the real embeddings fixture."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mongo_iceberg_lakehouse_spark.operators.similarity import (
+    ann_topk_bruteforce,
+    ann_topk_ivf,
+    ann_topk_lsh,
+)
+from mongo_iceberg_lakehouse_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+K = 10
+N_QUERIES = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def truth(spark, emb):
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    rows = ann_topk_bruteforce(emb, q, k=K).collect()
+    return {(r.query_id, r.neighbor_id) for r in rows}
+
+
+def _recall(approx_rows, truth) -> float:
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    return len(approx & truth) / len(truth)
+
+
+def test_lsh_recall_vs_bruteforce(spark, emb, truth):
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    # uniform random vectors are LSH's worst case (neighbors sit at ~60-70°);
+    # 8 tables x 4 bits lifts per-neighbor hit probability to ~0.6-0.8
+    rows = ann_topk_lsh(emb, q, k=K, dim=64, bits=4, tables=8).collect()
+    r = _recall(rows, truth)
+    assert r >= 0.4, f"LSH recall {r} below sanity floor"
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb, truth):
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    rows = ann_topk_ivf(emb, q, k=K, n_centroids=16, n_probe=8).collect()
+    r = _recall(rows, truth)
+    # probing half the lists on structureless (random) vectors recovers
+    # roughly that fraction of true neighbors; assert a conservative floor
+    assert r >= 0.35, f"IVF recall {r} below sanity floor"
+
+
+def test_approx_results_are_subsets_of_corpus(spark, emb, truth):
+    # every reported neighbor exists and no self-matches leak through
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    for rows in (
+        ann_topk_lsh(emb, q, k=K, dim=64, bits=6).collect(),
+        ann_topk_ivf(emb, q, k=K, n_centroids=16, n_probe=4).collect(),
+    ):
+        for r in rows:
+            assert r.neighbor_id != r.query_id
+            assert 1 <= r.rank <= K
