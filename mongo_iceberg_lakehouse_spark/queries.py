@@ -1899,6 +1899,98 @@ def medallion_items_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hypertable_rollup_tail",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
+           event_type, count(*) AS cnt, sum(value) AS total_value,
+           sum(value) / count(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Hypertable-style continuous rollup: sealed hourly aggregates "
+    "materialized to parquet + rollup-union-raw-tail rewrite; equals the "
+    "full recompute (the oracle) by construction.",
+)
+def hypertable_rollup_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.rollup import bucket_aggregate, rollup_with_tail
+
+    events = _t(spark, sf_dir, "events")
+    seal = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    sealed_dir = tempfile.mkdtemp(prefix="rollup_") + "/hourly"
+    bucket_aggregate(events.filter(F.col("ts") < seal)).write.mode(
+        "overwrite"
+    ).parquet(sealed_dir)
+    rollup = spark.read.parquet(sealed_dir)
+    return rollup_with_tail(rollup, events, seal)
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: derived aggregate (CTE) + scalar-max selection.",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q16_part_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: negated predicates (<> / NOT LIKE / IN list) + "
+    "distinct-count grouped three ways.",
+)
+def tpch_q16_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
     "streaming_user_profiles",
     None,  # stateful streaming — rows-only per the driver contract
     doc="Custom stateful streaming operator (applyInPandasWithState): "
