@@ -347,6 +347,94 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a pair (edge) list -> (id, component) with
+    component = min id reachable. The grouping step a production dedup needs
+    between near-dup PAIRS and per-cluster SURVIVORS.
+
+    Algorithm: iterative min-label propagation with pointer jumping. Each
+    round every node adopts (1) the smallest label among its neighbors and
+    (2) the label OF its current label-node (path halving) — the combination
+    converges in O(log diameter) rounds, not O(diameter). Each round is two
+    joins + one aggregation, all distributed; the driver only orchestrates
+    the loop and checks a scalar convergence count, so the pattern scales to
+    graphs that never fit one machine.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer jumping: comp <- min(comp, label(comp)) — halves label paths
+        jump = stepped.select(
+            F.col("id").alias("__jid"), F.col("component").alias("__jcomp")
+        )
+        new_labels = (
+            stepped.join(jump, stepped.component == jump.__jid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("__jcomp"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one row per near-dup cluster (the min-id member) plus all rows
+    that appear in no pair. The end-to-end dedup output: pairs -> connected
+    components -> survivors."""
+    comp = connected_components(pairs)
+    tagged = df.join(comp, df[id_col] == comp.id, "left")
+    return (
+        tagged.filter(
+            F.col("component").isNull() | (F.col(id_col) == F.col("component"))
+        )
+        .drop("id", "component")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

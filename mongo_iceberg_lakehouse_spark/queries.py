@@ -1635,6 +1635,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_survivors_end_to_end",
+    None,  # iterative connected components — not SQL-expressible
+    doc="End-to-end corpus dedup: MinHash-LSH pairs -> connected components "
+    "(min-label propagation + pointer jumping) -> one survivor per cluster "
+    "+ all unpaired docs. Rows-only check.",
+)
+def dedup_survivors_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=2,
+        jaccard_threshold=0.2,
+    )
+    return D.dedup_survivors(d, pairs).select("doc_id", "source", "n_chars")
+
+
+@register(
     "text_quality_scores",
     """
     SELECT doc_id,
