@@ -370,6 +370,9 @@ def connected_components(
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
+    # materialize once: the edge list is re-joined every iteration, and its
+    # upstream (e.g. a full MinHash pipeline) must not re-execute per round
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
