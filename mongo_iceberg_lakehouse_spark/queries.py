@@ -1291,6 +1291,120 @@ def tpch_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+      AND r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5: local-supplier volume — 6-way join with the same-nation "
+    "customer/supplier constraint and region filter.",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+    SELECT l_year,
+           sum(CASE WHEN supp_nation = 'NATION_0' THEN volume ELSE 0.0 END)
+             / sum(volume) AS mkt_share
+    FROM (SELECT CAST(date_part('year', o_orderdate) AS INT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 sn.n_name AS supp_nation
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN part     ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation sn ON sn.n_nationkey = s_nationkey
+          WHERE p_type = 'ECONOMY')
+    GROUP BY l_year
+    """,
+    doc="TPC-H Q8 shape: a nation's market share of ECONOMY-part revenue per "
+    "order-year (conditional share over a multi-join).",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.year("o_orderdate").alias("l_year"),
+            vol.alias("volume"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    return base.groupBy("l_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_0", F.col("volume")).otherwise(
+                    0.0
+                )
+            )
+            / F.sum("volume")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "map_type_ops",
+    None,  # map key order is engine-specific — rows-only
+    doc="MapType surface: per-user map of event_type -> value sum built with "
+    "map_from_entries, element access + map cardinality. Rows-only check.",
+)
+def map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.sum("value").alias("total")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "total")))
+        ).alias("by_type")
+    )
+    return mapped.select(
+        "user_id",
+        F.size("by_type").alias("n_types"),
+        F.col("by_type")["click"].alias("click_total"),
+        F.map_keys("by_type").alias("types"),
+    )
+
+
+@register(
     "tpch_q7_volume_shipping",
     """
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
