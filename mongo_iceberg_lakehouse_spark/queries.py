@@ -825,6 +825,37 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_first_last_nth",
+    """
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value)  OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value/last_value/nth_value analytics over an unbounded frame "
+    "(per-user first, latest, and second event values).",
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )
+
+
+@register(
     "window_range_frame",
     """
     SELECT event_id, user_id,
