@@ -1847,8 +1847,30 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_lang_id",
-    None,  # heuristic with priority-order ties — keep rows-only
-    doc="Stopword-vote language ID heuristic per document. Rows-only check.",
+    """
+    SELECT doc_id,
+           CASE WHEN greatest(c_en, c_es, c_de, c_fr, c_zh) = 0 THEN 'und'
+                WHEN c_en = greatest(c_en, c_es, c_de, c_fr, c_zh) THEN 'en'
+                WHEN c_es = greatest(c_en, c_es, c_de, c_fr, c_zh) THEN 'es'
+                WHEN c_de = greatest(c_en, c_es, c_de, c_fr, c_zh) THEN 'de'
+                WHEN c_fr = greatest(c_en, c_es, c_de, c_fr, c_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('the','a','of','and','to','in','is'))) AS c_en,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('el','la','de','los','las','que','y'))) AS c_es,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('der','die','das','und','ist','nicht'))) AS c_de,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('le','la','les','et','des','est'))) AS c_fr,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t IN ('的','是','了','在','我'))) AS c_zh
+      FROM documents)
+    """,
+    doc="Stopword-vote language ID heuristic per document; the oracle "
+    "mirrors the vote counts and the deterministic priority-order argmax.",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")

@@ -65,6 +65,22 @@ def write_mongodb(
     )
 
 
+def read_kafka_stream(
+    spark: SparkSession, bootstrap_servers: str, topic: str
+) -> DataFrame:
+    """Kafka streaming source (production ingest path for streaming/;
+    gated: the spark-sql-kafka jar is not in this image)."""
+    return _gate(
+        lambda: (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .load()
+        ),
+        "kafka",
+    )
+
+
 def read_iceberg(spark: SparkSession, ident: str) -> DataFrame:
     """Iceberg table scan by path API (reference S5)."""
     return _gate(lambda: spark.read.format("iceberg").load(ident), "iceberg")

@@ -51,3 +51,10 @@ def test_jsonl_ingestion_is_splittable(spark, tmp_path):
 def test_mongodb_connector_gated(spark):
     with pytest.raises(ConnectorUnavailable):
         read_mongodb(spark, "mongodb://nohost:1/db", "db", "coll")
+
+
+def test_kafka_connector_gated(spark):
+    from mongo_iceberg_lakehouse_spark.sources.connectors import read_kafka_stream
+
+    with pytest.raises(ConnectorUnavailable):
+        read_kafka_stream(spark, "nohost:9092", "events")
