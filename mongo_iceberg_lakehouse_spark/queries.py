@@ -2178,6 +2178,243 @@ def tpch_q16_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+    FROM ps
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    JOIN part ON p_partkey = l_partkey
+    WHERE r_name = 'ASIA' AND p_type = 'STANDARD' AND p_size = 15
+      AND supply_cost = (
+        SELECT min(ps2.supply_cost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+    """,
+    doc="TPC-H Q2 analog (no partsupp table in the fixtures: supply cost = "
+    "min observed unit price per (part, supplier) from lineitem): "
+    "correlated min-per-group subquery -> groupBy-min + equi-join back; "
+    "dims broadcast.",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") == 15)
+    )
+    sup_asia = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    # region-filtered (part, supplier, cost) triples for the selected parts
+    joined = ps.join(
+        F.broadcast(sup_asia), ps.l_suppkey == sup_asia.s_suppkey
+    ).join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+    min_cost = joined.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("supply_cost").alias("__min_cost")
+    )
+    return (
+        joined.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("__pk"))
+            & (F.col("supply_cost") == F.col("__min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           sum(l_extendedprice * (1 - l_discount)) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    doc="TPC-H Q9 analog (profit = discounted revenue; fixtures have no "
+    "ps_supplycost): 5-way join with broadcast dims, group by supplier "
+    "nation x order year.",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_profit"
+            )
+        )
+    )
+
+
+@register(
+    "tpch_q11_important_parts",
+    """
+    WITH v AS (
+      SELECT l_partkey, sum(l_extendedprice * l_quantity) AS part_value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l_partkey)
+    SELECT l_partkey, part_value
+    FROM v
+    WHERE part_value > (SELECT sum(part_value) * 0.001 FROM v)
+    """,
+    doc="TPC-H Q11 analog (inventory value from lineitem; no partsupp): "
+    "grouped value per part HAVING > scalar-fraction-of-total subquery "
+    "(broadcast scalar crossJoin).",
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    v = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
+    )
+    threshold = v.agg((F.sum("part_value") * F.lit(0.001)).alias("__thr"))
+    return (
+        v.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("__thr"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%red%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 45)
+    """,
+    doc="TPC-H Q20 analog (shipped volume stands in for available stock): "
+    "IN-subquery over a grouped HAVING -> left-semi join in Spark.",
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 45)
+        .select("l_suppkey")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(heavy, sup.s_suppkey == heavy.l_suppkey, "leftsemi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_orders",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 analog (late = shipped >60 days after order date; "
+    "fixtures lack commit/receipt dates): EXISTS -> left-semi with "
+    "non-equi predicate, NOT EXISTS -> left-anti; sole-late-supplier "
+    "per multi-supplier finished order.",
+)
+def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("__o2"), F.col("l_suppkey").alias("__s2")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("__o3"), F.col("l_suppkey").alias("__s3")
+    )
+    cand = late.join(
+        other,
+        (late.l_orderkey == other.__o2) & (late.l_suppkey != other.__s2),
+        "leftsemi",
+    ).join(
+        other_late,
+        (F.col("l_orderkey") == other_late.__o3)
+        & (F.col("l_suppkey") != other_late.__s3),
+        "leftanti",
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        cand.join(F.broadcast(sup), cand.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
     "streaming_user_profiles",
     None,  # stateful streaming — rows-only per the driver contract
     doc="Custom stateful streaming operator (applyInPandasWithState): "
