@@ -204,10 +204,20 @@ def cosine_neardup_blocked(
                 An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
                 Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
                 sims = An @ Bn.T
-                ii, jj = np.nonzero((sims >= threshold) & (ia[:, None] < ib[None, :]))
-                yield pd.DataFrame(
-                    {"id_a": ia[ii], "id_b": ib[jj], "sim": sims[ii, jj]}
-                )
+                if row["ba"] == row["bb"]:
+                    # same block on both sides: ia < ib halves the square
+                    ii, jj = np.nonzero(
+                        (sims >= threshold) & (ia[:, None] < ib[None, :])
+                    )
+                    lo, hi = ia[ii], ib[jj]
+                else:
+                    # distinct blocks: every cross pair appears exactly once
+                    # in this (ba < bb) task — emit it id-ordered regardless
+                    # of which side holds the smaller id
+                    ii, jj = np.nonzero(sims >= threshold)
+                    lo = np.minimum(ia[ii], ib[jj])
+                    hi = np.maximum(ia[ii], ib[jj])
+                yield pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims[ii, jj]})
 
     return pairs.mapInPandas(batches, schema="id_a bigint, id_b bigint, sim double")
 

@@ -1413,9 +1413,19 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "map_type_ops",
-    None,  # map key order is engine-specific — rows-only
+    """
+    WITH per_type AS (
+      SELECT user_id, event_type, sum(value) AS total
+      FROM events GROUP BY user_id, event_type)
+    SELECT user_id,
+           CAST(count(*) AS INT) AS n_types,
+           max(CASE WHEN event_type = 'click' THEN total END) AS click_total,
+           list(event_type ORDER BY event_type) AS types
+    FROM per_type GROUP BY user_id
+    """,
     doc="MapType surface: per-user map of event_type -> value sum built with "
-    "map_from_entries, element access + map cardinality. Rows-only check.",
+    "map_from_entries over a sorted entry list (deterministic key order), "
+    "element access + map cardinality + map_keys.",
 )
 def map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -1942,10 +1952,25 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_topk_blocked",
-    None,
-    doc="Exact cosine top-k via Arrow-batched BLAS (mapInPandas matmul + "
-    "partial top-k merge) — the throughput form of ann_cosine_topk. "
-    "Rows-only check.",
+    """
+    SELECT query_id, neighbor_id, rank, sim FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])) AS sim,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])) DESC,
+                        e.vec_id) AS INT) AS rank
+      FROM embeddings e, embeddings q
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+    WHERE rank <= 5
+    """,
+    doc="Exact blocked-BLAS top-k (same result as the brute-force oracle: "
+    "local per-batch top-k + global (sim desc, neighbor_id) rank merge; "
+    "Arrow-batched mapInPandas matmul, the throughput form of "
+    "ann_cosine_topk).",
 )
 def ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
@@ -1955,9 +1980,19 @@ def ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_neardup_blocked",
-    None,
+    """
+    SELECT id_a, id_b, sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS sim
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id)
+    WHERE sim >= 0.4
+    """,
     doc="All-pairs cosine >= 0.4 via block-nested-loop BLAS "
-    "(collect_list blocks + mapInPandas matmul). Rows-only check.",
+    "(collect_list blocks + mapInPandas float64 matmul); exact, so the "
+    "all-pairs SQL is a valid oracle (sims agree to ~15 digits; the "
+    "compare normalizes doubles to 6 significant digits).",
 )
 def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
