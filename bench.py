@@ -40,6 +40,8 @@ HEADLINE = [
     "text_quality_scores",
     "ann_topk_blocked",
     "embedding_neardup_blocked",
+    "join_interval_events",
+    "text_tfidf_top_terms",
 ]
 
 

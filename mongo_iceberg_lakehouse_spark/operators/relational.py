@@ -101,6 +101,44 @@ def as_of_join(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Bounded-interval join: all (l, r) with equal ``key`` and
+    ``l.left_ts < r.right_ts <= l.left_ts + window_seconds``.
+
+    Scale-first shape: Spark has no range-join optimization, and an equi-join
+    on ``key`` alone degenerates when a key is hot (one task gets the whole
+    key's cross product). Instead both sides also equi-join on a time *bin* of
+    width ``window_seconds``: each left row is exploded into the (at most 2)
+    bins its window can reach, the right row sits in exactly 1 bin, so the
+    shuffle key is (key, bin) — bounded per-task work even for a single hot
+    key spanning a long time range — and the exact interval predicate runs
+    post-join as a cheap filter. Left rows are replicated at most 2x
+    regardless of window width (bin width == window width).
+    """
+    bin_ = lambda c: F.floor(F.unix_timestamp(c) / F.lit(window_seconds))  # noqa: E731
+    l = left.withColumn(  # noqa: E741
+        "__bin", F.explode(F.array(bin_(F.col(left_ts)), bin_(F.col(left_ts)) + 1))
+    )
+    r = right.withColumn("__bin", bin_(F.col(right_ts)))
+    lk = [F.col(f"l.{key}") == F.col(f"r.{key}"), F.col("l.__bin") == F.col("r.__bin")]
+    exact = (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}")) & (
+        F.col(f"r.{right_ts}")
+        <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {window_seconds} SECONDS")
+    )
+    return (
+        l.alias("l")
+        .join(r.alias("r"), lk[0] & lk[1] & exact)
+        .drop("__bin")
+    )
+
+
 def upsert_snapshot(
     base: DataFrame,
     updates: DataFrame,

@@ -1,0 +1,58 @@
+"""Dataset splitting / sampling operators for training-data pipelines.
+
+A training pipeline needs reproducible, *content-addressed* splits: the same
+row must land in the same split on every run, on every engine, regardless of
+partitioning, row order, or cluster size. Seeded `df.sample()` can't promise
+that (it's tied to partition layout), so the canonical operator here hashes a
+stable id column instead — a pure narrow map, no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_split_column(
+    id_col: Column | str,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+) -> Column:
+    """Deterministic split label from md5(id): the first 4 hex chars of the
+    digest partition [0, 65536) by cumulative fraction; the comparison is on
+    the hex *string* (lexicographic == numeric for fixed-width lowercase
+    hex), so any engine with a standard md5 reproduces the assignment
+    bit-for-bit. Fractions are quantized to 1/65536.
+    """
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    prefix = F.substring(F.md5(F.col(id_col).cast("string") if isinstance(id_col, str) else id_col.cast("string")), 1, 4)
+    expr = None
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        cut = format(min(int(cum * 65536), 65535), "04x")
+        cond = prefix < F.lit(cut)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    return (F.lit(last) if expr is None else expr.otherwise(last)).alias("split")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+) -> DataFrame:
+    """Attach a deterministic ``split`` column (see ``hash_split_column``).
+    Narrow map only — safe at any scale, no shuffle."""
+    return df.withColumn("split", hash_split_column(id_col, splits))

@@ -2450,6 +2450,158 @@ def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_interval_events",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           a.user_id AS user_id,
+           CAST(date_diff('second', CAST(a.ts AS TIMESTAMP),
+                          CAST(b.ts AS TIMESTAMP)) AS BIGINT) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND CAST(b.ts AS TIMESTAMP) >  CAST(a.ts AS TIMESTAMP)
+     AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    """,
+    doc="Bounded-interval self-join (event pairs per user within 30 min): "
+    "custom interval_join operator — equi-join on (key, time-bin) with "
+    "bin width == window width (left side exploded into its <=2 reachable "
+    "bins) + exact post-filter. Bounds per-task work under hot keys where "
+    "a key-only equi-join would degenerate; Spark has no native range-join "
+    "optimization.",
+)
+def join_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    joined = R.interval_join(ev, ev, "user_id", "ts", "ts", window_seconds=1800)
+    return joined.select(
+        F.col("l.event_id").alias("id_a"),
+        F.col("r.event_id").alias("id_b"),
+        F.col("l.user_id").alias("user_id"),
+        (F.unix_timestamp("r.ts") - F.unix_timestamp("l.ts")).alias("gap_s"),
+    )
+
+
+@register(
+    "split_train_val_test",
+    """
+    SELECT source, split, count(*) AS cnt FROM (
+      SELECT source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    GROUP BY source, split
+    """,
+    doc="Content-addressed train/val/test split (80/10/10): md5(id) hex "
+    "prefix vs cumulative-fraction cutpoints — reproducible across runs, "
+    "engines, and partitionings; a pure narrow map, no shuffle. "
+    "operators/sampling.py::hash_split.",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id")
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfc AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, term, rank, tfidf FROM (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n AS DOUBLE) / dfc.dfc) AS tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / dfc.dfc) DESC,
+                        tf.term) AS INT) AS rank
+      FROM tf JOIN dfc USING (term) CROSS JOIN n)
+    WHERE rank <= 3
+    """,
+    doc="TF-IDF top-3 terms per document: token explode -> (doc,term) tf + "
+    "per-term document frequency -> idf = ln(N/df) via broadcast scalar -> "
+    "per-doc rank. The df table is broadcast (vocabulary << corpus).",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    tfidf = (
+        tf.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n").cast("double") / F.col("dfc")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        tfidf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "rank", "tfidf")
+    )
+
+
+@register(
+    "feature_quantile_bins",
+    """
+    SELECT bin, count(*) AS cnt, min(n_chars) AS lo, max(n_chars) AS hi FROM (
+      SELECT n_chars,
+             CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS bin
+      FROM documents)
+    GROUP BY bin
+    """,
+    doc="Equi-depth feature binning (decile bucketing of document length) "
+    "via ntile with a deterministic (value, id) order; per-bin count and "
+    "value range.",
+)
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "n_chars", F.ntile(10).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+    )
+
+
+@register(
+    "pack_token_batches",
+    None,  # greedy bin packing is algorithmic, not SQL-expressible
+    doc="Sequence packing for LLM training: sharded first-fit-decreasing "
+    "into 512-token batches (deterministic hash shards -> applyInPandas "
+    "FFD per shard -> namespaced batch ids). Returns per-batch fill "
+    "stats; invariants (conservation, budget, fill) in "
+    "tests/test_operators.py. Rows-only check.",
+)
+def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import batch_summary, pack_batches
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+    packed = pack_batches(docs, "doc_id", "n_tokens", budget=512, n_shards=16)
+    return batch_summary(packed, budget=512)
+
+
+@register(
     "streaming_user_profiles",
     None,  # stateful streaming — rows-only per the driver contract
     doc="Custom stateful streaming operator (applyInPandasWithState): "

@@ -219,3 +219,112 @@ def test_multimodal_payload_roundtrip(spark):
 def test_decode_payload_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_payload(b"\x00", "image")
+
+
+def test_interval_join_binning(spark):
+    from datetime import datetime
+
+    from mongo_iceberg_lakehouse_spark.operators.relational import interval_join
+
+    def t(s):
+        return datetime.fromisoformat(s)
+
+    rows = [
+        # key A: pair within window, pair across a bin boundary, pair outside
+        ("A", 1, t("2024-01-01 00:00:10")),
+        ("A", 2, t("2024-01-01 00:00:50")),   # 40s after 1 (same bin)
+        ("A", 3, t("2024-01-01 00:01:05")),   # 55s after 2 (crosses bin edge)
+        ("A", 4, t("2024-01-01 00:10:00")),   # far from all
+        # key B: same timestamps, must not pair with A
+        ("B", 5, t("2024-01-01 00:00:10")),
+        ("B", 6, t("2024-01-01 00:00:55")),
+    ]
+    ev = spark.createDataFrame(rows, ["k", "eid", "ts"])
+    out = interval_join(ev, ev, "k", "ts", "ts", window_seconds=60)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in out.select(
+            F.col("l.eid").alias("id_a"), F.col("r.eid").alias("id_b")
+        ).collect()
+    }
+    # (1,3) is 55s apart across a bin boundary — the 2-bin explode must
+    # catch it; (x,4) pairs are outside the window; A/B never mix
+    assert pairs == {(1, 2), (2, 3), (1, 3), (5, 6)}
+
+
+def test_interval_join_exact_boundary(spark):
+    from datetime import datetime
+
+    from mongo_iceberg_lakehouse_spark.operators.relational import interval_join
+
+    rows = [
+        ("A", 1, datetime.fromisoformat("2024-01-01 00:00:00")),
+        ("A", 2, datetime.fromisoformat("2024-01-01 00:01:00")),  # == +W
+        ("A", 3, datetime.fromisoformat("2024-01-01 00:02:01")),  # > +W from 2
+    ]
+    ev = spark.createDataFrame(rows, ["k", "eid", "ts"])
+    out = interval_join(ev, ev, "k", "ts", "ts", window_seconds=60)
+    pairs = {
+        (r["a"], r["b"])
+        for r in out.select(
+            F.col("l.eid").alias("a"), F.col("r.eid").alias("b")
+        ).collect()
+    }
+    assert pairs == {(1, 2)}  # inclusive upper edge, (2,3) is 61s apart
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    from mongo_iceberg_lakehouse_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = hash_split(df, "doc_id")
+    s2 = hash_split(df.repartition(7), "doc_id")  # layout must not matter
+    c1 = {r["doc_id"]: r["split"] for r in s1.collect()}
+    c2 = {r["doc_id"]: r["split"] for r in s2.collect()}
+    assert c1 == c2
+    assert set(c1.values()) == {"train", "val", "test"}
+    n = len(c1)
+    frac = {s: sum(1 for v in c1.values() if v == s) / n for s in set(c1.values())}
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    from mongo_iceberg_lakehouse_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", splits=(("a", 0.5), ("b", 0.1)))
+
+
+def test_pack_batches_invariants(spark):
+    from mongo_iceberg_lakehouse_spark.operators.packing import (
+        batch_summary,
+        pack_batches,
+    )
+
+    rows = [(i, 50 + (i * 37) % 400) for i in range(200)]
+    rows.append((1000, 900))  # oversize: must get its own batch
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    packed = pack_batches(df, "doc_id", "n_tokens", budget=512, n_shards=4)
+    out = packed.collect()
+    # conservation: every doc exactly once, tokens unchanged
+    assert sorted((r["id"], r["tokens"]) for r in out) == sorted(rows)
+    # budget: every batch fits, except a batch holding a single oversize doc
+    sums = batch_summary(packed, budget=512).collect()
+    for b in sums:
+        assert b["n_tokens"] <= 512 or b["n_docs"] == 1
+    # determinism: layout-independent
+    again = pack_batches(
+        df.repartition(13), "doc_id", "n_tokens", budget=512, n_shards=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_batches_rejects_bad_budget(spark):
+    from mongo_iceberg_lakehouse_spark.operators.packing import pack_batches
+
+    df = spark.createDataFrame([(1, 10)], ["doc_id", "n_tokens"])
+    with pytest.raises(ValueError):
+        pack_batches(df, "doc_id", "n_tokens", budget=0)
