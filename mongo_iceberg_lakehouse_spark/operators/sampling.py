@@ -44,6 +44,40 @@ def hash_split_column(
     return (F.lit(last) if expr is None else expr.otherwise(last)).alias("split")
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum subsample (``sampleBy`` without its
+    partition-layout dependence): a row is kept iff the first 4 hex chars of
+    md5(id) sort below its stratum's fraction threshold. Content-addressed,
+    so the kept set is identical across runs, engines, and repartitions —
+    which seeded ``df.sample``/``sampleBy`` cannot promise. Pure narrow
+    filter, no shuffle.
+
+    ``fractions`` maps stratum value -> keep fraction (quantized to
+    1/65536); strata not listed use ``default``. A fraction >= 1 keeps the
+    whole stratum (threshold "g" sorts above every hex prefix).
+    """
+
+    def cut(frac: float) -> str:
+        if frac >= 1.0:
+            return "g"
+        return format(max(int(frac * 65536), 0), "04x")
+
+    expr = None
+    for stratum, frac in fractions.items():
+        cond = F.col(stratum_col) == stratum
+        lit = F.lit(cut(frac))
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+    thresh = F.lit(cut(default)) if expr is None else expr.otherwise(F.lit(cut(default)))
+    prefix = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    return df.filter(prefix < thresh)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

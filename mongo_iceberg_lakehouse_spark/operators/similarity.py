@@ -222,6 +222,30 @@ def cosine_neardup_blocked(
     return pairs.mapInPandas(batches, schema="id_a bigint, id_b bigint, sim double")
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Train real IVF centroids with distributed k-means (pyspark.ml,
+    k-means|| init). Returns plain float lists so the caller can broadcast
+    them as a literal matrix. At 100 TB you'd fit on a ~1% content-addressed
+    sample (``sampling.stratified_sample``) — centroid quality converges long
+    before full-corpus coverage."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.select(
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feat)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ann_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -230,27 +254,31 @@ def ann_topk_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer partitions the corpus
     into inverted lists; each query searches only its ``n_probe`` closest
     lists.
 
-    Centroids are a deterministic sample (first ``n_centroids`` corpus
-    vectors by id) — a real deployment would k-means them, but the plan shape
-    is identical: centroid assignment is a narrow map against a broadcast
-    centroid matrix, the probe join is an equi-join on the list id, and exact
-    ranking runs only within probed lists. Corpus scanned once; no cross
-    join.
+    By default centroids are a deterministic sample (first ``n_centroids``
+    corpus vectors by id); pass ``centroids=kmeans_centroids(...)`` for
+    trained lists. Either way the plan shape is identical: centroid
+    assignment is a narrow map against a broadcast centroid matrix, the
+    probe join is an equi-join on the list id, and exact ranking runs only
+    within probed lists. Corpus scanned once; no cross join.
     """
     import numpy as np
 
-    cent_rows = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .collect()
-    )
-    C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
+    if centroids is not None:
+        C = np.array(centroids, dtype=np.float64)
+    else:
+        cent_rows = (
+            embeddings.select(id_col, vec_col)
+            .orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .collect()
+        )
+        C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
     def assign(probe: int):

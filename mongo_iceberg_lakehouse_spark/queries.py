@@ -2602,6 +2602,120 @@ def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_stratified_events",
+    """
+    SELECT event_type, count(*) AS cnt, sum(value) AS sum_value
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) <
+          CASE event_type WHEN 'click' THEN '8000'
+                          WHEN 'view'  THEN '4000'
+                          WHEN 'error' THEN 'g'
+                          ELSE '1000' END
+    GROUP BY event_type
+    """,
+    doc="Stratified sampling with per-stratum rates (click 50%, view 25%, "
+    "error 100%, rest 6.25%): content-addressed md5-prefix threshold per "
+    "stratum — reproducible across engines/partitionings, unlike seeded "
+    "sampleBy. Narrow filter, no shuffle. operators/sampling.py::"
+    "stratified_sample.",
+)
+def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import stratified_sample
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    kept = stratified_sample(
+        ev,
+        "event_id",
+        "event_type",
+        {"click": 0.5, "view": 0.25, "error": 1.0},
+        default=0.0625,
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value")
+    )
+
+
+@register(
+    "agg_salted_event_revenue",
+    """
+    SELECT event_type, sum(value) AS sum_value, count(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-safe two-stage aggregation: 5 event types over the whole "
+    "corpus is a pathologically hot grouping key at scale (5 reducers do "
+    "all the work). salted_groupby_sum salts to (key, salt) for the "
+    "map-side-combined partial, then merges partials per key — the "
+    "canonical manual rewrite when AQE skew handling isn't available on an "
+    "agg. Result provably equals the plain groupBy (oracle).",
+)
+def agg_salted_event_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    out = R.salted_groupby_sum(ev, ["event_type"], "value", salt_buckets=32)
+    return out.select("event_type", F.col("sum_value"), "cnt")
+
+
+@register(
+    "text_repetition_ngrams",
+    """
+    SELECT doc_id,
+           CAST(len(ngrams) AS BIGINT) AS n_windows,
+           CAST(len(list_distinct(ngrams)) AS BIGINT) AS n_distinct,
+           CAST(len(ngrams) - len(list_distinct(ngrams)) AS DOUBLE)
+             / len(ngrams) AS rep_ratio
+    FROM (
+      SELECT doc_id,
+             [array_to_string(words[i:i+2], ' ')
+              FOR i IN generate_series(1, len(words) - 2)] AS ngrams
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      WHERE len(words) >= 3)
+    """,
+    doc="Within-document repetition signal (Gopher-style duplicate 3-gram "
+    "window fraction, a standard pretraining quality filter): sliding "
+    "3-gram windows via sequence+slice+transform, distinct count via "
+    "array_distinct — ALL higher-order functions in one narrow projection, "
+    "zero shuffle, zero Python. The cheapest possible 100 TB plan: one "
+    "scan, embarrassingly parallel.",
+)
+def text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    )
+    n_win = F.size("ngrams").cast("bigint")
+    n_dis = F.size(F.array_distinct("ngrams")).cast("bigint")
+    return (
+        d.filter(F.size(words) >= 3)
+        .select("doc_id", ngrams.alias("ngrams"))
+        .select(
+            "doc_id",
+            n_win.alias("n_windows"),
+            n_dis.alias("n_distinct"),
+            ((n_win - n_dis).cast("double") / n_win).alias("rep_ratio"),
+        )
+    )
+
+
+@register(
+    "ann_topk_ivf_kmeans",
+    None,  # trained centroids are data/partitioning-dependent — rows-only;
+    # recall vs exact ground truth is asserted in tests/test_ann_quality.py
+    doc="IVF ANN with TRAINED coarse quantizer: distributed k-means "
+    "(pyspark.ml, k-means|| init) fits 16 centroids, then the same "
+    "inverted-list plan as ann_topk_ivf (broadcast centroid matrix -> "
+    "narrow-map list assignment -> equi-join on list id, n_probe=4). "
+    "Trained lists balance occupancy vs the sampled quantizer, which is "
+    "what keeps probe cost flat as the corpus grows.",
+)
+def ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.orderBy(F.col("vec_id").asc()).limit(8)
+    cents = S.kmeans_centroids(e, n_centroids=16)
+    return S.ann_topk_ivf(e, q, k=5, n_probe=4, centroids=cents)
+
+
+@register(
     "streaming_user_profiles",
     None,  # stateful streaming — rows-only per the driver contract
     doc="Custom stateful streaming operator (applyInPandasWithState): "

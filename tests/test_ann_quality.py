@@ -65,3 +65,14 @@ def test_approx_results_are_subsets_of_corpus(spark, emb, truth):
         for r in rows:
             assert r.neighbor_id != r.query_id
             assert 1 <= r.rank <= K
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark, emb, truth):
+    from mongo_iceberg_lakehouse_spark.operators.similarity import kmeans_centroids
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = kmeans_centroids(emb, n_centroids=16)
+    rows = ann_topk_ivf(emb, q, k=K, n_probe=8, centroids=cents).collect()
+    r = _recall(rows, truth)
+    # trained lists should do at least as well as the sampled quantizer's
+    # floor at the same probe budget
+    assert r >= 0.35, f"k-means IVF recall {r} below sanity floor"

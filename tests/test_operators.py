@@ -328,3 +328,57 @@ def test_pack_batches_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 10)], ["doc_id", "n_tokens"])
     with pytest.raises(ValueError):
         pack_batches(df, "doc_id", "n_tokens", budget=0)
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from mongo_iceberg_lakehouse_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("event_id"),
+        (F.pmod("id", F.lit(4))).cast("string").alias("grp"),
+    )
+    kept = stratified_sample(
+        df, "event_id", "grp", {"0": 0.5, "1": 1.0, "2": 0.0}, default=0.1
+    )
+    counts = {
+        r["grp"]: r["cnt"]
+        for r in kept.groupBy("grp").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert counts.get("2", 0) == 0  # zero-rate stratum fully dropped
+    assert counts["1"] == 1000  # rate 1.0 keeps the whole stratum
+    assert abs(counts["0"] / 1000 - 0.5) < 0.08
+    assert abs(counts.get("3", 0) / 1000 - 0.1) < 0.05  # default rate
+    # layout-independence: same kept set after repartition
+    k1 = {r["event_id"] for r in kept.collect()}
+    k2 = {
+        r["event_id"]
+        for r in stratified_sample(
+            df.repartition(11), "event_id", "grp",
+            {"0": 0.5, "1": 1.0, "2": 0.0}, default=0.1,
+        ).collect()
+    }
+    assert k1 == k2
+
+
+def test_repetition_ngrams_planted(spark):
+    # a fully repetitive doc scores high; an all-distinct doc scores 0
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "w x y z q r s t")],
+        ["doc_id", "text"],
+    )
+    words = F.split(F.col("text"), " ")
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    )
+    out = {
+        r["doc_id"]: (r["n_windows"], r["n_distinct"])
+        for r in df.select(
+            "doc_id",
+            F.size(ngrams).alias("n_windows"),
+            F.size(F.array_distinct(ngrams)).alias("n_distinct"),
+        ).collect()
+    }
+    # doc 1: 7 windows, but only 3 distinct rotations of (a b c)
+    assert out[1] == (7, 3)
+    assert out[2] == (6, 6)
