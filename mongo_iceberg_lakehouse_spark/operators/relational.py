@@ -162,6 +162,41 @@ def upsert_snapshot(
     )
 
 
+def scd2_from_changelog(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an ordered change log.
+
+    Collapses consecutive rows per ``key`` (ordered by ``ts_col, tiebreak``)
+    with the same ``attr`` value, and emits one validity interval per
+    distinct run: (key, attr, valid_from, valid_to, is_current, version).
+    ``valid_to`` is the next version's ``valid_from`` (NULL for the open,
+    current version) — the standard CDC-to-dimension maintenance pattern
+    (reference S4/S5 snapshot semantics, expressed incrementally).
+
+    Scale: two window passes over the same (key) partitioning — Spark reuses
+    one shuffle for both since the partition/order keys match. No join, no
+    state beyond the window buffers; skew only if a single key has millions
+    of changes (then pre-bucket by (key, month) and stitch).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    changed = (
+        df.withColumn("__prev", F.lag(attr).over(w))
+        .filter(~F.col("__prev").eqNullSafe(F.col(attr)))
+        .drop("__prev")
+    )
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(ts_col).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumn("version", F.row_number().over(w).cast("int"))
+    )
+
+
 def salted_groupby_sum(
     df: DataFrame, keys: Sequence[str], value_col: str, salt_buckets: int = 32
 ) -> DataFrame:

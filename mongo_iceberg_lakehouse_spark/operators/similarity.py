@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, l2_norm
 
 
 def ann_topk_bruteforce(
@@ -168,7 +168,8 @@ def cosine_neardup_blocked(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_blocks: int = 16,
+    num_blocks: int | None = None,
+    target_rows_per_block: int = 4096,
 ) -> DataFrame:
     """All-pairs cosine >= threshold via block-nested-loop + BLAS.
 
@@ -178,8 +179,20 @@ def cosine_neardup_blocked(
     BLAS, the parallelism is block-pair-wide, and no row is ever replicated
     more than num_blocks times. For sub-quadratic scaling switch to the LSH
     candidates (``lsh_signature``) and verify exactly on candidates only.
+
+    Cost model: when ``num_blocks`` is None it is derived from a count of the
+    input as ceil(n / target_rows_per_block), clamped to [2, 1024]. 4096 rows
+    of 64-dim float64 is a ~2 MB block — two of them plus the sim matrix stay
+    comfortably in task memory, and block count (hence task count) then grows
+    with the corpus instead of being a fixed fan-out that under-splits big
+    inputs or over-splits small ones. Pass an explicit value to skip the
+    count job (e.g. when the caller already knows n).
     """
     import numpy as np
+
+    if num_blocks is None:
+        n = embeddings.count()
+        num_blocks = max(2, min(1024, math.ceil(n / target_rows_per_block)))
 
     blocked = embeddings.select(
         F.col(id_col).alias("id"),
@@ -220,6 +233,126 @@ def cosine_neardup_blocked(
                 yield pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims[ii, jj]})
 
     return pairs.mapInPandas(batches, schema="id_a bigint, id_b bigint, sim double")
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization.
+
+    ``scale = max(|x|)/127``; ``code_i = floor(x_i/scale + 0.5)`` (half-up,
+    spec'd as floor(+0.5) on both engine and oracle side so rounding is
+    identical everywhere). Codes land in [-127, 127]; storing them instead of
+    float32 cuts vector bytes 4x — which at 100 TB is 4x less shuffle and 4x
+    more vectors per executor in the ANN candidate stage.
+
+    All JVM-side higher-order functions — no Python in the path. The scale is
+    materialized via withColumn so the array_max scan runs once, not once per
+    code (expression re-inlining trap).
+    """
+    absmax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    scaled = df.withColumn(
+        scale_col,
+        F.when(absmax == 0.0, F.lit(1.0)).otherwise(absmax / F.lit(127.0)),
+    )
+    codes = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") / F.col(scale_col) + F.lit(0.5)).cast(
+            "int"
+        ),
+    )
+    return scaled.withColumn(codes_col, codes)
+
+
+def int_dot(a: Column | str, b: Column | str) -> Column:
+    """Integer dot product of two int-code arrays (zip_with + fold, all
+    codegen). 64 dims of int8*int8 tops out ~1M — far inside int32 even with
+    ANSI overflow checks on."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0), lambda acc, x: acc + x
+    )
+
+
+def ann_topk_int8(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: int8-quantized candidate generation + exact rerank.
+
+    Stage 1 scores every (corpus, query) pair with the *quantized* cosine
+    ``scale_e*scale_q*int_dot(codes) / (|e|*|q|)`` and keeps the top
+    ``k*rerank_factor`` candidates per query — this stage shuffles only
+    (query_id, neighbor_id, approx) triples, never vectors. Stage 2 joins the
+    small candidate set back to the corpus (broadcast), computes exact float
+    cosine, and re-ranks to top k. The 4x-smaller codes are what stage 1
+    reads; at scale that's the difference between an in-cache scan and a
+    spilling one.
+
+    Deterministic: both stages break ties by ascending neighbor id.
+    """
+    ez = quantize_int8(embeddings, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("codes").alias("__ec"),
+        F.col("scale").alias("__es"),
+        l2_norm(vec_col).alias("__en"),
+    )
+    qz = quantize_int8(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("codes").alias("__qc"),
+        F.col("scale").alias("__qs"),
+        l2_norm(vec_col).alias("__qn"),
+        F.col(vec_col).alias("__qv"),
+    )
+    approx = (
+        F.col("__es") * F.col("__qs") * int_dot("__ec", "__qc")
+    ) / (F.col("__en") * F.col("__qn"))
+    cand = (
+        ez.crossJoin(F.broadcast(qz.drop("__qv")))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", approx.alias("__approx"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("__approx").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("__crank", F.row_number().over(wc))
+        .filter(F.col("__crank") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    # Exact rerank: candidates are tiny (queries * k * factor rows) — fetch
+    # the float vectors for both sides and score exactly.
+    e_vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__ev")
+    )
+    rer = (
+        shortlist.join(e_vecs, "neighbor_id")
+        .join(F.broadcast(qz.select("query_id", "__qv")), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("__ev", "__qv").alias("__sim"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
 
 
 def kmeans_centroids(

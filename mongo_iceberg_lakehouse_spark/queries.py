@@ -2728,6 +2728,136 @@ def streaming_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_user_profiles_available_now(spark, sf_dir)
 
 
+@register(
+    "scd2_customer_priority",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ), chg AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM seq WHERE prev IS DISTINCT FROM o_orderpriority
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS valid_to,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL AS is_current,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS INT) AS version
+    FROM chg
+    """,
+    doc="CDC-style SCD2 dimension maintenance: orders as a change log of "
+    "each customer's order priority -> validity intervals (valid_from, "
+    "valid_to, is_current, version). Run-length collapse via lag + "
+    "null-safe inequality, interval close via lead — both windows share one "
+    "shuffle on the key. Reference S4/S5 snapshot semantics, incremental.",
+)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    return R.scd2_from_changelog(
+        o, key="o_custkey", attr="o_orderpriority",
+        ts_col="o_orderdate", tiebreak="o_orderkey",
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from", "valid_to", "is_current", "version",
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) / 127.0 AS scale,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(list_transform(
+             v, x -> CAST(floor(x / scale + 0.5) AS INT))) AS BIGINT
+           ) AS code_sum,
+           CAST(list_max(list_transform(
+             v, x -> CAST(abs(floor(x / scale + 0.5)) AS INT))) AS INT
+           ) AS code_absmax
+    FROM q
+    """,
+    doc="Symmetric int8 scalar quantization of the embedding column "
+    "(scale = absmax/127, half-up spec'd as floor(+0.5) on both sides). "
+    "Integer-exact oracle over code sums; 4x smaller vectors = 4x less "
+    "ANN shuffle at 100 TB.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    z = S.quantize_int8(e)
+    return z.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("code_sum"),
+        F.array_max(F.transform(F.col("codes"), F.abs)).alias("code_absmax"),
+    )
+
+
+@register(
+    "ann_topk_int8",
+    """
+    WITH z AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) / 127.0 AS scale,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))) AS nrm
+      FROM embeddings
+    ), z2 AS (
+      SELECT vec_id, v, scale, nrm,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+               AS codes
+      FROM z
+    ), cand AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             e.v AS ev, q.v AS qv,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY (e.scale * q.scale * list_sum(list_transform(
+                           list_zip(e.codes, q.codes), p -> p[1] * p[2])))
+                        / (e.nrm * q.nrm) DESC,
+                        e.vec_id
+             ) AS crank
+      FROM z2 e, z2 q
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(ev, qv) DESC, neighbor_id
+             ) AS INT) AS rank
+      FROM cand WHERE crank <= 20)
+    WHERE rank <= 5
+    """,
+    doc="Two-stage quantized ANN: int8 candidate generation (codes-only "
+    "scan, shuffles (query_id, id, approx) triples) + exact float rerank of "
+    "the k*4 shortlist. Oracle replicates both stages, so candidate-set "
+    "parity is checked, not just the final ranks.",
+)
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return S.ann_topk_int8(e, q, k=5, rerank_factor=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
