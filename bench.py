@@ -42,6 +42,8 @@ HEADLINE = [
     "embedding_neardup_blocked",
     "join_interval_events",
     "text_tfidf_top_terms",
+    "scd2_customer_priority",
+    "ann_topk_int8",
 ]
 
 

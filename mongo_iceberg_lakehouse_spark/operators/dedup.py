@@ -182,6 +182,25 @@ def minhash_signature(base_hashes: Column, num_hashes: int = 64) -> Column:
     return F.array(*mins)
 
 
+def band_hashes(sig: Column, num_hashes: int, bands: int) -> Column:
+    """LSH band keys from a MinHash signature: one xxhash64 per band over
+    that band's signature slots (band index salted in, so identical rows in
+    different bands never collide)."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.element_at(sig, b * rows_per_band + i + 1)
+                    for i in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -199,7 +218,6 @@ def minhash_lsh_pairs(
     exact-Jaccard verification runs only on candidates via
     array_intersect/array_union sizes. No cross join at any stage.
     """
-    rows_per_band = num_hashes // bands
     # CPU-bound signature stage: spread across all cores even when the source
     # is a single small file (one input split). The shuffle moves only raw
     # text once; at real scale the source has many splits and this coalesces
@@ -221,19 +239,12 @@ def minhash_lsh_pairs(
     # NOT travel through the x`bands` explode/shuffle (that would replicate
     # every document's shingles `bands` times); they are joined back for the
     # (tiny) verified candidate set instead.
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[
-                    F.element_at(F.col("sig"), b * rows_per_band + i + 1)
-                    for i in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
+    banded = base.select(
+        "id",
+        F.posexplode(band_hashes(F.col("sig"), num_hashes, bands)).alias(
+            "band", "bh"
+        ),
     )
-    banded = base.select("id", F.posexplode(band_hashes).alias("band", "bh"))
     cand = _bucket_pairs(banded, ["band", "bh"])
 
     # Rebuild shingle hashes from the source for the verify joins rather than

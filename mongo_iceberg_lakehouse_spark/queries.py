@@ -2729,6 +2729,23 @@ def streaming_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_neardup_incremental",
+    None,  # stateful multi-batch streaming pipeline — rows-only per contract
+    doc="Incremental near-dup over a micro-batch stream: each batch is "
+    "deduplicated within itself (exact-verified MinHash-LSH) and against an "
+    "accumulated signature store (band-key equi-join + signature-agreement "
+    "estimate), survivors appended to the store — foreachBatch + availableNow "
+    "over the documents fixture split into 4 files. The streaming form of "
+    "dedup_minhash_lsh for continuous ingest.",
+)
+def streaming_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.neardup import run_incremental_neardup_available_now
+
+    tune(spark)
+    return run_incremental_neardup_available_now(spark, sf_dir, n_batches=4)
+
+
+@register(
     "scd2_customer_priority",
     """
     WITH seq AS (
