@@ -2875,6 +2875,52 @@ def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_int8(e, q, k=5, rerank_factor=4)
 
 
+@register(
+    "layout_zorder_pruning",
+    None,  # layout/plan-level result (row-group stats) — rows-only
+    doc="Z-order layout clustering vs linear sort, measured by parquet "
+    "footer min/max row-group pruning for a 2-D box predicate on "
+    "(l_partkey, l_suppkey): Morton-key repartitionByRange + "
+    "sortWithinPartitions (operators/layout.py), stats read back via "
+    "pyarrow footers exactly as a scan planner would. The Delta "
+    "OPTIMIZE ZORDER / Iceberg sort-order rewrite equivalent, from "
+    "first principles.",
+)
+def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .operators.layout import cluster_by_zorder, rowgroups_overlapping
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    b = li.agg(
+        F.max("l_partkey").alias("hp"), F.max("l_suppkey").alias("hs")
+    ).collect()[0]
+    pred = {
+        "l_partkey": (0.0, b["hp"] / 8),
+        "l_suppkey": (0.0, b["hs"] / 8),
+    }
+    root = tempfile.mkdtemp(prefix="layout_q_")
+    z_path = os.path.join(root, "zorder")
+    lin_path = os.path.join(root, "linear")
+    cluster_by_zorder(li, ["l_partkey", "l_suppkey"], num_files=16, path=z_path)
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(lin_path)
+    )
+    rows = []
+    for layout, path in [("zorder", z_path), ("linear_orderkey", lin_path)]:
+        hit, total = rowgroups_overlapping(path, pred)
+        rows.append((layout, hit, total))
+    return spark.createDataFrame(
+        rows, "layout string, rowgroups_read long, rowgroups_total long"
+    ).orderBy("layout")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
