@@ -2791,6 +2791,52 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_scd2_orders",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      FROM orders
+    ), chg AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM seq WHERE prev IS DISTINCT FROM o_orderpriority
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS valid_to,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL AS is_current,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS INT) AS version
+    FROM chg
+    """,
+    doc="STREAMING SCD2 maintenance with a full SQL oracle: the orders "
+    "changelog arrives as 3 micro-batches (foreachBatch); per batch, "
+    "touched keys are rebuilt from their full history and merged into a "
+    "versioned dimension. The invariant 'incremental result == batch "
+    "rebuild over the whole log' is exactly what the oracle checks — and "
+    "holds under out-of-order batches too (tests/test_streaming_scd2.py).",
+)
+def streaming_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.scd2 import run_scd2_stream_available_now
+
+    tune(spark)
+    dim = run_scd2_stream_available_now(
+        spark, sf_dir, n_batches=3, query_name="scd2_stream_q"
+    )
+    return dim.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from", "valid_to", "is_current", "version",
+    )
+
+
+@register(
     "embedding_quantize_int8",
     """
     WITH q AS (
