@@ -197,6 +197,36 @@ def scd2_from_changelog(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    tiebreak: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: rows per ``key`` ordered by (ts, tiebreak);
+    a new session starts when the gap to the previous row exceeds
+    ``gap_minutes``. Adds ``session_id`` (1-based per key).
+
+    The batch analog of ``F.session_window`` when you need the session id ON
+    the rows (for downstream joins/lineage) rather than collapsed window
+    aggregates. One shuffle on the key; both window passes (lag + running
+    sum) share it. This is also the canonical secondary-sort pattern — the
+    shuffle delivers each key's rows orderable by ts without a global sort.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    gap_us = gap_minutes * 60 * 1_000_000
+    is_new = (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+        > gap_us
+    )
+    flag = F.when(is_new, 1).otherwise(0)  # first row: lag NULL -> otherwise 0
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        "session_id", (F.sum(flag).over(wrun) + 1).cast("int")
+    )
+
+
 def salted_groupby_sum(
     df: DataFrame, keys: Sequence[str], value_col: str, salt_buckets: int = 32
 ) -> DataFrame:

@@ -355,6 +355,51 @@ def ann_topk_int8(
     )
 
 
+def ann_topk_grouped(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Segment-restricted exact top-k: each query searches only corpus
+    vectors sharing its ``label_col`` (the 'same tenant / same shard /
+    same language' ANN shape).
+
+    The label equality turns the cross join into a broadcast HASH join on
+    the label — the corpus is scanned once and each row is scored only
+    against the queries of its own segment, so adding segments adds no work
+    per row. At 100 TB with the corpus partitioned by label this plan reads
+    only the probed partitions (partition pruning on the label predicate).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("__ql"),
+        F.col(vec_col).alias("__q_vec"),
+    )
+    scored = (
+        embeddings.join(
+            F.broadcast(q), on=F.col(label_col) == F.col("__ql")
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(label_col).alias("label"),
+            F.col(id_col).alias("neighbor_id"),
+            cosine_similarity(vec_col, "__q_vec").alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "label", "neighbor_id", "rank")
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_centroids: int,

@@ -2922,6 +2922,77 @@ def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) + 1 AS INT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           sum(value) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min inactivity): lag-flag + running "
+    "sum assigns 1-based session ids per user, then per-session rollup. "
+    "Batch analog of session_window with the id kept ON the rows; lag and "
+    "running sum share one shuffle on user_id, and the rollup groups on "
+    "(user_id, session_id) — a superset key, so AQE coalesces without a "
+    "second wide exchange.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    s = R.sessionize(e, key="user_id", ts_col="ts", tiebreak="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+
+
+@register(
+    "ann_topk_grouped",
+    """
+    SELECT query_id, label, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, e.label AS label, e.vec_id AS neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])) DESC,
+                        e.vec_id) AS INT) AS rank
+      FROM embeddings e
+      JOIN embeddings q ON e.label = q.label AND e.vec_id <> q.vec_id
+      WHERE q.vec_id < 5)
+    WHERE rank <= 5
+    """,
+    doc="Segment-restricted ANN: each query searches only its own label's "
+    "corpus slice — broadcast hash join on the label (not a cross join), "
+    "one corpus pass; with a label-partitioned table this prunes to probed "
+    "partitions.",
+)
+def ann_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return S.ann_topk_grouped(e, q, k=5)
+
+
+@register(
     "layout_zorder_pruning",
     None,  # layout/plan-level result (row-group stats) — rows-only
     doc="Z-order layout clustering vs linear sort, measured by parquet "
