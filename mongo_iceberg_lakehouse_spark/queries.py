@@ -2993,6 +2993,213 @@ def ann_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.v_ts
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS viewed,
+           (SELECT count(*) FROM c) AS clicked_after_view,
+           (SELECT count(*) FROM p) AS purchased_after_click
+    """,
+    doc="Ordered funnel (view -> click -> purchase): stage N counts users "
+    "whose first stage-N event strictly follows their entry into stage N-1. "
+    "Three filtered min-aggs chained by equi-joins on user_id — every stage "
+    "shuffles only (user_id, ts) pairs and the event scan is "
+    "filter-pushdown'd per stage; no window over the whole event stream.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased_after_click")))
+    )
+
+
+@register(
+    "user_event_gaps",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CAST(date_diff('microsecond',
+                    lag(CAST(ts AS TIMESTAMP)) OVER (
+                      PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id),
+                    CAST(ts AS TIMESTAMP)) AS DOUBLE) / 1000000.0 AS gap_sec
+      FROM events
+    )
+    SELECT user_id,
+           avg(gap_sec) AS avg_gap_sec,
+           max(gap_sec) AS max_gap_sec,
+           CAST(count(gap_sec) AS BIGINT) AS n_gaps
+    FROM g WHERE gap_sec IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="Per-user inter-event gap stats (secondary-sort shape): lag over "
+    "(user_id; ts, event_id) then per-user rollup — the ordered-per-key "
+    "pattern behind sessionization/funnel features; both passes share the "
+    "user_id shuffle.",
+)
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+        .cast("double") / 1_000_000.0
+    )
+    return (
+        e.select("user_id", gap.alias("gap_sec"))
+        .filter(F.col("gap_sec").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.avg("gap_sec").alias("avg_gap_sec"),
+            F.max("gap_sec").alias("max_gap_sec"),
+            F.count("gap_sec").alias("n_gaps"),
+        )
+    )
+
+
+@register(
+    "scalar_variant_json",
+    """
+    SELECT event_type,
+           CAST(avg(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
+             AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+             AS max_k,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured VARIANT path (Spark 4): parse_json(props) -> "
+    "variant_get typed extraction -> group rollup. The open-type analog of "
+    "the reference's schema-inferred Mongo documents: parse once, extract "
+    "with a type at query time, no fixed schema required.",
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.avg("k").alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "docs_curation_decisions",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             md5(array_to_string(tk, ' ')) AS fingerprint,
+             CAST(len(tk) AS INT) AS n_tokens,
+             (len(tk) >= 10 AND
+              (CASE WHEN len(tk) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(tk,
+                      t -> t IN ('the','a','of','and','to','in','is')))
+                      AS DOUBLE) / len(tk) END) < 0.5) AS is_q,
+             len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is'))) AS c_en,
+             len(list_filter(tk, t -> t IN ('el','la','de','los','las','que','y'))) AS c_es,
+             len(list_filter(tk, t -> t IN ('der','die','das','und','ist','nicht'))) AS c_de,
+             len(list_filter(tk, t -> t IN ('le','la','les','et','des','est'))) AS c_fr,
+             len(list_filter(tk, t -> t IN ('的','是','了','在','我'))) AS c_zh
+      FROM f
+    ), st AS (
+      SELECT doc_id, fingerprint, n_tokens,
+             CASE WHEN NOT is_q THEN 'drop_quality'
+                  WHEN (CASE WHEN greatest(c_en,c_es,c_de,c_fr,c_zh) = 0 THEN 'und'
+                             WHEN c_en = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'en'
+                             WHEN c_es = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'es'
+                             WHEN c_de = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'de'
+                             WHEN c_fr = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'fr'
+                             ELSE 'zh' END) NOT IN ('en') THEN 'drop_lang'
+                  ELSE NULL END AS early
+      FROM s
+    ), rk AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM st WHERE early IS NULL
+    )
+    SELECT st.doc_id, st.n_tokens,
+           COALESCE(st.early,
+                    CASE WHEN rk.rn = 1 THEN 'kept'
+                         ELSE 'drop_exact_dup' END) AS status
+    FROM st LEFT JOIN rk ON st.doc_id = rk.doc_id
+    """,
+    doc="Curation pipeline decision log, SQL-checkable stages: quality "
+    "filter -> language filter -> exact dedup (min-id per fingerprint among "
+    "survivors), with fixed drop priority. One projection computes tokens/"
+    "votes/fingerprint together; one shuffle for the dedup window. The "
+    "near-dup stage is layered on top in docs_curation_pipeline "
+    "(rows-only, LSH not SQL-expressible).",
+)
+def docs_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.docpipeline import stage3_exact_dedup, stage12_decisions
+
+    d = _t(spark, sf_dir, "documents")
+    return stage3_exact_dedup(stage12_decisions(d))
+
+
+@register(
+    "docs_curation_pipeline",
+    None,  # near-dup stage (MinHash-LSH) is not SQL-expressible
+    doc="FULL curation pipeline with lineage: quality -> lang -> exact "
+    "dedup -> MinHash near-dup (runs only on prior survivors — the "
+    "expensive stage sees the smallest input). Returns per-status document "
+    "counts and token totals: the corpus-curation audit summary.",
+)
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.docpipeline import curate_documents
+
+    d = _t(spark, sf_dir, "documents")
+    log = curate_documents(d)
+    return (
+        log.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .orderBy("status")
+    )
+
+
+@register(
     "layout_zorder_pruning",
     None,  # layout/plan-level result (row-group stats) — rows-only
     doc="Z-order layout clustering vs linear sort, measured by parquet "

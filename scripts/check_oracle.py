@@ -1,7 +1,7 @@
 """Mirror of the driver's correctness gate: run every REGISTRY query against
 its DuckDB oracle at a given scale factor and report matches.
 
-Usage: python scripts/check_oracle.py [sf_dir]
+Usage: python scripts/check_oracle.py [sf_dir] [name1,name2,...]
 """
 
 from __future__ import annotations
@@ -21,6 +21,9 @@ from tests.compare import compare_spark_duckdb  # noqa: E402
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    if only and (missing := only - set(REGISTRY)):
+        raise SystemExit(f"unknown queries: {sorted(missing)}")
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
@@ -28,7 +31,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     failures = 0
-    for name in sorted(REGISTRY):
+    names = sorted(only) if only else sorted(REGISTRY)
+    for name in names:
         q = REGISTRY[name]
         t0 = time.time()
         try:
@@ -45,7 +49,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             failures += 1
             print(f"ERROR {name}: {str(exc)[:300]} [{time.time()-t0:.1f}s]", flush=True)
-    print(f"\n{failures} failures / {len(REGISTRY)} queries at {sf_dir}")
+    print(f"\n{failures} failures / {len(names)} queries at {sf_dir}")
     spark.stop()
     return 1 if failures else 0
 
