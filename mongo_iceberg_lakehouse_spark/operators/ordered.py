@@ -1,0 +1,134 @@
+"""Grouped-ordered streaming consumers (the secondary-sort pattern).
+
+``applyInPandas`` materializes each group as one pandas DataFrame — fine for
+bounded groups, fatal when one key holds millions of rows. The classic
+MapReduce answer is secondary sort: partition by key, sort each partition by
+(key, order), and stream the partition once, carrying per-key state across
+record batches. Spark-side that is::
+
+    df.repartition(key).sortWithinPartitions(key, *order)  -> mapInPandas
+
+``mapInPandas`` hands each partition to Python as an *iterator* of Arrow
+batches, so a consumer that carries state across batches processes a key of
+any size in O(batch) memory. Rows of one key never span partitions
+(hash-partitioned), so per-partition carry is exact.
+
+The concrete operator here — longest run of equal consecutive values per key
+(gaps-and-islands) — is order-dependent, vectorized within each batch
+(numpy boundary masks + pandas groupby, no Python row loop), and has an
+exact SQL formulation for the oracle gate.
+
+Reference parity: the reference has no ordered-stream operator (its jobs are
+scan->project->agg, spark_jobs/*.ipynb); this is charter phase-F scale
+infrastructure for per-entity sequence features at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def longest_run_per_key(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(key, streak_len, streak_val): the longest run of equal consecutive
+    ``value`` per key under ``order``; ties broken by earliest run.
+
+    One shuffle (hash on key) + per-partition sort; the consumer streams
+    Arrow batches with carry state, so memory is O(batch size) regardless of
+    how many events the hottest key has.
+    """
+    schema = T.StructType(
+        [
+            T.StructField(key, df.schema[key].dataType, True),
+            T.StructField("streak_len", T.LongType(), True),
+            T.StructField("streak_val", df.schema[value].dataType, True),
+        ]
+    )
+
+    def consume(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        have = False
+        cur_key = None  # key currently being scanned
+        run_val = None  # value of the run in progress
+        run_len = 0  # length of the run in progress
+        best_len = 0  # best closed-or-open run for cur_key so far
+        best_val = None
+
+        out_keys: list = []
+        out_lens: list = []
+        out_vals: list = []
+
+        def close_key() -> None:
+            nonlocal best_len, best_val, run_len
+            # trailing run may be the best (earliest-max wins: strict >)
+            if run_len > best_len:
+                out_lens.append(run_len)
+                out_vals.append(run_val)
+            else:
+                out_lens.append(best_len)
+                out_vals.append(best_val)
+            out_keys.append(cur_key)
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            k = pdf[key].to_numpy()
+            v = pdf[value].to_numpy()
+
+            new_key = np.empty(n, dtype=bool)
+            new_key[0] = (not have) or k[0] != cur_key
+            new_key[1:] = k[1:] != k[:-1]
+            run_break = np.empty(n, dtype=bool)
+            run_break[0] = new_key[0] or v[0] != run_val
+            run_break[1:] = new_key[1:] | (v[1:] != v[:-1])
+
+            # run ids; id 0 (only if run_break[0] is False) continues the
+            # carried run from the previous batch
+            rid = np.cumsum(run_break)
+            g = pd.DataFrame({"k": k, "v": v, "rid": rid})
+            runs = g.groupby("rid", sort=True).agg(
+                k=("k", "first"), v=("v", "first"), ln=("v", "size")
+            )
+            r_k = runs["k"].to_numpy()
+            r_v = runs["v"].to_numpy()
+            r_ln = runs["ln"].to_numpy().astype("int64")
+            if not run_break[0]:
+                r_ln[0] += run_len  # extend the carried run
+
+            for i in range(len(runs)):
+                if have and r_k[i] != cur_key:
+                    close_key()
+                    best_len, best_val = 0, None
+                elif i > 0 or run_break[0]:
+                    # same key, previous run closed: fold it into best
+                    if run_len > best_len:
+                        best_len, best_val = run_len, run_val
+                have = True
+                cur_key = r_k[i]
+                run_val = r_v[i]
+                run_len = int(r_ln[i])
+
+        if have:
+            close_key()
+        if out_keys:
+            yield pd.DataFrame(
+                {key: out_keys, "streak_len": out_lens, "streak_val": out_vals}
+            )
+
+    part = (
+        df.repartition(num_partitions, key)
+        if num_partitions
+        else df.repartition(key)
+    )
+    ordered = part.sortWithinPartitions(key, *order).select(key, *order, value)
+    return ordered.mapInPandas(consume, schema=schema)

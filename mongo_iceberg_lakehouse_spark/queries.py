@@ -3245,6 +3245,47 @@ def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("layout")
 
 
+@register(
+    "user_longest_streak",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events
+    ), isl AS (
+      SELECT user_id, event_type, rn,
+             rn - row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY rn) AS grp
+      FROM o
+    ), runs AS (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS len, min(rn) AS start_rn
+      FROM isl GROUP BY user_id, event_type, grp
+    )
+    SELECT user_id, len AS streak_len, event_type AS streak_val
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY len DESC, start_rn) AS rk
+      FROM runs
+    ) WHERE rk = 1
+    """,
+    doc="Longest run of equal consecutive event_type per user (ties -> "
+    "earliest run), via the secondary-sort streaming consumer: "
+    "repartition(user_id) + sortWithinPartitions + mapInPandas with "
+    "cross-Arrow-batch carry state. One shuffle, O(batch) memory per "
+    "partition even if one user has millions of events — the shape "
+    "applyInPandas (whole-group materialization) can't survive at 100 TB. "
+    "Oracle is the gaps-and-islands SQL formulation.",
+)
+def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ordered import longest_run_per_key
+
+    e = _t(spark, sf_dir, "events")
+    return longest_run_per_key(e, "user_id", ["ts", "event_id"], "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,67 @@
+"""Secondary-sort streaming consumer: longest_run_per_key.
+
+The cross-batch carry is the risky part, so the main test forces tiny Arrow
+batches (maxRecordsPerBatch=3) to make every run and key span batches, and
+compares against a plain-Python reference implementation.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from mongo_iceberg_lakehouse_spark.operators.ordered import longest_run_per_key
+
+
+def _ref(rows):
+    """Reference: rows = [(key, order, value)]; earliest max run per key."""
+    out = {}
+    rows = sorted(rows, key=lambda r: (r[0], r[1]))
+    for k, grp in itertools.groupby(rows, key=lambda r: r[0]):
+        best_len, best_val = 0, None
+        for v, run in itertools.groupby(grp, key=lambda r: r[2]):
+            ln = len(list(run))
+            if ln > best_len:
+                best_len, best_val = ln, v
+        out[k] = (best_len, best_val)
+    return out
+
+
+ROWS = [
+    # key 1: runs a,a,a | b | a,a  -> (3, 'a')
+    (1, 1, "a"), (1, 2, "a"), (1, 3, "a"), (1, 4, "b"), (1, 5, "a"), (1, 6, "a"),
+    # key 2: tie 2-2 -> earliest run wins: (2, 'x')
+    (2, 1, "x"), (2, 2, "x"), (2, 3, "y"), (2, 4, "y"),
+    # key 3: single row
+    (3, 1, "z"),
+    # key 4: one long run spanning many batches
+    *[(4, i, "w") for i in range(1, 11)],
+]
+
+
+@pytest.mark.parametrize("batch_size", [3, 1000])
+def test_longest_run_matches_reference(spark, batch_size):  # noqa: F811
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    try:
+        df = spark.createDataFrame(ROWS, "k long, o long, v string")
+        got = {
+            r["k"]: (r["streak_len"], r["streak_val"])
+            for r in longest_run_per_key(
+                df, "k", ["o"], "v", num_partitions=2
+            ).collect()
+        }
+        assert got == _ref(ROWS)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_shuffled_input_same_answer(spark):  # noqa: F811
+    rows = list(reversed(ROWS))
+    df = spark.createDataFrame(rows, "k long, o long, v string").repartition(7)
+    got = {
+        r["k"]: (r["streak_len"], r["streak_val"])
+        for r in longest_run_per_key(df, "k", ["o"], "v").collect()
+    }
+    assert got == _ref(ROWS)
