@@ -3286,6 +3286,48 @@ def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longest_run_per_key(e, "user_id", ["ts", "event_id"], "event_type")
 
 
+@register(
+    "sketch_rollup_distinct",
+    """
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS sketch_ok
+    FROM events GROUP BY 1
+    """,
+    doc="Mergeable-sketch rollup: daily HLL sketches (one raw scan) unioned "
+    "to monthly distinct-user estimates — the monthly pass reads one ~2.5 KB "
+    "sketch per day, O(days) not O(events), and the same stored sketches "
+    "answer any window. Output exposes the accuracy CONTRACT (estimate "
+    "within 5 percent of exact at lgK=12, ~1.6 percent stderr) as a boolean "
+    "so the oracle can value-check it; exact_distinct is computed only to "
+    "audit the sketch.",
+)
+def sketch_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketches import sketch_rollup
+
+    e = _t(spark, sf_dir, "events")
+    fine, coarse = sketch_rollup(
+        e,
+        "user_id",
+        F.to_date("ts"),
+        lambda c: F.date_format(c, "yyyy-MM"),
+        fine_name="day",
+    )
+    exact = e.groupBy(F.date_format("ts", "yyyy-MM").alias("coarse")).agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return coarse.join(exact, "coarse").select(
+        F.col("coarse").alias("month"),
+        "exact_distinct",
+        F.col("rows").alias("n_rows"),
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("sketch_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
