@@ -78,6 +78,39 @@ def stratified_sample(
     return df.filter(prefix < thresh)
 
 
+def weighted_sample_ares(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis-Spirakis
+    A-Res): each row gets key = ln(u) / w with u a content-addressed uniform
+    from md5(id), and the k largest keys win — inclusion probability is
+    proportional to weight, the selection is reproducible across runs /
+    engines / partitionings, and ``orderBy().limit(k)`` plans as
+    TakeOrderedAndProject (per-partition heaps + one merge of k rows, no
+    global sort shuffle). Narrow map + top-k: survives any scale.
+
+    u = (int(md5[:13 hex]) + 1) / 2^52 in (0, 1] — 52 bits so the double is
+    exact; ln(u) <= 0, so dividing by a larger weight pulls the key toward 0
+    (the maximum). Ties (impossible in practice) break on id.
+    """
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / float(1 << 52)
+    key = F.log(u) / F.greatest(wcol.cast("double"), F.lit(1.0))
+    return (
+        df.withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col(id_col))
+        .limit(k)
+        .drop("__key")
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

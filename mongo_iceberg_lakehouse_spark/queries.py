@@ -3328,6 +3328,108 @@ def sketch_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sequence_pattern_match",
+    """
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' ELSE 'o' END AS ch
+      FROM events
+    ), led AS (
+      SELECT user_id, ch,
+             lead(ch, 1) OVER w AS ch1, lead(ch, 2) OVER w AS ch2
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ), cons AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (
+               WHERE ch = 'v' AND ch1 = 'c' AND ch2 = 'p') AS BIGINT)
+               AS n_vcp_strict
+      FROM led GROUP BY user_id
+    ), rx AS (
+      SELECT user_id,
+             CAST(len(regexp_extract_all(
+               string_agg(ch, '' ORDER BY t, event_id), 'vc+p')) AS BIGINT)
+               AS n_vcp_regex
+      FROM o GROUP BY user_id
+    )
+    SELECT cons.user_id, n_vcp_strict, n_vcp_regex
+    FROM cons JOIN rx ON cons.user_id = rx.user_id
+    WHERE n_vcp_strict > 0 OR n_vcp_regex > 0
+    """,
+    doc="MATCH_RECOGNIZE-lite over per-user event sequences, both "
+    "formulations: (a) fixed pattern view->click->purchase on consecutive "
+    "events via lead() — pure window, streams at any per-user volume; (b) "
+    "arbitrary regex ('vc+p') over the alphabet-encoded ordered sequence "
+    "via array_sort(collect_list)+regexp_count — general but materializes "
+    "one string per user (bounded per-entity history only). Both passes "
+    "shuffle on user_id once each and Catalyst reuses the exchange.",
+)
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("o")
+    )
+    o = e.select("user_id", "ts", "event_id", ch.alias("ch"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cons = (
+        o.withColumn("ch1", F.lead("ch", 1).over(w))
+        .withColumn("ch2", F.lead("ch", 2).over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count_if(
+                (F.col("ch") == "v") & (F.col("ch1") == "c") & (F.col("ch2") == "p")
+            ).alias("n_vcp_strict")
+        )
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "ch"))
+            ),
+            lambda x: x["ch"],
+        ),
+        "",
+    )
+    rx = o.groupBy("user_id").agg(
+        F.regexp_count(seq, F.lit("vc+p")).cast("long").alias("n_vcp_regex")
+    )
+    return cons.join(rx, "user_id").filter(
+        (F.col("n_vcp_strict") > 0) | (F.col("n_vcp_regex") > 0)
+    )
+
+
+@register(
+    "sample_weighted_docs",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                 + 1.0) / 4503599627370496.0)
+               / greatest(CAST(n_chars AS DOUBLE), 1.0) AS k
+      FROM documents
+    ) ORDER BY k DESC, doc_id LIMIT 200
+    """,
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis A-Res): key = ln(md5-uniform)/weight, global "
+    "top-200 by key — inclusion proportional to n_chars, reproducible "
+    "across engines/partitionings (content-addressed randomness, same "
+    "trick as hash_split). Plans as TakeOrderedAndProject: per-partition "
+    "heaps, no global sort shuffle.",
+)
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import weighted_sample_ares
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return weighted_sample_ares(d, "doc_id", "n_chars", k=200)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -298,6 +298,44 @@ def test_hash_split_rejects_bad_fractions(spark):
         hash_split(df, "doc_id", splits=(("a", 0.5), ("b", 0.1)))
 
 
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from mongo_iceberg_lakehouse_spark.operators.sampling import (
+        weighted_sample_ares,
+    )
+
+    # ids 0..3999: even ids weight 10, odd ids weight 1
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, 10.0).otherwise(1.0).alias("w"),
+    )
+    s1 = {r["doc_id"] for r in weighted_sample_ares(df, "doc_id", "w", 400).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in weighted_sample_ares(df.repartition(11), "doc_id", "w", 400).collect()
+    }
+    assert s1 == s2  # layout-independent
+    assert len(s1) == 400
+    heavy = sum(1 for d in s1 if d % 2 == 0)
+    # E[heavy] ~ 355 of 400 under A-Res with 10:1 weights; statistically
+    # impossible to fall below 300 unless weighting is broken
+    assert heavy > 300
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    from mongo_iceberg_lakehouse_spark.operators.sampling import (
+        weighted_sample_ares,
+    )
+
+    df = spark.range(0, 100).select(F.col("id").alias("doc_id"), F.lit(1.0).alias("w"))
+    plan = (
+        weighted_sample_ares(df, "doc_id", "w", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_pack_batches_invariants(spark):
     from mongo_iceberg_lakehouse_spark.operators.packing import (
         batch_summary,
