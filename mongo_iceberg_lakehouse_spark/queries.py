@@ -3430,6 +3430,42 @@ def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_ares(d, "doc_id", "n_chars", k=200)
 
 
+@register(
+    "streaming_view_click_join",
+    """
+    WITH j AS (
+      SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+      FROM events v JOIN events c
+        ON v.user_id = c.user_id
+       AND v.event_type = 'view' AND c.event_type = 'click'
+       AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+       AND CAST(c.ts AS TIMESTAMP)
+           <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT view_id) AS BIGINT) AS n_views_matched,
+           CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks_matched
+    FROM j GROUP BY user_id
+    """,
+    doc="Stream-stream interval join (click-to-view attribution): views and "
+    "clicks as two watermarked streams, inner join bounded to [view_ts, "
+    "view_ts + 30 min] so state expires with the watermark — O(window) "
+    "state, not O(history). availableNow + memory sink makes the result "
+    "exactly the batch interval join, which is the oracle; per-user rollup "
+    "of the materialized pairs.",
+)
+def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.join import run_view_click_join_available_now
+
+    pairs = run_view_click_join_available_now(spark, sf_dir)
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("view_id").alias("n_views_matched"),
+        F.count_distinct("click_id").alias("n_clicks_matched"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
