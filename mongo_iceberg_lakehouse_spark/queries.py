@@ -3466,6 +3466,110 @@ def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "merge_on_read_orders",
+    """
+    WITH h AS (
+      SELECT *, substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS hx
+      FROM orders
+    ), resolved AS (
+      SELECT * FROM h WHERE hx NOT IN ('0', '1')        -- untouched base
+      UNION ALL
+      SELECT * REPLACE (o_totalprice * 2 AS o_totalprice)
+      FROM h WHERE hx = '1'                             -- seq-2 upsert wins
+      -- hx = '0' deleted
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(o_totalprice) AS sum_price
+    FROM resolved GROUP BY o_orderstatus
+    """,
+    doc="Merge-on-read resolution (Iceberg v2 / deletion-vector read path): "
+    "base orders snapshot + synthetic delta log — deletes for hash bucket "
+    "'0', two stacked upserts (seq 1: price*3, seq 2: price*2) for bucket "
+    "'1' — resolved in one key-shuffle window; latest seq wins, deletes "
+    "suppress. Write cost O(delta) vs copy-on-write's O(table); the oracle "
+    "computes the resolved view directly, so a wrong winner or leaked "
+    "delete mismatches.",
+)
+def merge_on_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mor import merge_on_read
+
+    o = _t(spark, sf_dir, "orders")
+    hx = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    base = o
+    payload = o.columns
+    dels = o.filter(hx == "0").select(
+        F.lit("delete").alias("op"), F.lit(1).alias("seq"), *payload
+    )
+    up1 = (
+        o.filter(hx == "1")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        .select(F.lit("upsert").alias("op"), F.lit(1).alias("seq"), *payload)
+    )
+    up2 = (
+        o.filter(hx == "1")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .select(F.lit("upsert").alias("op"), F.lit(2).alias("seq"), *payload)
+    )
+    deltas = dels.unionByName(up1).unionByName(up2)
+    view = merge_on_read(base, deltas, key="o_orderkey")
+    return view.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("sum_price"),
+    )
+
+
+@register(
+    "snapshot_diff_orders",
+    """
+    WITH h AS (
+      SELECT *, substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) AS hx
+      FROM orders
+    ), b AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      FROM h WHERE hx = '1'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM h WHERE hx NOT IN ('0', '1')
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice FROM h WHERE hx = '2'
+    ), j AS (
+      SELECT CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+             END AS status
+      FROM (SELECT o_orderkey, o_totalprice FROM h) a
+      FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n
+    FROM j WHERE status IS NOT NULL GROUP BY status
+    """,
+    doc="Anti-entropy snapshot diff: orders vs a drifted successor "
+    "(bucket-'0' keys deleted, bucket-'1' prices doubled, bucket-'2' keys "
+    "re-added under new ids). Two stages — XOR-of-xxhash64 bucket "
+    "checksums (O(buckets) compare) pinpoint dirty buckets, then the "
+    "row-level full-outer join runs ONLY inside them; at low drift the "
+    "expensive stage touches a sliver of either snapshot. Oracle computes "
+    "the same statuses via a direct full-outer join.",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.diff import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    hx = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    b = (
+        o.filter(hx == "1").withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(o.filter(~hx.isin("0", "1")))
+        .unionByName(
+            o.filter(hx == "2").withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100000000
+            )
+        )
+    )
+    diff, _ = snapshot_diff(o, b, key="o_orderkey", num_buckets=256)
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

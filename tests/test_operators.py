@@ -336,6 +336,77 @@ def test_weighted_sample_plans_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_merge_on_read_semantics(spark):
+    from mongo_iceberg_lakehouse_spark.operators.mor import merge_on_read
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    deltas = spark.createDataFrame(
+        [
+            ("delete", 1, 1, "a"),       # delete existing
+            ("upsert", 1, 2, "b1"),      # update...
+            ("delete", 2, 2, "b1"),      # ...then delete: gone
+            ("delete", 1, 3, "c"),       # delete...
+            ("upsert", 2, 3, "c2"),      # ...then reinsert: back with c2
+            ("upsert", 1, 9, "new"),     # insert brand-new key
+        ],
+        "op string, seq long, k long, v string",
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in merge_on_read(base, deltas, key="k").collect()
+    }
+    assert got == {(3, "c2"), (9, "new")}
+
+
+def test_merge_on_read_no_deltas_is_identity(spark):
+    from mongo_iceberg_lakehouse_spark.operators.mor import merge_on_read
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    empty = spark.createDataFrame(
+        [], "op string, seq long, k long, v string"
+    )
+    got = {(r["k"], r["v"]) for r in merge_on_read(base, empty, "k").collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_snapshot_diff_planted_drift(spark):
+    from mongo_iceberg_lakehouse_spark.operators.diff import (
+        bucket_checksums,
+        snapshot_diff,
+    )
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    # b: drop 3 keys, change 2, add 2
+    b = (
+        a.filter(~F.col("k").isin(10, 20, 30))
+        .withColumn(
+            "v", F.when(F.col("k").isin(40, 50), F.lit(-1)).otherwise(F.col("v"))
+        )
+        .unionByName(
+            spark.range(2000, 2002).select(
+                F.col("id").alias("k"), F.lit(0).alias("v")
+            )
+        )
+    )
+    diff, n_dirty = snapshot_diff(a, b, key="k", num_buckets=64)
+    got = {(r["k"], r["status"]) for r in diff.collect()}
+    assert got == {
+        (10, "removed"), (20, "removed"), (30, "removed"),
+        (40, "changed"), (50, "changed"),
+        (2000, "added"), (2001, "added"),
+    }
+    # 7 touched keys can dirty at most 7 of 64 buckets
+    assert 1 <= n_dirty <= 7
+    # identical snapshots: zero dirty buckets, empty diff
+    diff2, n2 = snapshot_diff(a, a, key="k", num_buckets=64)
+    assert n2 == 0 and diff2.count() == 0
+    assert bucket_checksums(a, "k", 64).count() <= 64
+
+
 def test_pack_batches_invariants(spark):
     from mongo_iceberg_lakehouse_spark.operators.packing import (
         batch_summary,
