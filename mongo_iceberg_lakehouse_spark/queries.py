@@ -3570,6 +3570,53 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register(
+    "incremental_gold_orders",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           sum(o_totalprice) AS sum_value,
+           sum(o_totalprice) / count(*) AS avg_value,
+           max(o_totalprice) AS max_value,
+           TRUE AS distinct_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Incremental view maintenance: the gold rollup's mergeable state "
+    "(count/sum/max + HLL partial) is built on pre-cutoff orders, then the "
+    "post-cutoff delta's state is folded in — merge cost O(groups), the "
+    "raw history is never rescanned. Result must equal the full recompute "
+    "(the oracle); avg derives from (sum,count), distinct-customers rides "
+    "as an HLL sketch whose 5 percent contract is the boolean column.",
+)
+def incremental_gold_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.ivm import aggregate_state, gold_view, merge_state
+
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1995-01-01").cast("date")
+    keys = ["o_orderstatus"]
+    old = aggregate_state(
+        o.filter(F.col("o_orderdate") < cutoff), keys, "o_totalprice", "o_custkey"
+    )
+    delta = aggregate_state(
+        o.filter(F.col("o_orderdate") >= cutoff), keys, "o_totalprice", "o_custkey"
+    )
+    merged = gold_view(merge_state(old, delta, keys), keys)
+    exact = o.groupBy(*keys).agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    return merged.join(exact, keys).select(
+        "o_orderstatus",
+        "n_rows",
+        "sum_value",
+        "avg_value",
+        "max_value",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("distinct_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
