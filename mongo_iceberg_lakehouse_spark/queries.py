@@ -3617,6 +3617,48 @@ def incremental_gold_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_redact_terms",
+    r"""
+    WITH r AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS INT)
+               AS hits,
+             regexp_replace(text, '\bcustomer\b', '[REDACTED]', 'g') AS red
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE hits > 0) AS BIGINT) AS docs_hit,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           CAST(count(*) FILTER (
+             WHERE len(regexp_extract_all(red, '\bcustomer\b')) > 0
+           ) AS BIGINT) AS leaks
+    FROM r GROUP BY source
+    """,
+    doc="Sensitive-term redaction (the PII-scrub shape on a synthetic "
+    "corpus): regexp_count + word-boundary regexp_replace per document, "
+    "rolled up per source with a leak-check column that must be 0 — "
+    "narrow map only, no shuffle beyond the final small rollup. Real "
+    "deployments swap the term pattern for email/phone/SSN regexes; the "
+    "plan is identical.",
+)
+def text_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    pat = r"\bcustomer\b"
+    r = d.select(
+        "source",
+        F.regexp_count("text", F.lit(pat)).alias("hits"),
+        F.regexp_replace("text", pat, "[REDACTED]").alias("red"),
+    )
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("hits") > 0).alias("docs_hit"),
+        F.sum("hits").alias("total_hits"),
+        F.count_if(F.regexp_count("red", F.lit(pat)) > 0).alias("leaks"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
