@@ -1,0 +1,85 @@
+"""Declarative data-quality checks (the Deequ/expectations shape).
+
+A 100 TB table can't afford one scan per constraint: every check here
+compiles to a conditional aggregate, and the whole suite runs as ONE
+aggregation pass (single scan, map-side partials, no shuffle beyond the
+final 1-row reduce). Referential integrity is the exception — it needs the
+dimension side, expressed as a broadcast anti-join count so the fact table
+still streams once.
+
+Checks return (check, metric, passed): metric is the measured rate/count,
+passed compares it to the declared threshold. The report is itself a
+DataFrame — write it next to the table it audits.
+
+Reference parity: the reference's only verification is a bronze COUNT(*)
+(spark_jobs/mongo_to_iceberg.ipynb cell-8); this generalizes it into the
+constraint suite a lakehouse actually runs on ingest.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    name: str
+    metric: Column  # aggregate expression -> double
+    minimum: float  # passed iff metric >= minimum
+
+
+def not_null_rate(col: str) -> Column:
+    return F.avg(F.col(col).isNotNull().cast("double"))
+
+
+def unique_rate(col: str) -> Column:
+    """approx-free exact uniqueness: distinct/count (two aggregates, still
+    the same single pass)."""
+    return F.count_distinct(F.col(col)).cast("double") / F.count(F.lit(1))
+
+
+def predicate_rate(pred: Column) -> Column:
+    return F.avg(pred.cast("double"))
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """All checks in one aggregation pass -> (check, metric, passed)."""
+    agg = df.agg(
+        *[c.metric.cast("double").alias(f"__m{i}") for i, c in enumerate(checks)]
+    )
+    # one inline(array(struct...)) -> N report rows from the single agg row;
+    # a unionByName of per-check selects would clone the whole aggregate
+    # subtree N times and re-scan the table per check
+    return agg.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c.name).alias("check"),
+                        F.col(f"__m{i}").alias("metric"),
+                        (F.col(f"__m{i}") >= F.lit(c.minimum)).alias("passed"),
+                    )
+                    for i, c in enumerate(checks)
+                ]
+            )
+        )
+    )
+
+
+def referential_integrity(
+    fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str | None = None
+) -> DataFrame:
+    """Orphan-free rate via broadcast LEFT ANTI join (fact scans once; the
+    dimension's keys broadcast). passed iff no orphans."""
+    total = fact.count()
+    orphans = fact.join(
+        F.broadcast(dim.select(F.col(pk).alias(fk)).distinct()), fk, "left_anti"
+    ).count()
+    rate = 1.0 if total == 0 else 1.0 - orphans / total
+    return fact.sparkSession.createDataFrame(
+        [(name or f"ri_{fk}", float(rate), orphans == 0)],
+        "check string, metric double, passed boolean",
+    )

@@ -3659,6 +3659,77 @@ def text_redact_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dq_orders_report",
+    """
+    WITH m AS (
+      SELECT avg(CASE WHEN o_orderkey IS NOT NULL THEN 1.0 ELSE 0.0 END)
+               AS nn_key,
+             CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*) AS uq_key,
+             avg(CASE WHEN o_totalprice > 0 THEN 1.0 ELSE 0.0 END) AS pos_price,
+             avg(CASE WHEN o_orderdate BETWEEN DATE '1992-01-01'
+                       AND DATE '1998-12-31' THEN 1.0 ELSE 0.0 END) AS d_range
+      FROM orders
+    ), ri AS (
+      SELECT 1.0 - CAST((SELECT count(*) FROM orders o
+                         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                           WHERE c.c_custkey = o.o_custkey))
+                        AS DOUBLE) / (SELECT count(*) FROM orders) AS rate
+    )
+    SELECT 'not_null_o_orderkey' AS check_name, nn_key AS metric,
+           nn_key >= 1.0 AS passed FROM m
+    UNION ALL
+    SELECT 'unique_o_orderkey', uq_key, uq_key >= 1.0 FROM m
+    UNION ALL
+    SELECT 'positive_o_totalprice', pos_price, pos_price >= 1.0 FROM m
+    UNION ALL
+    SELECT 'orderdate_in_range', d_range, d_range >= 1.0 FROM m
+    UNION ALL
+    SELECT 'ri_o_custkey', rate, rate >= 1.0 FROM ri
+    """,
+    doc="Declarative data-quality suite (the Deequ shape): not-null, exact "
+    "uniqueness, domain predicate, and date-range checks all compile into "
+    "ONE aggregation pass over orders (single scan, map-side partials); "
+    "referential integrity runs as a broadcast anti-join so the fact side "
+    "still streams once. Report is (check_name, metric, passed).",
+)
+def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.quality import (
+        Check,
+        not_null_rate,
+        predicate_rate,
+        referential_integrity,
+        run_checks,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    checks = [
+        Check("not_null_o_orderkey", not_null_rate("o_orderkey"), 1.0),
+        Check(
+            "unique_o_orderkey",
+            F.count_distinct(F.col("o_orderkey")).cast("double")
+            / F.count(F.lit(1)),
+            1.0,
+        ),
+        Check(
+            "positive_o_totalprice",
+            predicate_rate(F.col("o_totalprice") > 0),
+            1.0,
+        ),
+        Check(
+            "orderdate_in_range",
+            predicate_rate(
+                F.col("o_orderdate").between("1992-01-01", "1998-12-31")
+            ),
+            1.0,
+        ),
+    ]
+    report = run_checks(o, checks)
+    ri = referential_integrity(o, "o_custkey", c, "c_custkey", "ri_o_custkey")
+    return report.unionByName(ri).withColumnRenamed("check", "check_name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,57 @@
+"""Data-quality checks: planted violations measured exactly, single scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongo_iceberg_lakehouse_spark.operators.quality import (
+    Check,
+    not_null_rate,
+    predicate_rate,
+    referential_integrity,
+    run_checks,
+    unique_rate,
+)
+
+
+def test_planted_violations(spark):
+    rows = [(1, 10.0), (2, -5.0), (2, 3.0), (None, 4.0)]  # dup key, null, neg
+    df = spark.createDataFrame(rows, "k long, v double")
+    rep = {
+        r["check"]: (r["metric"], r["passed"])
+        for r in run_checks(
+            df,
+            [
+                Check("nn_k", not_null_rate("k"), 1.0),
+                Check("uq_k", unique_rate("k"), 1.0),
+                Check("pos_v", predicate_rate(F.col("v") > 0), 1.0),
+            ],
+        ).collect()
+    }
+    assert rep["nn_k"] == (0.75, False)
+    # count_distinct ignores the null row: 2 distinct / 4 rows
+    assert rep["uq_k"] == (0.5, False)
+    assert rep["pos_v"] == (0.75, False)
+
+
+def test_referential_integrity_orphans(spark):
+    fact = spark.createDataFrame([(1,), (2,), (9,)], "fk long")
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = referential_integrity(fact, "fk", dim, "pk").collect()[0]
+    assert row["passed"] is False
+    assert abs(row["metric"] - 2 / 3) < 1e-12
+    clean = referential_integrity(fact.filter("fk < 3"), "fk", dim, "pk")
+    assert clean.collect()[0]["passed"] is True
+
+
+def test_checks_compile_to_single_scan(spark):
+    df = spark.range(100).select(F.col("id").alias("k"))
+    rep = run_checks(
+        df,
+        [
+            Check("a", not_null_rate("k"), 1.0),
+            Check("b", predicate_rate(F.col("k") >= 0), 1.0),
+        ],
+    )
+    plan = rep._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Range (0, 100") == 1
