@@ -3730,6 +3730,31 @@ def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.unionByName(ri).withColumnRenamed("check", "check_name")
 
 
+@register(
+    "streaming_dedup_events",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+    FROM events GROUP BY event_type
+    """,
+    doc="Streaming deduplication: the source unioned with itself (a "
+    "deterministic 2x at-least-once stream) deduped in-stream with "
+    "dropDuplicatesWithinWatermark(event_id) — state expires with the "
+    "watermark, O(keys per window) not O(history). The availableNow "
+    "result rolled up per event_type must equal the pristine source "
+    "(oracle); n_events == n_ids proves no duplicate survived.",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.dedup import run_streaming_dedup_available_now
+
+    deduped = run_streaming_dedup_available_now(spark, sf_dir)
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_id").alias("n_ids"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
