@@ -3755,6 +3755,55 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "timeseries_gapfill_locf",
+    """
+    WITH a AS (
+      SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT user_id, min(h) AS h0, max(h) AS h1 FROM a GROUP BY 1
+    ), g AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM b
+    ), j AS (
+      SELECT g.user_id, g.h, a.v
+      FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.h = a.h
+    ), f AS (
+      SELECT user_id,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf,
+             v IS NULL AS gap
+      FROM j
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(count(*) FILTER (WHERE gap) AS BIGINT) AS n_gaps,
+           sum(vf) AS sum_filled
+    FROM f GROUP BY user_id
+    """,
+    doc="Hypertable gap-fill + LOCF (time_bucket_gapfill analog): hourly "
+    "buckets densified per user between each user's OWN first and last "
+    "bucket (sequence+explode off the tiny bounds agg — no global "
+    "calendar cross join), gaps carry the last observed value via "
+    "last(ignorenulls) over an unbounded-preceding frame. All stages "
+    "share the user_id shuffle. sum_filled depends on every carried "
+    "value, so a wrong fill mismatches the oracle.",
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.timeseries import gapfill_locf
+
+    e = _t(spark, sf_dir, "events")
+    filled = gapfill_locf(e, "user_id", "ts", "value")
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.count_if("is_gap").alias("n_gaps"),
+        F.sum("v_filled").alias("sum_filled"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

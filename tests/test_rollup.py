@@ -6,6 +6,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mongo_iceberg_lakehouse_spark.catalog import create_namespace, read_table
+import datetime as _dt
+
 from mongo_iceberg_lakehouse_spark.operators.rollup import (
     bucket_aggregate,
     materialize_rollup,
@@ -50,3 +52,28 @@ def test_rollup_table_is_day_partitioned(spark):
     assert "day" in back.columns
     one_day = back.filter(F.col("day") == "2024-01-03")
     assert one_day.count() > 0
+
+
+def test_gapfill_locf_planted_series(spark):
+    from mongo_iceberg_lakehouse_spark.operators.timeseries import gapfill_locf
+
+    def t(h):
+        return _dt.datetime(2024, 1, 1, h, 0, 0)
+
+    rows = [
+        (1, t(0), 10.0), (1, t(0), 5.0),   # hour 0: sum 15
+        (1, t(3), 7.0),                    # hours 1-2 are gaps carrying 15
+        (2, t(5), 1.0),                    # single-hour user: no gaps
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["bucket_ts"]): (r["v_filled"], r["is_gap"])
+        for r in gapfill_locf(df, "user_id", "ts", "value").collect()
+    }
+    assert got == {
+        (1, t(0)): (15.0, False),
+        (1, t(1)): (15.0, True),
+        (1, t(2)): (15.0, True),
+        (1, t(3)): (7.0, False),
+        (2, t(5)): (1.0, False),
+    }
