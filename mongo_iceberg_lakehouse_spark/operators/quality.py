@@ -69,6 +69,33 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     )
 
 
+def observed_checks(df: DataFrame, checks: list[Check]):
+    """(instrumented_df, fetch): piggyback the checks on whatever action the
+    caller already runs (write, count, ...) via ``DataFrame.observe`` — the
+    metrics ride the existing scan, costing zero extra passes. After the
+    action, ``fetch()`` returns {check -> (metric, passed)}.
+
+    This is the ingest-path mode: `run_checks` answers "audit this table",
+    `observed_checks` answers "audit the batch I am writing right now".
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    instrumented = df.observe(
+        obs,
+        *[c.metric.cast("double").alias(f"m{i}") for i, c in enumerate(checks)],
+    )
+
+    def fetch() -> dict[str, tuple[float, bool]]:
+        got = obs.get
+        return {
+            c.name: (got[f"m{i}"], got[f"m{i}"] >= c.minimum)
+            for i, c in enumerate(checks)
+        }
+
+    return instrumented, fetch
+
+
 def referential_integrity(
     fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str | None = None
 ) -> DataFrame:

@@ -10,11 +10,12 @@ expect a dense grid, but raw events are sparse. TimescaleDB calls this
   left join actuals -> last(value, ignorenulls) over an unbounded-preceding
   frame carries observations forward.
 
-Every step shuffles on the entity key (and reuses that partitioning); the
-grid explode is a narrow map off the tiny bounds aggregate. The global
-cross-join formulation (calendar x entities) would materialize the full
-calendar for every entity regardless of its lifespan — this one is
-proportional to the observed spans only.
+Two shuffles total — (entity, bucket) for the densify join (partial agg
+shrinks it first), entity for the fill window; the grid explode is a
+narrow map off the tiny bounds aggregate. The global cross-join
+formulation (calendar x entities) would materialize the full calendar for
+every entity regardless of its lifespan — this one is proportional to the
+observed spans only.
 """
 
 from __future__ import annotations

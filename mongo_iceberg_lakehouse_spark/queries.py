@@ -3788,9 +3788,10 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "buckets densified per user between each user's OWN first and last "
     "bucket (sequence+explode off the tiny bounds agg — no global "
     "calendar cross join), gaps carry the last observed value via "
-    "last(ignorenulls) over an unbounded-preceding frame. All stages "
-    "share the user_id shuffle. sum_filled depends on every carried "
-    "value, so a wrong fill mismatches the oracle.",
+    "last(ignorenulls) over an unbounded-preceding frame. Two shuffles "
+    "total: (user, bucket) for densify+join, user for the fill window. "
+    "sum_filled depends on every carried value, so a wrong fill "
+    "mismatches the oracle.",
 )
 def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.timeseries import gapfill_locf

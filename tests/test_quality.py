@@ -44,6 +44,26 @@ def test_referential_integrity_orphans(spark):
     assert clean.collect()[0]["passed"] is True
 
 
+def test_observed_checks_ride_the_action(spark, tmp_path):
+    from mongo_iceberg_lakehouse_spark.operators.quality import observed_checks
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (None, 2.0)], "k long, v double"
+    )
+    instrumented, fetch = observed_checks(
+        df,
+        [
+            Check("nn_k", not_null_rate("k"), 1.0),
+            Check("pos_v", predicate_rate(F.col("v") > 0), 1.0),
+        ],
+    )
+    # the caller's own action (a write) triggers metric collection
+    instrumented.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    rep = fetch()
+    assert rep["nn_k"] == (2 / 3, False)
+    assert rep["pos_v"] == (2 / 3, False)
+
+
 def test_checks_compile_to_single_scan(spark):
     df = spark.range(100).select(F.col("id").alias("k"))
     rep = run_checks(
