@@ -69,6 +69,54 @@ def view_click_join(
     )
 
 
+def view_click_left_join(
+    events: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER variant: every view emits — joined rows as matches arrive,
+    null-padded rows only once the watermark passes ``view_ts +
+    attribution_window + watermark delay`` (the engine can then prove no
+    future click can match). Consequence worth knowing: a view near the
+    stream's end may never have its null row emitted — outer results are
+    watermark-driven, not termination-driven.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+    )
+
+
 def run_view_click_join_available_now(
     spark: SparkSession,
     sf_dir: str,

@@ -10,6 +10,8 @@ static batch join exactly.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -89,3 +91,67 @@ def test_multibatch_join_equals_batch(spark, sliced_events_dir):
     want = {(r["view_id"], r["click_id"]) for r in expected.collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_left_outer_null_emission_is_watermark_driven(spark, tmp_path):
+    """Unmatched views emit null-padded rows only after the watermark passes
+    their join bound; tail views never emit their null row."""
+    import datetime as dt
+
+    from mongo_iceberg_lakehouse_spark.streaming.join import view_click_left_join
+
+    def t(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m, 0)
+
+    src = tmp_path / "lj_src"
+    src.mkdir()
+    # the global watermark is min(views side, clicks side), and each side
+    # only sees its own event_type — so BOTH sides need late events to
+    # advance it. Users 998 (views only) and 999 (clicks only) advance the
+    # watermarks without ever matching each other.
+    batches = [
+        # V1 (matched), V2 (never matched)
+        [(1, t(10, 0), 100, "view"), (2, t(10, 5), 200, "view")],
+        # click matches V1; 16:00 on both sides -> watermark 15:00, far
+        # past V2's null-emission bound (10:35 + 1h delay)
+        [(3, t(10, 10), 100, "click"), (4, t(16, 0), 998, "view"),
+         (5, t(16, 0), 999, "click")],
+        # one more batch so the advanced watermark takes effect; 17:00 keeps
+        # the final watermark at 16:00 < 16:30, so the 16:00 tail view's
+        # null row stays unemitted even if a closing empty batch runs
+        [(6, t(17, 0), 998, "view"), (7, t(17, 0), 999, "click")],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+        for root, _, files in os.walk(src / f"b{i}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (1000 + i, 1000 + i))
+
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        view_click_left_join(raw, "30 minutes", "1 hour")
+        .writeStream.format("memory")
+        .queryName("lj_semantics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    rows = spark.table("lj_semantics").collect()
+    got = {(r["view_id"], r["click_id"]) for r in rows}
+    assert (1, 3) in got          # matched pair
+    assert (2, None) in got       # unmatched view: null row emitted
+    assert (1, None) not in got   # matched view has no spurious null row
+    assert len(rows) == 2
