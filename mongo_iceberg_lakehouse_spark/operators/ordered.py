@@ -30,7 +30,57 @@ from collections.abc import Iterator, Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def cogrouped_interval_match(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """(key, n_pairs): per key, how many (left, right) pairs satisfy
+    left_ts <= right_ts <= left_ts + window — computed with
+    ``cogroup().applyInPandas``, the two-sided grouped-map surface.
+
+    Inside each key both sides arrive as pandas frames; the count uses a
+    sort + two binary searches per left row (O((n+m) log m)), not an n*m
+    product. Unlike the mapInPandas secondary-sort consumer above, cogroup
+    MATERIALIZES each key's two groups in memory — right for bounded
+    per-entity histories (user timelines), wrong for unbounded keys; the
+    equivalent declarative form is the watermarked stream-stream interval
+    join (streaming/join.py), and the two are cross-checked in the oracle
+    gate.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def match(lpdf: pd.DataFrame, rpdf: pd.DataFrame):
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"key": [], "n_pairs": []}).astype(
+                {"key": "int64", "n_pairs": "int64"}
+            )
+        r = np.sort(rpdf[right_ts].to_numpy().astype("datetime64[us]"))
+        lo = lpdf[left_ts].to_numpy().astype("datetime64[us]")
+        hi = lo + np.timedelta64(window_seconds * 1_000_000, "us")
+        n = int(
+            (np.searchsorted(r, hi, "right") - np.searchsorted(r, lo, "left"))
+            .sum()
+        )
+        return pd.DataFrame(
+            {"key": [lpdf[key].iloc[0]], "n_pairs": [n]}
+        )
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(match, schema="key long, n_pairs long")
+        .withColumnRenamed("key", key)
+        .filter(F.col("n_pairs") > 0)
+    )
 
 
 def longest_run_per_key(

@@ -3805,6 +3805,36 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cogroup_view_click_pairs",
+    """
+    SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP)
+         <= CAST(v.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    GROUP BY v.user_id
+    """,
+    doc="cogroup().applyInPandas two-sided grouped map: per-user view/click "
+    "interval-pair counts via sorted binary search inside each cogroup "
+    "(O((n+m) log m) per key, never the n*m product). Same semantics as "
+    "the watermarked stream-stream join and the SQL interval join — three "
+    "formulations, one oracle. Cogroup materializes per-key groups: right "
+    "for bounded user timelines, documented as wrong for unbounded keys.",
+)
+def cogroup_view_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ordered import cogrouped_interval_match
+
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return cogrouped_interval_match(
+        views, clicks, "user_id", "ts", "ts", window_seconds=1800
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -65,3 +65,38 @@ def test_shuffled_input_same_answer(spark):  # noqa: F811
         for r in longest_run_per_key(df, "k", ["o"], "v").collect()
     }
     assert got == _ref(ROWS)
+
+
+def test_cogrouped_interval_match(spark):  # noqa: F811
+    """Hand-computed pairs: per key, #(l,r) with l.ts <= r.ts <= l.ts+window."""
+    import datetime as dt
+
+    from mongo_iceberg_lakehouse_spark.operators.ordered import (
+        cogrouped_interval_match,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    # key 1: left at 0, 100; right at 5, 50, 130, 400 (window=60)
+    #   left 0   -> rights in [0, 60]: 5, 50        -> 2
+    #   left 100 -> rights in [100, 160]: 130       -> 1  => 3 pairs
+    # key 2: left at 0; right at 61 (outside)       => 0 pairs -> filtered out
+    # key 3: right only -> no left rows             => absent
+    left = spark.createDataFrame(
+        [(1, ts(0)), (1, ts(100)), (2, ts(0))], "k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(5)), (1, ts(50)), (1, ts(130)), (1, ts(400)),
+         (2, ts(61)), (3, ts(10))],
+        "k long, rts timestamp",
+    )
+    got = {
+        r["k"]: r["n_pairs"]
+        for r in cogrouped_interval_match(
+            left, right, "k", "lts", "rts", window_seconds=60
+        ).collect()
+    }
+    assert got == {1: 3}
