@@ -83,6 +83,124 @@ def cogrouped_interval_match(
     )
 
 
+def grouped_ordered_fold(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    cols: Sequence[str],
+    *,
+    init: "Callable[[], object]",
+    step: "Callable[[object, pd.DataFrame], object]",
+    finish: "Callable[[object], tuple]",
+    out_fields: Sequence[T.StructField],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Generic secondary-sort consumer: fold each key's rows IN ORDER through
+    a user-supplied ``step``, emitting ``finish(state)`` per key.
+
+    The machinery owns the scale mechanics — one hash shuffle on ``key``,
+    per-partition sort on (key, *order), Arrow-batch streaming, and key
+    boundary detection across batches — so ``step`` only ever sees a pandas
+    slice of ONE key's consecutive rows (still vectorizable) plus the state
+    carried from that key's earlier slices. Memory stays O(Arrow batch) no
+    matter how many rows the hottest key has, which is what makes this the
+    100 TB-safe alternative to ``applyInPandas`` (which materializes whole
+    groups). ``longest_run_per_key`` above predates this API and keeps its
+    fused batch-at-a-time kernel; new ordered consumers should start here.
+
+    ``out_fields`` are the non-key output columns; the result schema is
+    (key, *out_fields) and ``finish`` must return a matching tuple.
+    """
+    schema = T.StructType(
+        [T.StructField(key, df.schema[key].dataType, True), *out_fields]
+    )
+    out_names = [key] + [f.name for f in out_fields]
+
+    def consume(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        have = False
+        cur_key = None
+        state = None
+        rows: list[tuple] = []
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            k = pdf[key].to_numpy()
+            # start indices of each key slice in this batch
+            starts = np.flatnonzero(
+                np.concatenate(([True], k[1:] != k[:-1]))
+            )
+            bounds = np.append(starts, n)
+            for i, s in enumerate(starts):
+                kk = k[s]
+                if have and kk != cur_key:
+                    rows.append((cur_key, *finish(state)))
+                    state = init()
+                elif not have:
+                    state = init()
+                have, cur_key = True, kk
+                state = step(state, pdf.iloc[s : bounds[i + 1]])
+
+        if have:
+            rows.append((cur_key, *finish(state)))
+        if rows:
+            yield pd.DataFrame(rows, columns=out_names)
+
+    part = (
+        df.repartition(num_partitions, key)
+        if num_partitions
+        else df.repartition(key)
+    )
+    ordered = part.sortWithinPartitions(key, *order).select(key, *order, *cols)
+    return ordered.mapInPandas(consume, schema=schema)
+
+
+def record_highs_per_key(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    value: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(key, n_records): how many times ``value`` sets a strict new maximum
+    per key when scanned in ``order`` — a running-max fold expressed via
+    :func:`grouped_ordered_fold`.
+
+    Per slice the kernel is numpy ``maximum.accumulate`` shifted by the
+    carried max; only comparisons, so results are exact (no float
+    accumulation drift vs the SQL window-function oracle).
+    """
+
+    def init():
+        return (-np.inf, 0)
+
+    def step(state, pdf):
+        cur_max, cnt = state
+        v = pdf[value].to_numpy(dtype="float64")
+        run = np.maximum.accumulate(v)
+        prev = np.empty_like(v)
+        prev[0] = cur_max
+        if len(v) > 1:
+            np.maximum(run[:-1], cur_max, out=prev[1:])
+        return (max(cur_max, float(run[-1])), cnt + int((v > prev).sum()))
+
+    def finish(state):
+        return (state[1],)
+
+    return grouped_ordered_fold(
+        df,
+        key,
+        order,
+        [value],
+        init=init,
+        step=step,
+        finish=finish,
+        out_fields=[T.StructField("n_records", T.LongType(), True)],
+        num_partitions=num_partitions,
+    )
+
+
 def longest_run_per_key(
     df: DataFrame,
     key: str,

@@ -3835,6 +3835,38 @@ def cogroup_view_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_record_highs",
+    """
+    WITH w AS (
+      SELECT o_custkey, o_totalprice,
+             max(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM orders
+    )
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_records
+    FROM w
+    WHERE prev_max IS NULL OR o_totalprice > prev_max
+    GROUP BY o_custkey
+    """,
+    doc="Generic grouped-ordered fold API (operators/ordered.py::"
+    "grouped_ordered_fold): per-customer count of strict running-max "
+    "records over date-ordered order prices. User code supplies only "
+    "init/step/finish over single-key pandas slices; the API owns the "
+    "shuffle, per-partition sort, Arrow streaming, and cross-batch key "
+    "carry, keeping memory O(batch) for arbitrarily hot keys. Comparison-"
+    "only kernel, so exact vs the SQL window oracle.",
+)
+def order_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ordered import record_highs_per_key
+
+    o = _t(spark, sf_dir, "orders")
+    return record_highs_per_key(
+        o, "o_custkey", ["o_orderdate", "o_orderkey"], "o_totalprice"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

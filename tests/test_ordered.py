@@ -100,3 +100,46 @@ def test_cogrouped_interval_match(spark):  # noqa: F811
         ).collect()
     }
     assert got == {1: 3}
+
+
+def _record_highs_ref(rows):
+    """rows = [(key, order, value)] -> {key: n strict running-max records}."""
+    out = {}
+    for k, _, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        best, cnt = out.get(k, (float("-inf"), 0))
+        if v > best:
+            out[k] = (v, cnt + 1)
+        else:
+            out[k] = (best, cnt)
+    return {k: c for k, (_, c) in out.items()}
+
+
+@pytest.mark.parametrize("batch_size", [2, 1000])
+def test_grouped_ordered_fold_record_highs(spark, batch_size):  # noqa: F811
+    """Generic fold API: record-high counts vs plain-Python reference,
+    with tiny Arrow batches so keys and states span batch boundaries."""
+    from mongo_iceberg_lakehouse_spark.operators.ordered import (
+        record_highs_per_key,
+    )
+
+    rows = [
+        # key 1: 5, 3, 7, 7, 9 -> highs at 5, 7, 9 = 3 (tie 7 not a high)
+        (1, 1, 5.0), (1, 2, 3.0), (1, 3, 7.0), (1, 4, 7.0), (1, 5, 9.0),
+        # key 2: strictly decreasing -> only the first = 1
+        (2, 1, 9.0), (2, 2, 8.0), (2, 3, 7.0),
+        # key 3: strictly increasing long run spanning batches -> all 10
+        *[(3, i, float(i)) for i in range(1, 11)],
+        # key 4: single row
+        (4, 1, 0.0),
+    ]
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    try:
+        df = spark.createDataFrame(rows, "k long, o long, v double").repartition(5)
+        got = {
+            r["k"]: r["n_records"]
+            for r in record_highs_per_key(df, "k", ["o"], "v", num_partitions=2).collect()
+        }
+        assert got == _record_highs_ref(rows)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
