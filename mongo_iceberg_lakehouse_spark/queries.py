@@ -3867,6 +3867,50 @@ def order_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bigram_heavy_hitters",
+    """
+    WITH tok AS (
+      SELECT unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok
+    GROUP BY bigram
+    HAVING count(*) >= CEIL(0.0013 * (SELECT count(*) FROM tok))
+    """,
+    doc="Open-vocabulary heavy hitters (operators/heavyhitters.py): "
+    "per-partition Misra-Gries candidates (zero shuffle, O(k) memory) -> "
+    "count-min-sketch prune (shuffle bounded at depth*width rows per "
+    "partition, sketch broadcastable) -> exact verification restricted to "
+    "survivors. Both early phases are one-sided (supersets), so the output "
+    "is EXACTLY the plain GROUP BY ... HAVING oracle — without shuffling "
+    "the vocabulary. Run on word bigrams (~vocab^2 keys) with relative "
+    "threshold phi=0.0013, k=ceil(1/phi) per the N/(k+1) MG guarantee.",
+)
+def bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from .operators.heavyhitters import heavy_hitters_exact
+
+    d = _t(spark, sf_dir, "documents")
+    ws = d.select(F.split("text", " ").alias("ws")).filter(F.size("ws") >= 2)
+    bigrams = ws.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws)-2),"
+                " i -> concat(ws[i], ' ', ws[i+1]))"
+            )
+        ).alias("bigram")
+    )
+    phi = 0.0013
+    n = bigrams.count()
+    return heavy_hitters_exact(
+        bigrams, "bigram", math.ceil(phi * n), k=math.ceil(1 / phi)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
