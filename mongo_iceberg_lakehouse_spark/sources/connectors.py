@@ -86,6 +86,27 @@ def read_iceberg(spark: SparkSession, ident: str) -> DataFrame:
     return _gate(lambda: spark.read.format("iceberg").load(ident), "iceberg")
 
 
+def iceberg_runtime_available(spark: SparkSession) -> bool:
+    """True iff the iceberg-spark-runtime jar is on the JVM classpath.
+
+    Probed by resolving Iceberg's SparkCatalog class through the JVM's
+    context classloader (the loader Spark uses for `--jars` /
+    `spark.jars.packages` additions). Callers use this to auto-select the
+    atomic DataFrameWriterV2 ``createOrReplace`` path
+    (catalog.save_table_replace(use_v2=True)) when a future image ships the
+    jar, without configuration changes.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        loader = jvm.java.lang.Thread.currentThread().getContextClassLoader()
+        jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog", False, loader
+        )
+        return True
+    except Exception:
+        return False
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

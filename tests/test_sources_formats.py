@@ -58,3 +58,23 @@ def test_kafka_connector_gated(spark):
 
     with pytest.raises(ConnectorUnavailable):
         read_kafka_stream(spark, "nohost:9092", "events")
+
+
+def test_iceberg_runtime_probe(spark):
+    """The probe reports jar presence; in this image the runtime is absent,
+    so it must return False — and a present class resolves True through the
+    same classloader path (sanity that the probe isn't always-False)."""
+    from mongo_iceberg_lakehouse_spark.sources.connectors import (
+        iceberg_runtime_available,
+    )
+
+    assert iceberg_runtime_available(spark) is False
+    # same probe mechanics on a class that IS on every Spark classpath
+    jvm = spark.sparkContext._jvm
+    loader = jvm.java.lang.Thread.currentThread().getContextClassLoader()
+    assert (
+        jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.SparkSession", False, loader
+        )
+        is not None
+    )
