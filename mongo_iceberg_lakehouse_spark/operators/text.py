@@ -157,3 +157,56 @@ def winnow_fingerprints(
         )
     )
     return df2.select(F.col(id_col), F.explode(mins).alias("fingerprint"))
+
+
+def word_ngrams(ws: Column | str, n: int) -> Column:
+    """Space-joined word n-grams from a token array, JVM-side
+    (transform over an index sequence; empty when fewer than n tokens)."""
+    c = F.col(ws) if isinstance(ws, str) else ws
+    return F.when(
+        F.size(c) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(c) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(c, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_overlap_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """(id, n_overlap): corpus documents sharing >= 1 word n-gram with the
+    eval set, with the count of distinct shared n-grams — benchmark
+    decontamination for training corpora.
+
+    Scale shape: the eval side (distinct n-grams of the benchmark, small by
+    construction) is BROADCAST; the corpus side is one narrow
+    split/transform/explode projection — no corpus-wide shuffle until the
+    final per-doc count over only the matching rows. For very large eval
+    sets, swap the broadcast for a bloom-filter prejoin (plans/bloom.py);
+    the join here stays on gram strings so the result is exactly the SQL
+    oracle (hashing grams first, xxhash64, is the production variant and
+    changes nothing observable absent 64-bit collisions).
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                word_ngrams(F.split(F.col(text_col), " "), n)
+            ).alias("gram"),
+        )
+
+    ev = grams(eval_set).select("gram").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(ev), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_overlap"))
+    )

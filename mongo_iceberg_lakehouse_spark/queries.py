@@ -3911,6 +3911,94 @@ def bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate_ngram_overlap",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) - 2),
+                    i -> list_aggregate(ws[i:i+3], 'string_agg', ' ')))
+               AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ),
+    e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+    SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_overlap
+    FROM g JOIN e USING (gram)
+    WHERE g.doc_id % 20 <> 0
+    GROUP BY g.doc_id
+    """,
+    doc="Benchmark decontamination (operators/text.py::"
+    "ngram_overlap_contamination): corpus docs sharing any word 4-gram "
+    "with the eval segment (doc_id % 20 = 0), with distinct-overlap "
+    "counts. Eval-side distinct grams broadcast; corpus side stays one "
+    "narrow codegen projection (split -> transform -> explode), shuffling "
+    "only matching rows for the per-doc count.",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import ngram_overlap_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return ngram_overlap_contamination(corpus, ev, "doc_id", "text", n=4)
+
+
+@register(
+    "segment_token_divergence",
+    """
+    WITH t AS (
+      SELECT doc_id % 2 AS seg, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    c AS (
+      SELECT word,
+             sum(CASE WHEN seg = 0 THEN 1 ELSE 0 END) AS a_cnt,
+             sum(CASE WHEN seg = 1 THEN 1 ELSE 0 END) AS b_cnt
+      FROM t GROUP BY word
+    ),
+    tot AS (
+      SELECT sum(a_cnt) AS na, sum(b_cnt) AS nb, count(*) AS v FROM c
+    )
+    SELECT word,
+           CAST(a_cnt AS BIGINT) AS a_cnt,
+           CAST(b_cnt AS BIGINT) AS b_cnt,
+           floor(((a_cnt + 1.0) / (na + v))
+                 * ln(((a_cnt + 1.0) / (na + v))
+                      / ((b_cnt + 1.0) / (nb + v))) * 1e6) / 1e6 AS kl_term
+    FROM c, tot
+    """,
+    doc="Per-token KL-divergence contributions between two corpus segments "
+    "(doc_id parity) with add-one smoothing over the joint vocabulary — "
+    "the distribution-shift probe a training-mix pipeline runs between "
+    "sources/epochs. One token-count aggregation, a 3-value broadcast "
+    "total, arithmetic in codegen; floor-truncation at 1e-6 per the "
+    "round() half-up parity pitfall.",
+)
+def segment_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        (F.col("doc_id") % 2).alias("seg"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    c = t.groupBy("word").agg(
+        F.sum(F.when(F.col("seg") == 0, 1).otherwise(0)).alias("a_cnt"),
+        F.sum(F.when(F.col("seg") == 1, 1).otherwise(0)).alias("b_cnt"),
+    )
+    tot = c.agg(
+        F.sum("a_cnt").alias("na"),
+        F.sum("b_cnt").alias("nb"),
+        F.count("*").alias("v"),
+    )
+    p = (F.col("a_cnt") + 1.0) / (F.col("na") + F.col("v"))
+    q = (F.col("b_cnt") + 1.0) / (F.col("nb") + F.col("v"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.col("a_cnt").cast("long").alias("a_cnt"),
+        F.col("b_cnt").cast("long").alias("b_cnt"),
+        (F.floor(p * F.log(p / q) * 1e6) / 1e6).alias("kl_term"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

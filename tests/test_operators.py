@@ -491,3 +491,30 @@ def test_repetition_ngrams_planted(spark):
     # doc 1: 7 windows, but only 3 distinct rotations of (a b c)
     assert out[1] == (7, 3)
     assert out[2] == (6, 6)
+
+
+def test_ngram_overlap_contamination_planted(spark):
+    """Planted 4-gram overlap is found, clean docs are not flagged, and the
+    eval side of the join is broadcast."""
+    from mongo_iceberg_lakehouse_spark.operators.text import (
+        ngram_overlap_contamination,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares two 4-grams with the eval doc
+            (1, "x alpha beta gamma delta epsilon y"),
+            # shares words but no 4-gram
+            (2, "alpha beta gamma x delta epsilon"),
+            # too short for any 4-gram
+            (3, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_overlap_contamination(corpus, ev, "doc_id", "text", n=4)
+    got = {r["doc_id"]: r["n_overlap"] for r in out.collect()}
+    assert got == {1: 2}
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
