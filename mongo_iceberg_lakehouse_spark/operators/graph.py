@@ -1,0 +1,96 @@
+"""Iterative graph algorithms as DataFrame loops (link analysis).
+
+The reference engine has no graph operators; this covers the
+*iterative-algorithm* class the charter's training-data pipeline needs —
+link-analysis quality weights for web corpora (PageRank), alongside the
+transitive-closure dedup clustering in ``operators/dedup.py::
+connected_components``.
+
+Scale posture (the part naive DataFrame loops get wrong):
+
+- **Lineage truncation.** Each iteration appends a join + aggregation to
+  the logical plan; after k iterations a naive loop hands Catalyst an
+  O(2^k)-node tree (the rank DataFrame appears under both sides of the
+  next join) and every action recomputes all prior iterations.
+  ``localCheckpoint`` every ``checkpoint_every`` iterations materializes
+  the ranks and cuts the plan back to a leaf — plan size and recompute
+  cost stay O(checkpoint_every).
+- **One shuffle per iteration.** Contributions are keyed by ``dst``; the
+  join of ranks onto edges reuses the edge cache (edges + out-degrees are
+  computed once and persisted, not re-derived per iteration).
+- **No driver-side graph.** Only the node count crosses to the driver
+  (one scalar); ranks/edges stay distributed end to end, so the same loop
+  runs on a 10^9-edge graph given executors.
+
+Dangling-node policy: nodes with no out-edges leak their rank mass (no
+uniform redistribution). This matches the plain fixed-point formulation
+``r(v) = (1-d)/N + d * sum_{u->v} r(u)/outdeg(u)`` and keeps the oracle
+SQL exactly mirrorable; total mass is therefore < 1 when danglers exist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 5,
+    damping: float = 0.85,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list.
+
+    ``edges`` needs columns ``src`` and ``dst``; self-loops and duplicate
+    edges are dropped. Returns ``(node, pr)`` for every node appearing as
+    a source or destination.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ee = e.join(outdeg, "src").persist()
+    n = nodes.count()  # single scalar to the driver; also warms the cache
+    ee.count()
+    base = (1.0 - damping) / n
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    for i in range(iterations):
+        # String aliases, not DataFrame["col"] refs: from iteration 2 the
+        # right side of both joins derives from `nodes`/`ee` themselves,
+        # and instance-bound column refs hit AMBIGUOUS_SELF_JOIN.
+        contribs = (
+            ee.alias("e")
+            .join(ranks.alias("r"), F.col("e.src") == F.col("r.node"))
+            .select(
+                F.col("e.dst").alias("dst"),
+                (F.col("r.pr") / F.col("e.outdeg")).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.alias("n")
+            .join(contribs.alias("c"), F.col("n.node") == F.col("c.dst"), "left")
+            .select(
+                F.col("n.node").alias("node"),
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("c.c"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            # Truncate lineage: plan stays O(checkpoint_every) deep.
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -3999,6 +3999,207 @@ def segment_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_handoff_oracle(iterations: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank (DuckDB recursive CTEs forbid
+    aggregation over the recursive reference, so each iteration is its own
+    CTE — generated, not hand-written)."""
+    sql = """
+    WITH j AS (
+      SELECT o_orderkey, o_orderdate, o_custkey, c_nationkey, c_mktsegment
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT lag(o_custkey) OVER (PARTITION BY c_nationkey
+                 ORDER BY o_orderdate, o_orderkey) AS src,
+               o_custkey AS dst FROM j
+        UNION ALL
+        SELECT lag(o_custkey) OVER (PARTITION BY c_mktsegment
+                 ORDER BY o_orderdate, o_orderkey) AS src,
+               o_custkey AS dst FROM j
+      ) WHERE src IS NOT NULL AND src <> dst
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*) AS cnt FROM nodes),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    ee AS (SELECT e.src, e.dst, d.outdeg FROM edges e
+           JOIN outdeg d ON e.src = d.src),
+    r0 AS (SELECT node, 1.0 / nn.cnt AS pr FROM nodes CROSS JOIN nn)
+    """
+    for i in range(iterations):
+        sql += f""",
+    c{i} AS (SELECT ee.dst, sum(r.pr / ee.outdeg) AS c
+             FROM ee JOIN r{i} r ON ee.src = r.node GROUP BY ee.dst),
+    r{i + 1} AS (SELECT n.node,
+                        (1.0 - 0.85) / nn.cnt
+                          + 0.85 * coalesce(c.c, 0.0) AS pr
+                 FROM nodes n CROSS JOIN nn
+                 LEFT JOIN c{i} c ON n.node = c.dst)
+    """
+    return sql + f"SELECT node AS custkey, pr FROM r{iterations}"
+
+
+@register(
+    "pagerank_customer_handoff",
+    _pagerank_handoff_oracle(),
+    doc="Fixed-iteration PageRank (5 rounds, d=0.85) over the customer "
+    "'handoff' graph: an edge u->v when v's order immediately follows u's "
+    "within the same nation OR the same market segment (lag over two "
+    "orderings, union, distinct). Covers the iterative-algorithm class: "
+    "operators/graph.py caches edges once, shuffles once per iteration "
+    "(contributions keyed by dst), and localCheckpoints ranks every 2 "
+    "rounds so plan depth and recompute stay bounded — the standard "
+    "failure mode of naive DataFrame loops. Oracle = the identical "
+    "recurrence unrolled into per-iteration CTEs.",
+)
+def pagerank_customer_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "o_orderdate", "o_custkey", "c_nationkey", "c_mktsegment"
+    )
+    w_nat = Window.partitionBy("c_nationkey").orderBy("o_orderdate", "o_orderkey")
+    w_seg = Window.partitionBy("c_mktsegment").orderBy("o_orderdate", "o_orderkey")
+    edges = (
+        j.select(
+            F.lag("o_custkey").over(w_nat).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .unionByName(
+            j.select(
+                F.lag("o_custkey").over(w_seg).alias("src"),
+                F.col("o_custkey").alias("dst"),
+            )
+        )
+        .where(F.col("src").isNotNull())
+    )
+    ranks = pagerank(edges, iterations=5, damping=0.85, checkpoint_every=2)
+    return ranks.select(F.col("node").alias("custkey"), "pr")
+
+
+@register(
+    "retention_cohort_weekly",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wk
+      FROM events
+    ),
+    j AS (
+      SELECT user_id, wk,
+             min(wk) OVER (PARTITION BY user_id) AS cohort
+      FROM uw
+    )
+    SELECT cohort,
+           CAST(floor(datediff('day', cohort, wk) / 7.0) AS INT) AS offset_weeks,
+           CAST(count(*) AS BIGINT) AS users
+    FROM j GROUP BY cohort, offset_weeks
+    """,
+    doc="Weekly cohort retention: cohort = week of a user's first event; "
+    "cell (cohort, k) = #users of that cohort active in week cohort+k. "
+    "Scale shape: collapse events to distinct (user, week) FIRST (the "
+    "only pass over the raw events), then a single user-keyed window min "
+    "shares one shuffle for cohort assignment — no self-join of events "
+    "against a first-seen table. Rows are unique per (user, week), so "
+    "the cell count is a plain count(*), not count(distinct).",
+)
+def retention_cohort_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    j = uw.withColumn(
+        "cohort", F.min("wk").over(Window.partitionBy("user_id"))
+    )
+    return j.groupBy(
+        "cohort",
+        F.floor(F.datediff("wk", "cohort") / 7.0).cast("int").alias("offset_weeks"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("users"))
+
+
+@register(
+    "attribution_linear",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS tts, event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS (
+      SELECT p.event_id, p.value, t.channel
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.tts < p.pts
+       AND p.pts <= t.tts + INTERVAL 21600 SECONDS
+    ),
+    per_channel AS (
+      SELECT event_id, value, channel, count(*) AS ch_cnt
+      FROM pairs GROUP BY event_id, value, channel
+    ),
+    totals AS (
+      SELECT event_id, CAST(sum(ch_cnt) AS BIGINT) AS tot
+      FROM per_channel GROUP BY event_id
+    ),
+    attributed AS (
+      SELECT c.channel, c.value * c.ch_cnt / t.tot AS contrib
+      FROM per_channel c JOIN totals t ON c.event_id = t.event_id
+      UNION ALL
+      SELECT 'direct' AS channel, p.value AS contrib
+      FROM purchases p
+      WHERE NOT EXISTS (SELECT 1 FROM pairs x WHERE x.event_id = p.event_id)
+    )
+    SELECT channel, sum(contrib) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_credits
+    FROM attributed GROUP BY channel
+    """,
+    doc="Linear (equal-credit) marketing attribution: each purchase splits "
+    "its value evenly across the user's view/click touches in the "
+    "preceding 6 hours; untouched purchases credit a 'direct' channel. "
+    "Reuses operators/relational.py::interval_join — (user, time-bin) "
+    "equi-shuffle with <=2x replication, no per-user cross product even "
+    "for hot users — then two bounded aggs (per-channel counts, "
+    "per-purchase totals) and a left-anti union for 'direct'.",
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts"), "value"
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("ts").alias("tts"), F.col("event_type").alias("channel")
+    )
+    pairs = R.interval_join(
+        touches, purchases, key="user_id", left_ts="tts",
+        right_ts="pts", window_seconds=21600,
+    ).select("event_id", "value", "channel")
+    per_channel = pairs.groupBy("event_id", "value", "channel").agg(
+        F.count(F.lit(1)).alias("ch_cnt")
+    )
+    totals = per_channel.groupBy("event_id").agg(
+        F.sum("ch_cnt").cast("long").alias("tot")
+    )
+    attributed = (
+        per_channel.join(totals, "event_id")
+        .select(
+            "channel",
+            (F.col("value") * F.col("ch_cnt") / F.col("tot")).alias("contrib"),
+        )
+        .unionByName(
+            purchases.join(pairs.select("event_id").distinct(), "event_id", "left_anti")
+            .select(F.lit("direct").alias("channel"), F.col("value").alias("contrib"))
+        )
+    )
+    return attributed.groupBy("channel").agg(
+        F.sum("contrib").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_credits"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
