@@ -210,3 +210,50 @@ def ngram_overlap_contamination(
         .groupBy(id_col)
         .agg(F.count_distinct("gram").alias("n_overlap"))
     )
+
+
+def fuzzy_pairs_ed1(df: DataFrame, id_col: str, s_col: str) -> DataFrame:
+    """All id pairs whose strings are within Levenshtein distance 1, via
+    deletion-neighborhood blocking (FastSS): two strings are within edit
+    distance 1 only if their depth-1 deletion neighborhoods (the string
+    itself plus every single-character deletion) intersect — substitution
+    pairs meet at the variant deleting the differing position; insert/
+    delete pairs meet at the shorter string itself.
+
+    Scale shape: the naive fuzzy join is an O(n^2) cross join with a
+    per-pair Levenshtein — unrunnable at corpus scale. Blocking emits
+    O(len) variants per row (one narrow codegen'd HOF projection, no
+    shuffle), equi-joins on the variant (shuffle keyed by variant, work
+    proportional to block sizes, not n^2), then verifies the exact
+    distance with the built-in ``levenshtein`` on the surviving
+    candidates only. The oracle IS the quadratic formulation, proving the
+    blocking loses nothing at ed<=1.
+    """
+    variants = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(s_col).alias("__s"),
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col(s_col)),
+                    F.expr(
+                        f"transform(sequence(1, length({s_col})), i -> "
+                        f"concat(substring({s_col}, 1, i - 1), "
+                        f"substring({s_col}, i + 1, length({s_col}))))"
+                    ),
+                )
+            )
+        ).alias("__v"),
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.__v") == F.col("b.__v")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("a_id"),
+            F.col("a.__s").alias("a_s"),
+            F.col("b.__id").alias("b_id"),
+            F.col("b.__s").alias("b_s"),
+        )
+        .distinct()
+    )
+    return cand.where(F.levenshtein("a_s", "b_s") <= 1).select("a_id", "b_id")

@@ -4200,6 +4200,127 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_name_pairs_ed1",
+    """
+    SELECT c1.c_custkey AS a_id, c2.c_custkey AS b_id
+    FROM customer c1 JOIN customer c2
+      ON c1.c_custkey < c2.c_custkey
+     AND levenshtein(c1.c_name, c2.c_name) <= 1
+    """,
+    doc="Fuzzy self-join: customer-name pairs within Levenshtein distance "
+    "1, computed by deletion-neighborhood (FastSS) blocking — O(len) "
+    "variants per row in one codegen HOF projection, equi-join keyed by "
+    "variant, exact levenshtein verify on candidates only. The oracle is "
+    "the O(n^2) cross join + levenshtein, proving blocking is lossless "
+    "at ed<=1 (entity-resolution class).",
+)
+def fuzzy_name_pairs_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return T.fuzzy_pairs_ed1(c, "c_custkey", "c_name")
+
+
+@register(
+    "market_basket_lift",
+    """
+    WITH b AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+             event_type
+      FROM events
+    ),
+    n AS (SELECT count(DISTINCT (user_id, day)) AS n_baskets FROM b),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS s_cnt
+          FROM b GROUP BY event_type),
+    co AS (
+      SELECT x.event_type AS a, y.event_type AS b,
+             CAST(count(*) AS BIGINT) AS pair_cnt
+      FROM b x JOIN b y
+        ON x.user_id = y.user_id AND x.day = y.day
+       AND x.event_type < y.event_type
+      GROUP BY x.event_type, y.event_type
+    )
+    SELECT co.a, co.b, co.pair_cnt,
+           (CAST(co.pair_cnt AS DOUBLE) * n.n_baskets)
+             / (sa.s_cnt * CAST(sb.s_cnt AS DOUBLE)) AS lift
+    FROM co CROSS JOIN n
+    JOIN s sa ON sa.event_type = co.a
+    JOIN s sb ON sb.event_type = co.b
+    """,
+    doc="Association rules over (user, day) baskets: co-occurrence counts "
+    "for event-type pairs and their lift vs independence. Baskets are "
+    "collapsed to distinct members first (one pass over events); the "
+    "pair join is keyed by basket id so per-task work is bounded by "
+    "basket size squared, never corpus size; singleton supports and the "
+    "basket count join back via broadcast.",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+    ).distinct()
+    n_baskets = b.select("user_id", "day").distinct().count()
+    s = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("s_cnt"))
+    x, y = b.alias("x"), b.alias("y")
+    co = (
+        x.join(
+            y,
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.day") == F.col("y.day"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("a"), F.col("y.event_type").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    sa = s.select(F.col("event_type").alias("a"), F.col("s_cnt").alias("sa"))
+    sb = s.select(F.col("event_type").alias("b"), F.col("s_cnt").alias("sb"))
+    return (
+        co.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .select(
+            "a",
+            "b",
+            "pair_cnt",
+            (
+                (F.col("pair_cnt").cast("double") * F.lit(n_baskets))
+                / (F.col("sa") * F.col("sb").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "text_inverted_index",
+    """
+    WITH t AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS token, doc_id
+      FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS df,
+           (array_agg(doc_id ORDER BY doc_id))[1:20] AS postings
+    FROM t GROUP BY token
+    """,
+    doc="Inverted-index construction: token -> document frequency + the "
+    "first 20 postings (sorted doc ids). One explode + distinct + "
+    "token-keyed agg; the posting cap bounds per-token state so a "
+    "stopword-frequency token cannot blow up a reducer (at full scale "
+    "the cap is the difference between a bounded row and an OOM).",
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        F.explode(F.split("text", " ")).alias("token"), "doc_id"
+    ).distinct()
+    return t.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("postings"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
