@@ -94,3 +94,58 @@ def pagerank(
             # Truncate lineage: plan stays O(checkpoint_every) deep.
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count of the undirected graph, one row ``triangles``.
+
+    Scale shape: the naive wedge join (every edge pair sharing a vertex)
+    explodes on hubs — a degree-d vertex yields d^2 wedges. Orienting
+    every edge from its lower-(degree, id) endpoint to the higher one
+    caps each vertex's oriented out-degree at O(sqrt(edges)) (the
+    standard Schank/Ortmann bound), so wedge generation is
+    O(edges^{3/2}) worst case instead of sum(d^2). The orientation is a
+    pairwise (deg, id) tuple comparison attached via two broadcast-able
+    degree joins — no global ranking shuffle. Each triangle is produced
+    exactly once (its unique orientation source), so the count needs no
+    final dedup.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+        )
+    ).persist()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    ahead = (F.col("e1.deg_v") < F.col("e2.deg_v")) | (
+        (F.col("e1.deg_v") == F.col("e2.deg_v")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    wedges = e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & ahead).select(
+        F.col("e1.v").alias("u"), F.col("e2.v").alias("v")
+    )
+    closing = oriented.select("u", "v")
+    return (
+        wedges.join(closing, ["u", "v"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )

@@ -4321,6 +4321,115 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_triangle_count",
+    """
+    WITH j AS (
+      SELECT o_orderkey, o_orderdate, o_custkey, c_nationkey, c_mktsegment
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    raw AS (
+      SELECT lag(o_custkey) OVER (PARTITION BY c_nationkey
+               ORDER BY o_orderdate, o_orderkey) AS src,
+             o_custkey AS dst FROM j
+      UNION ALL
+      SELECT lag(o_custkey) OVER (PARTITION BY c_mktsegment
+               ORDER BY o_orderdate, o_orderkey) AS src,
+             o_custkey AS dst FROM j
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src IS NOT NULL AND src <> dst
+    )
+    SELECT CAST(count(*) AS BIGINT) AS triangles
+    FROM und e1
+    JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+    JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    """,
+    doc="Triangle count of the (undirected) customer-handoff graph. The "
+    "engine orients each edge lower-(degree,id) -> higher "
+    "(operators/graph.py::triangle_count): oriented out-degree is "
+    "O(sqrt(E)), wedge join is O(E^1.5) instead of sum(deg^2) — the "
+    "hub-safe formulation. Oracle counts the same triangles via the "
+    "straightforward a<b triple self-join; both count each triangle "
+    "exactly once.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import triangle_count
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "o_orderdate", "o_custkey", "c_nationkey", "c_mktsegment"
+    )
+    w_nat = Window.partitionBy("c_nationkey").orderBy("o_orderdate", "o_orderkey")
+    w_seg = Window.partitionBy("c_mktsegment").orderBy("o_orderdate", "o_orderkey")
+    edges = (
+        j.select(
+            F.lag("o_custkey").over(w_nat).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .unionByName(
+            j.select(
+                F.lag("o_custkey").over(w_seg).alias("src"),
+                F.col("o_custkey").alias("dst"),
+            )
+        )
+        .where(F.col("src").isNotNull())
+    )
+    return triangle_count(edges)
+
+
+@register(
+    "active_users_trailing_7d",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    w AS (
+      SELECT DISTINCT u.user_id, d.day AS day_t
+      FROM ud u JOIN days d
+        ON d.day >= u.day AND d.day <= u.day + INTERVAL 6 DAYS
+    )
+    SELECT day_t, CAST(count(*) AS BIGINT) AS wau
+    FROM w GROUP BY day_t
+    """,
+    doc="Trailing-7-day active users (WAU) per day. DISTINCT isn't "
+    "decomposable over a sliding frame, so the scale-safe shape is "
+    "contribution-explode: collapse to distinct (user, day) once, "
+    "explode each into the <=7 window-end days it supports (narrow "
+    "sequence/explode, no self-join of raw events), semi-join the "
+    "observed days, distinct, count. Shuffles are keyed by (user, day) "
+    "and day — both bounded — vs. the oracle's quadratic day-range "
+    "join.",
+)
+def active_users_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    days = ud.select(F.col("day").alias("day_t")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day_t"),
+    )
+    return (
+        contrib.join(days, "day_t", "left_semi")
+        .distinct()
+        .groupBy("day_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -52,3 +52,30 @@ def test_pagerank_checkpoint_matches_uncheckpointed(spark):
     a = _ranks(spark, edges, iterations=5, checkpoint_every=2)
     b = _ranks(spark, edges, iterations=5, checkpoint_every=0)
     assert a == b
+
+
+def test_triangle_count_k4(spark):
+    from mongo_iceberg_lakehouse_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    assert triangle_count(df).collect()[0]["triangles"] == 4
+
+
+def test_triangle_count_square_no_diagonal(spark):
+    from mongo_iceberg_lakehouse_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    assert triangle_count(df).collect()[0]["triangles"] == 0
+
+
+def test_triangle_count_direction_and_dup_insensitive(spark):
+    from mongo_iceberg_lakehouse_spark.operators.graph import triangle_count
+
+    # Same triangle given with mixed directions, duplicates, a self-loop.
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 2), (1, 3), (3, 3)], "src long, dst long"
+    )
+    assert triangle_count(df).collect()[0]["triangles"] == 1
