@@ -242,3 +242,41 @@ def salted_groupby_sum(
         F.sum("__partial_sum").alias(f"sum_{value_col}"),
         F.sum("__partial_cnt").alias("cnt"),
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (big, skewed) left side, replicate the
+    right side across all salts, join on (key, salt).
+
+    When the right side is too big to broadcast and a left key is hot, a
+    plain shuffle join lands the hot key's entire row set on one task.
+    Salting splits each key's left rows across ``num_salts`` reducers (salt
+    = xxhash64 of the whole left row, deterministic, layout-independent)
+    at the cost of a bounded ``num_salts``x replication of the right side
+    — the explicit version of what AQE skew-join does at runtime, usable
+    when AQE can't see the skew (e.g. the downstream op pins partitioning,
+    see tests/test_skew_join.py).
+
+    Only ``inner`` and ``left`` are supported: replication would duplicate
+    right-side-preserving nulls for other join types.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    l_cols = [F.col(c) for c in left.columns]
+    lhs = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*l_cols), F.lit(num_salts)).cast("int")
+    )
+    rhs = right.withColumn(
+        "__salt",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(num_salts - 1)).cast("array<int>")
+        ),
+    )
+    return lhs.join(rhs, [key, "__salt"], how).drop("__salt")

@@ -4430,6 +4430,158 @@ def active_users_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_salted_lineitem_orders",
+    """
+    SELECT o_orderpriority,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(count(*) AS BIGINT) AS line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Fact-fact join through operators/relational.py::salted_join: the "
+    "left (lineitem) side is salted by a deterministic full-row xxhash64, "
+    "the right side replicated num_salts x, join keyed (key, salt) — a "
+    "hot orderkey's rows spread across 8 reducers instead of one task. "
+    "The explicit form of AQE's skew split, for when AQE can't see the "
+    "skew. Oracle is the plain join: salting is plan-only, results are "
+    "provably identical.",
+)
+def join_salted_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = R.salted_join(li, o, "okey", num_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("line_count"),
+    )
+
+
+@register(
+    "stat_order_value_corr",
+    """
+    SELECT c_mktsegment,
+           corr(o_totalprice, c_acctbal) AS price_acctbal_corr,
+           covar_samp(o_totalprice, c_acctbal) AS price_acctbal_covar,
+           stddev_samp(o_totalprice) AS price_stddev,
+           var_pop(c_acctbal) AS acctbal_varp
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Bivariate statistics per market segment: Pearson correlation, "
+    "sample covariance, stddev, population variance — all JVM-side "
+    "decomposable aggregates (partial + final HashAggregate, one "
+    "shuffle keyed by segment). skewness/kurtosis deliberately excluded: "
+    "Spark and DuckDB use different bias corrections.",
+)
+def stat_order_value_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.corr("o_totalprice", "c_acctbal").alias("price_acctbal_corr"),
+            F.covar_samp("o_totalprice", "c_acctbal").alias("price_acctbal_covar"),
+            F.stddev_samp("o_totalprice").alias("price_stddev"),
+            F.var_pop("c_acctbal").alias("acctbal_varp"),
+        )
+    )
+
+
+@register(
+    "stat_ab_welch_ttest",
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             date_part('day', CAST(ts AS TIMESTAMP)) <= 15 AS grp_a
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(CASE WHEN grp_a THEN 1 END) AS BIGINT) AS n_a,
+             CAST(count(CASE WHEN NOT grp_a THEN 1 END) AS BIGINT) AS n_b,
+             avg(CASE WHEN grp_a THEN value END) AS avg_a,
+             avg(CASE WHEN NOT grp_a THEN value END) AS avg_b,
+             var_samp(CASE WHEN grp_a THEN value END) AS var_a,
+             var_samp(CASE WHEN NOT grp_a THEN value END) AS var_b
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           (avg_a - avg_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat
+    FROM s
+    """,
+    doc="Welch two-sample t statistic per event type (A = first half of "
+    "the month, B = second): entirely from decomposable conditional "
+    "aggregates (count/avg/var_samp over CASE), so the whole test is one "
+    "aggregation pass — no per-group data pull, no UDF. The shape a "
+    "metrics pipeline uses for A/B readouts at any scale.",
+)
+def stat_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    grp_a = F.dayofmonth("ts") <= 15
+    a_val = F.when(grp_a, F.col("value"))
+    b_val = F.when(~grp_a, F.col("value"))
+    s = ev.groupBy("event_type").agg(
+        F.count(a_val).cast("long").alias("n_a"),
+        F.count(b_val).cast("long").alias("n_b"),
+        F.avg(a_val).alias("avg_a"),
+        F.avg(b_val).alias("avg_b"),
+        F.var_samp(a_val).alias("var_a"),
+        F.var_samp(b_val).alias("var_b"),
+    )
+    t = (F.col("avg_a") - F.col("avg_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return s.select("event_type", "n_a", "n_b", t.alias("t_stat"))
+
+
+@register(
+    "stat_spearman_by_segment",
+    """
+    WITH j AS (
+      SELECT c_mktsegment, o_orderkey, o_totalprice, c_acctbal
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    r AS (
+      SELECT c_mktsegment,
+             rank() OVER (PARTITION BY c_mktsegment
+                          ORDER BY o_totalprice, o_orderkey) AS r_price,
+             rank() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, o_orderkey) AS r_bal
+      FROM j
+    )
+    SELECT c_mktsegment, corr(r_price, r_bal) AS spearman
+    FROM r GROUP BY c_mktsegment
+    """,
+    doc="Spearman rank correlation per segment: two ranking windows over "
+    "the SAME partition key (Spark reuses one shuffle for both sorts) "
+    "with a unique tiebreaker making ranks a strict permutation, then "
+    "Pearson corr of the ranks. Partitioned windows keep every sort "
+    "segment-local — no global single-task orderBy.",
+)
+def stat_spearman_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice", "c_acctbal"
+    )
+    w_price = Window.partitionBy("c_mktsegment").orderBy("o_totalprice", "o_orderkey")
+    w_bal = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "o_orderkey")
+    r = j.select(
+        "c_mktsegment",
+        F.rank().over(w_price).alias("r_price"),
+        F.rank().over(w_bal).alias("r_bal"),
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.corr("r_price", "r_bal").alias("spearman")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
