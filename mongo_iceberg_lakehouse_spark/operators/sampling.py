@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -123,3 +123,30 @@ def hash_split(
     """Attach a deterministic ``split`` column (see ``hash_split_column``).
     Narrow map only — safe at any scale, no shuffle."""
     return df.withColumn("split", hash_split_column(id_col, splits))
+
+
+def take_to_budget(
+    df: DataFrame,
+    group: str,
+    size_col: str,
+    budgets: DataFrame,
+    order_key: Column,
+) -> DataFrame:
+    """Per-group prefix selection to a size budget: order each group by
+    ``order_key`` (content-addressed => layout-independent), keep rows
+    while the group's cumulative ``size_col`` BEFORE the row is under its
+    budget (so the boundary-crossing row is kept, never skipped — a
+    budget is a floor, not a ceiling, for training-mix construction).
+
+    ``budgets`` is a (group, budget) DataFrame — computed upstream, e.g.
+    total_tokens * weight / sum(weights) — broadcast-joined here (one
+    row per group). The selection itself is a single window cumsum over
+    the group shuffle; no driver-side iteration, no second pass.
+    """
+    w = Window.partitionBy(group).orderBy(order_key)
+    return (
+        df.join(F.broadcast(budgets), group)
+        .withColumn("__cum", F.sum(size_col).over(w))
+        .where(F.col("__cum") - F.col(size_col) < F.col("budget"))
+        .drop("__cum", "budget")
+    )

@@ -4582,6 +4582,163 @@ def stat_spearman_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mix_to_token_budget",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS BIGINT) AS tok,
+             CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+                  THEN 2.0 ELSE 1.0 END AS w
+      FROM documents
+    ),
+    tot AS (SELECT sum(tok) AS total_tok FROM d),
+    wsum AS (SELECT sum(w) AS w_total FROM (SELECT DISTINCT source, w FROM d)),
+    b AS (
+      SELECT source, min(w) * 0.3 * tot.total_tok / wsum.w_total AS budget
+      FROM d CROSS JOIN tot CROSS JOIN wsum
+      GROUP BY source, tot.total_tok, wsum.w_total
+    ),
+    sel AS (
+      SELECT d.source, d.tok,
+             sum(d.tok) OVER (PARTITION BY d.source
+                              ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                             ) AS cum,
+             b.budget
+      FROM d JOIN b ON d.source = b.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS kept_docs,
+           CAST(sum(tok) AS BIGINT) AS kept_tokens
+    FROM sel WHERE cum - tok < budget
+    GROUP BY source
+    """,
+    doc="Training-mix construction: select documents per source, in "
+    "content-addressed md5 order, until each source hits its token "
+    "budget (30% of the corpus, split by per-source weights — even "
+    "sources get 2x odd). operators/sampling.py::take_to_budget: "
+    "budgets are a broadcast (source, budget) table; the selection is "
+    "ONE window cumsum over the source shuffle — no driver loop, no "
+    "second pass; the boundary row is kept (budget = floor).",
+)
+def mix_to_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import take_to_budget
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        T.token_count("text").cast("long").alias("tok"),
+        F.when(
+            F.expr("CAST(substring(source, 4) AS INT)") % 2 == 0, F.lit(2.0)
+        )
+        .otherwise(F.lit(1.0))
+        .alias("w"),
+    )
+    tot = d.agg(F.sum("tok").alias("total_tok"))
+    per_src = d.groupBy("source").agg(F.min("w").alias("w"))
+    w_total = per_src.agg(F.sum("w").alias("w_total"))
+    budgets = (
+        per_src.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(w_total))
+        .select(
+            "source",
+            (
+                F.col("w") * F.lit(0.3) * F.col("total_tok") / F.col("w_total")
+            ).alias("budget"),
+        )
+    )
+    kept = take_to_budget(
+        d, "source", "tok", budgets,
+        order_key=F.concat(F.md5(F.col("doc_id").cast("string")),
+                           F.col("doc_id").cast("string")),
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.sum("tok").cast("long").alias("kept_tokens"),
+    )
+
+
+@register(
+    "docs_chunk_overlap",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks), 20)) AS start
+      FROM t
+    )
+    SELECT doc_id, CAST(start AS INT) AS start,
+           array_to_string(toks[start:start + 29], ' ') AS chunk_text,
+           CAST(least(30, len(toks) - start + 1) AS INT) AS chunk_tokens
+    FROM s
+    """,
+    doc="Document chunking with overlap (window 30 tokens, stride 20): "
+    "split + sequence + explode + slice + concat_ws — one narrow "
+    "codegen'd projection, zero shuffle, each doc fans out "
+    "independently. The standard context-window preprocessing step; at "
+    "100 TB this runs map-only and scales linearly with input splits.",
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(20))
+        ).alias("start"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("start").cast("int").alias("start"),
+        F.concat_ws(" ", F.slice("toks", F.col("start"), F.lit(30))).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(30), F.size("toks") - F.col("start") + 1)
+        .cast("int")
+        .alias("chunk_tokens"),
+    )
+
+
+@register(
+    "embedding_matryoshka_retention",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT vec_id,
+           sqrt(list_aggregate(list_transform(v[1:8], x -> x * x), 'sum'))
+             AS norm8,
+           sqrt(list_aggregate(list_transform(v[1:8], x -> x * x), 'sum'))
+             / sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+             AS retained
+    FROM e
+    """,
+    doc="Matryoshka-style truncation probe: L2 norm of the first 8 "
+    "dimensions and the fraction of the full norm it retains — the "
+    "metric that decides how far MRL embeddings can be truncated for "
+    "cheap first-stage retrieval. Pure higher-order-function "
+    "arithmetic (slice/transform/aggregate), zero shuffle, map-only.",
+)
+def embedding_matryoshka_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sq_sum = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm8 = F.sqrt(sq_sum(F.slice("v", 1, 8)))
+    norm_full = F.sqrt(sq_sum(F.col("v")))
+    return e.select(
+        "vec_id",
+        norm8.alias("norm8"),
+        (norm8 / norm_full).alias("retained"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
