@@ -604,3 +604,168 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample_n: int = 256,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the vector into ``m``
+    subspaces and Lloyd-iterate ``k`` centroids per subspace on a
+    deterministic corpus sample (first ``sample_n`` ids, init = first
+    ``k`` subvectors). The sample is bounded, so training cost is fixed
+    regardless of corpus size — at 100 TB you still collect only
+    ``sample_n`` rows; codebook quality converges long before full
+    coverage (same posture as ``kmeans_centroids``)."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    )
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books: list[list[list[float]]] = []
+    for i in range(m):
+        S = X[:, i * sub : (i + 1) * sub]
+        C = S[:k].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d2.argmin(1)
+            for c in range(k):
+                pts = S[a == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` uint8-sized centroid ids (64 dims of
+    float32 -> 8 bytes: a 32x compression of the candidate-scan state).
+    Arrow-batched ``mapInPandas``; the argmin per subspace is one BLAS
+    broadcast per batch — no per-row Python."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    Cs = [np.array(b, dtype=np.float64) for b in codebooks]
+
+    def enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            E = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(E), m), dtype=np.int32)
+            for i in range(m):
+                Ssub = E[:, i * sub : (i + 1) * sub]
+                d2 = ((Ssub[:, None, :] - Cs[i][None, :, :]) ** 2).sum(-1)
+                codes[:, i] = d2.argmin(1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": codes.tolist()})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def ann_topk_pq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 16,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ + asymmetric-distance (ADC) approximate top-k with exact rerank.
+
+    Each query precomputes an m x k table of squared distances from its
+    subvectors to every codebook centroid (driver-side, O(m*k*sub) —
+    queries are few). The table travels as a COLUMN on the broadcast
+    query side, so the candidate scan is a single JVM-side pass over the
+    8-byte codes — ``aggregate(sequence(0,m-1), acc + tab[i][code[i]])``
+    in codegen, never touching the float vectors. Top ``k*rerank_factor``
+    by ADC then rerank exactly with cosine on the shortlist only (the
+    ``ann_topk_int8`` two-stage pattern; PQ compresses 4x harder).
+    """
+    import numpy as np
+
+    if codebooks is None:
+        codebooks = pq_codebooks(embeddings, m=m, k=n_centroids,
+                                 id_col=id_col, vec_col=vec_col)
+    sub = len(codebooks[0][0])
+    enc = pq_encode(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    spark = embeddings.sparkSession
+    qtabs = []
+    for r in qrows:
+        qv = np.array(list(r[1]), dtype=np.float64)
+        tab = [
+            [
+                float(((qv[i * sub : (i + 1) * sub] - np.array(c)) ** 2).sum())
+                for c in codebooks[i]
+            ]
+            for i in range(len(codebooks))
+        ]
+        qtabs.append((int(r[0]), tab))
+    qdf = spark.createDataFrame(
+        qtabs, schema="query_id long, qtab array<array<double>>"
+    )
+
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(
+            F.element_at(F.col("qtab"), i + F.lit(1)),
+            F.element_at(F.col("codes"), i + F.lit(1)) + F.lit(1),
+        ),
+    )
+    cand = (
+        enc.withColumnRenamed(id_col, "neighbor_id")
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adist.alias("__adist"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("__adist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("__crank", F.row_number().over(wc))
+        .filter(F.col("__crank") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    nvec = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nv")
+    )
+    rer = (
+        shortlist.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn("__sim", cosine_similarity("__nv", "__qv"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -4739,6 +4739,22 @@ def embedding_matryoshka_retention(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "ann_topk_pq",
+    None,
+    doc="Product-quantization ANN: 8 subspaces x 16 centroids (Lloyd on a "
+    "bounded deterministic sample), vectors encoded to 8-byte codes "
+    "(32x state compression), asymmetric-distance candidate scan fully "
+    "JVM-side (per-query distance table rides as a column on the "
+    "broadcast query side), exact cosine rerank of the k*4 shortlist. "
+    "Rows-only check; recall contract in tests/test_ann_quality.py.",
+)
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return S.ann_topk_pq(e, q, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

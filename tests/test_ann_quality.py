@@ -76,3 +76,37 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark, emb, truth):
     # trained lists should do at least as well as the sampled quantizer's
     # floor at the same probe budget
     assert r >= 0.35, f"k-means IVF recall {r} below sanity floor"
+
+
+def test_pq_recall_vs_bruteforce(spark, emb, truth):
+    from mongo_iceberg_lakehouse_spark.operators.similarity import ann_topk_pq
+
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    rows = ann_topk_pq(emb, q, k=K, rerank_factor=4).collect()
+    r = _recall(rows, truth)
+    # 8x8-dim subspaces at 16 centroids on random vectors: the ADC
+    # shortlist at 4x overfetch recovers most true neighbors; exact
+    # rerank then orders them correctly. Conservative floor.
+    assert r >= 0.4, f"PQ recall {r} below sanity floor"
+
+
+def test_pq_rank_positions_exactly_ordered(spark, emb):
+    # within the returned rows, rank must follow exact cosine descending
+    from mongo_iceberg_lakehouse_spark.functions.vectors import cosine_similarity
+    from mongo_iceberg_lakehouse_spark.operators.similarity import ann_topk_pq
+
+    q = emb.filter(F.col("vec_id") < 2)
+    out = ann_topk_pq(emb, q, k=5)
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    qv = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    sims = (
+        out.join(nv, "neighbor_id").join(qv, "query_id")
+        .withColumn("sim", cosine_similarity("nv", "qv"))
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    by_q = {}
+    for r in sims:
+        by_q.setdefault(r.query_id, []).append(r.sim)
+    for q_id, s in by_q.items():
+        assert s == sorted(s, reverse=True), f"query {q_id} ranks not sim-ordered"
