@@ -149,3 +149,66 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         wedges.join(closing, ["u", "v"], "left_semi")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    iterations: int = 4,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over the
+    undirected graph, fixed ``iterations`` rounds. Returns
+    ``(node, community)``.
+
+    Every node starts labelled with its own id; each round it adopts the
+    most frequent label among its neighbors, ties broken by the smallest
+    label — fully deterministic, so the result is engine-independent and
+    SQL-mirrorable (unrolled CTEs, same posture as :func:`pagerank`).
+
+    Scale shape: the symmetric neighbor list is built once and persisted;
+    each round is ONE shuffle (neighbor-label counts keyed by node) plus a
+    per-node top-1 window over the per-(node,label) partial counts — the
+    count aggregation is map-side combined, so hub nodes ship one row per
+    distinct neighbor label, not one per neighbor edge.
+    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates the
+    growing self-referential plan exactly as in :func:`pagerank`.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nbr = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    nbr.count()  # warm the cache before the iteration loop
+    labels = nbr.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for i in range(iterations):
+        votes = (
+            nbr.alias("e")
+            .join(labels.alias("l"), F.col("e.dst") == F.col("l.node"))
+            .groupBy(
+                F.col("e.src").alias("node"), F.col("l.label").alias("label")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("label").alias("community"))

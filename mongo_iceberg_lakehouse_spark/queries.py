@@ -4755,6 +4755,189 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_pq(e, q, k=5)
 
 
+def _label_propagation_oracle(iterations: int = 4) -> str:
+    """Unrolled synchronous label propagation (same generated-CTE posture
+    as _pagerank_handoff_oracle — DuckDB recursive CTEs forbid the
+    aggregate-over-recursive-reference each round needs)."""
+    sql = """
+    WITH j AS (
+      SELECT o_orderkey, o_orderdate, o_custkey, c_nationkey, c_mktsegment
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT lag(o_custkey) OVER (PARTITION BY c_nationkey
+                 ORDER BY o_orderdate, o_orderkey) AS src,
+               o_custkey AS dst FROM j
+        UNION ALL
+        SELECT lag(o_custkey) OVER (PARTITION BY c_mktsegment
+                 ORDER BY o_orderdate, o_orderkey) AS src,
+               o_custkey AS dst FROM j
+      ) WHERE src IS NOT NULL AND src <> dst
+    ),
+    nbr AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM nbr)
+    """
+    for i in range(iterations):
+        sql += f""",
+    v{i} AS (SELECT n.src AS node, l.label, count(*) AS cnt
+             FROM nbr n JOIN l{i} l ON n.dst = l.node GROUP BY 1, 2),
+    l{i + 1} AS (SELECT node, label FROM (
+        SELECT node, label, row_number() OVER (
+            PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        FROM v{i}) WHERE rn = 1)
+    """
+    return sql + f"SELECT node AS custkey, label AS community FROM l{iterations}"
+
+
+@register(
+    "graph_label_propagation",
+    _label_propagation_oracle(),
+    doc="Synchronous label propagation (4 rounds) over the undirected "
+    "customer handoff graph (same edge construction as "
+    "pagerank_customer_handoff): every node adopts its neighbors' most "
+    "frequent label, ties to the smallest — deterministic community "
+    "detection. operators/graph.py::label_propagation persists the "
+    "symmetric neighbor list once, does ONE map-side-combined shuffle per "
+    "round (per-(node,label) counts, not per-edge rows) plus a per-node "
+    "top-1 window, and localCheckpoints every 2 rounds to bound plan "
+    "depth. Oracle = identical recurrence unrolled into CTEs.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "o_orderdate", "o_custkey", "c_nationkey", "c_mktsegment"
+    )
+    w_nat = Window.partitionBy("c_nationkey").orderBy("o_orderdate", "o_orderkey")
+    w_seg = Window.partitionBy("c_mktsegment").orderBy("o_orderdate", "o_orderkey")
+    edges = (
+        j.select(
+            F.lag("o_custkey").over(w_nat).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .unionByName(
+            j.select(
+                F.lag("o_custkey").over(w_seg).alias("src"),
+                F.col("o_custkey").alias("dst"),
+            )
+        )
+        .where(F.col("src").isNotNull())
+    )
+    out = label_propagation(edges, iterations=4, checkpoint_every=2)
+    return out.select(F.col("node").alias("custkey"), "community")
+
+
+@register(
+    "drift_psi_order_price",
+    """
+    WITH b AS (
+      SELECT least(CAST(floor(o_totalprice / 30000.0) AS INT), 9) AS bin,
+             CASE WHEN o_orderdate < DATE '1995-06-01' THEN 1 ELSE 0 END AS is_base
+      FROM orders
+    ),
+    g AS (
+      SELECT bin,
+             CAST(sum(is_base) AS BIGINT) AS n_base,
+             CAST(sum(1 - is_base) AS BIGINT) AS n_curr
+      FROM b GROUP BY bin
+    ),
+    p AS (
+      SELECT bin, n_base, n_curr,
+             (n_base + 0.5) / (sum(n_base) OVER () + 5.0) AS p_base,
+             (n_curr + 0.5) / (sum(n_curr) OVER () + 5.0) AS p_curr
+      FROM g
+    )
+    SELECT bin, n_base, n_curr, p_base, p_curr,
+           (p_base - p_curr) * ln(p_base / p_curr) AS psi_term,
+           sum((p_base - p_curr) * ln(p_base / p_curr)) OVER () AS psi_total
+    FROM p
+    """,
+    doc="Population-stability-index drift monitor: order-value "
+    "distribution before vs after 1995-06-01 over 10 fixed-width bins "
+    "(capped top bin), Laplace-smoothed (+0.5/bin) so one-sided bins "
+    "stay finite. Single scan: both periods' bin counts come from ONE "
+    "conditional aggregation (no per-period pass or self-join); the "
+    "normalizing totals and the PSI sum are windows over the 10-row "
+    "aggregate, so post-shuffle data is O(bins) regardless of input "
+    "scale. The canonical feature-drift gate for training pipelines.",
+)
+def drift_psi_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.least(
+            F.floor(F.col("o_totalprice") / F.lit(30000.0)).cast("int"), F.lit(9)
+        ).alias("bin"),
+        F.when(F.col("o_orderdate") < F.lit("1995-06-01").cast("date"), 1)
+        .otherwise(0)
+        .alias("is_base"),
+    )
+    g = o.groupBy("bin").agg(
+        F.sum("is_base").cast("long").alias("n_base"),
+        F.sum(F.lit(1) - F.col("is_base")).cast("long").alias("n_curr"),
+    )
+    everything = Window.partitionBy()
+    p = g.select(
+        "bin",
+        "n_base",
+        "n_curr",
+        (
+            (F.col("n_base") + F.lit(0.5))
+            / (F.sum("n_base").over(everything) + F.lit(5.0))
+        ).alias("p_base"),
+        (
+            (F.col("n_curr") + F.lit(0.5))
+            / (F.sum("n_curr").over(everything) + F.lit(5.0))
+        ).alias("p_curr"),
+    )
+    term = (F.col("p_base") - F.col("p_curr")) * F.log(
+        F.col("p_base") / F.col("p_curr")
+    )
+    return p.select(
+        "bin",
+        "n_base",
+        "n_curr",
+        "p_base",
+        "p_curr",
+        term.alias("psi_term"),
+        F.sum(term).over(everything).alias("psi_total"),
+    )
+
+
+@register(
+    "sample_group_reservoir",
+    """
+    SELECT event_type, event_id, value FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+      FROM events
+    ) WHERE rn <= 20
+    """,
+    doc="Per-group exact-k uniform reservoir (k=20 per event_type): rank "
+    "rows by md5(event_id) within each group and keep the first 20 — "
+    "content-addressed randomness, so the same 20 rows come back on any "
+    "engine, partitioning, or re-run (a seeded reservoir is neither). "
+    "One shuffle on the group key; the rank is a per-group TOP-k, so "
+    "with few groups at 100 TB pre-gate with an md5-prefix threshold "
+    "chosen to over-select >=k per group (e.g. keep hash < k*8/n_group "
+    "of the keyspace), then rank only the survivors — the window input "
+    "drops from the full table to a constant multiple of k*groups.",
+)
+def sample_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("event_type", "event_id", "value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

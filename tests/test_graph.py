@@ -79,3 +79,41 @@ def test_triangle_count_direction_and_dup_insensitive(spark):
         [(1, 2), (2, 1), (3, 2), (1, 3), (3, 3)], "src long, dst long"
     )
     assert triangle_count(df).collect()[0]["triangles"] == 1
+
+
+def _communities(spark, edges, **kw):
+    from mongo_iceberg_lakehouse_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["node"]: r["community"] for r in label_propagation(df, **kw).collect()}
+
+
+def test_lpa_two_cliques_bridge(spark):
+    # Two triangles joined by a single bridge 3-4: LPA separates them.
+    # (Hand-traced through 4 synchronous rounds with min-label tie-break:
+    # {1,2,3} -> 1 and {4,5,6} -> 3.)
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    c = _communities(spark, edges, iterations=4)
+    assert c[1] == c[2] == c[3]
+    assert c[4] == c[5] == c[6]
+    assert c[1] != c[4]
+
+
+def test_lpa_deterministic_and_direction_invariant(spark):
+    # Edge direction must not matter (symmetrized internally), and two
+    # runs must agree exactly (content-addressed tie-breaks, no RNG).
+    e1 = [(1, 2), (2, 3), (3, 1), (4, 5)]
+    e2 = [(2, 1), (3, 2), (1, 3), (5, 4)]
+    assert _communities(spark, e1, iterations=3) == _communities(
+        spark, e2, iterations=3
+    )
+
+
+def test_lpa_isolated_pair_oscillates_synchronously(spark):
+    # Synchronous LPA on a bipartite pair oscillates (the textbook
+    # property): one round swaps labels, two rounds restores them. The
+    # operator is *fixed-iteration* by design, so this is deterministic
+    # behavior, not a bug — callers pick an iteration count, and the
+    # oracle unrolls the identical recurrence.
+    assert _communities(spark, [(7, 9)], iterations=1) == {7: 9, 9: 7}
+    assert _communities(spark, [(7, 9)], iterations=2) == {7: 7, 9: 9}
