@@ -4938,6 +4938,42 @@ def sample_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udtf_sentence_split",
+    """
+    WITH s AS (SELECT doc_id, string_split(text, '. ') AS parts
+               FROM documents WHERE doc_id < 500),
+    u AS (SELECT doc_id,
+                 CAST(unnest(generate_series(1, len(parts))) AS INT) - 1
+                   AS sent_idx,
+                 unnest(parts) AS sentence
+          FROM s)
+    SELECT doc_id, sent_idx, sentence, CAST(length(sentence) AS INT) AS n_chars
+    FROM u
+    """,
+    doc="Python UDTF surface (Spark 4 @udtf + SQL LATERAL): per-document "
+    "sentence expansion through functions/udtfs.py::SentenceSplit, "
+    "Arrow-batched (useArrow=True). Covers the row->rows extension API "
+    "class — the eval loop is Python, so this is deliberately NOT the "
+    "hot path (docs_chunk_overlap is the HOF equivalent); use a UDTF "
+    "only when the expansion logic needs Python (external tokenizer, "
+    "parser lib). eval mirrors DuckDB string_split (literal, trailing "
+    "empties kept) so the lateral join is value-checked by the oracle.",
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM __udtf_docs d, LATERAL sentence_split(d.text) s
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
