@@ -4974,6 +4974,116 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "drift_ks_order_price",
+    """
+    WITH b AS (
+      SELECT least(CAST(floor(o_totalprice / 500.0) AS INT), 999) AS bin,
+             CASE WHEN o_orderdate < DATE '1995-06-01' THEN 1 ELSE 0 END AS is_base
+      FROM orders
+    ),
+    g AS (SELECT bin, sum(is_base) AS na, sum(1 - is_base) AS nb
+          FROM b GROUP BY bin),
+    c AS (SELECT bin, na, nb,
+                 CAST(sum(na) OVER (ORDER BY bin) AS DOUBLE)
+                   / sum(na) OVER () AS fa,
+                 CAST(sum(nb) OVER (ORDER BY bin) AS DOUBLE)
+                   / sum(nb) OVER () AS fb
+          FROM g)
+    SELECT max(abs(fa - fb)) AS ks_d,
+           CAST(sum(na) AS BIGINT) AS n_base,
+           CAST(sum(nb) AS BIGINT) AS n_curr
+    FROM c
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift statistic on the order-value "
+    "distribution (before vs after 1995-06-01), the rank-based companion "
+    "to drift_psi_order_price: D = max |ECDF_a - ECDF_b| over a 1000-bin "
+    "quantization. Scale shape: ONE conditional aggregation collapses "
+    "the table to <=1000 (bin, na, nb) rows — the only pass over the "
+    "data — and the ordered ECDF windows then run on that bounded "
+    "aggregate, so the unavoidable single-ordering step is O(bins), not "
+    "O(rows), at any input scale. Binning makes D an approximation with "
+    "error <= bin mass, the standard streaming-KS tradeoff.",
+)
+def drift_ks_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.least(
+            F.floor(F.col("o_totalprice") / F.lit(500.0)).cast("int"), F.lit(999)
+        ).alias("bin"),
+        F.when(F.col("o_orderdate") < F.lit("1995-06-01").cast("date"), 1)
+        .otherwise(0)
+        .alias("is_base"),
+    )
+    g = o.groupBy("bin").agg(
+        F.sum("is_base").alias("na"),
+        F.sum(F.lit(1) - F.col("is_base")).alias("nb"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    c = g.select(
+        "na",
+        "nb",
+        (F.sum("na").over(wcum).cast("double") / F.sum("na").over(wall)).alias("fa"),
+        (F.sum("nb").over(wcum).cast("double") / F.sum("nb").over(wall)).alias("fb"),
+    )
+    return c.agg(
+        F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks_d"),
+        F.sum("na").cast("long").alias("n_base"),
+        F.sum("nb").cast("long").alias("n_curr"),
+    )
+
+
+@register(
+    "timeseries_twap_user",
+    """
+    WITH h AS (
+      SELECT user_id, value,
+             CAST(date_diff('microsecond', CAST(ts AS TIMESTAMP),
+                    lead(CAST(ts AS TIMESTAMP)) OVER (
+                      PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id))
+                  AS DOUBLE) / 1000000.0 AS dur
+      FROM events
+    )
+    SELECT user_id,
+           sum(value * dur) / sum(dur) AS twap,
+           sum(dur) AS span_sec,
+           CAST(count(dur) AS BIGINT) AS n_holds
+    FROM h WHERE dur IS NOT NULL
+    GROUP BY user_id HAVING sum(dur) > 0
+    """,
+    doc="Time-weighted average per user (TimescaleDB time_weight / "
+    "kdb+ twap analog): each observation's value is held until the next "
+    "one (LOCF weighting), weight = hold duration, last point carries no "
+    "weight. lead() over (user_id; ts, event_id) — deterministic "
+    "tie-break, zero-duration ties contribute 0 to both sums — then one "
+    "per-user rollup sharing the same user_id shuffle as the window. "
+    "The honest average for irregularly-sampled series, where the plain "
+    "avg() overweights bursts.",
+)
+def timeseries_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = (
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")))
+        .cast("double") / 1_000_000.0
+    )
+    return (
+        e.select("user_id", "value", dur.alias("dur"))
+        .filter(F.col("dur").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.col("value") * F.col("dur")) / F.sum("dur")).alias("twap"),
+            F.sum("dur").alias("span_sec"),
+            F.count("dur").alias("n_holds"),
+        )
+        .filter(F.col("span_sec") > 0)
+        .select("user_id", "twap", "span_sec", "n_holds")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
