@@ -280,3 +280,46 @@ def salted_join(
         ),
     )
     return lhs.join(rhs, [key, "__salt"], how).drop("__salt")
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+) -> DataFrame:
+    """2-D Pareto skyline: keep rows not dominated on (``minimize`` low,
+    ``maximize`` high). Row q dominates p iff q is <= on the minimized
+    axis, >= on the maximized one, and strictly better on at least one;
+    exact duplicates dominate neither and are all kept. The
+    multi-objective filter behind best-effort data curation ("cheapest
+    doc at every quality level").
+
+    Scale shape: the naive formulation is the quadratic NOT EXISTS
+    self-join (that's the oracle, deliberately independent). Here the
+    table collapses first to one (value, best) row per distinct
+    ``minimize`` value — a map-side-combined aggregation, the only full
+    pass — and the running best over strictly-cheaper values is an
+    ordered window over that O(distinct-values) aggregate. A row
+    survives iff it matches its value's best AND beats every cheaper
+    value's best. Both lookup joins are on the tiny aggregate, so
+    Catalyst broadcasts them.
+    """
+    g = df.groupBy(F.col(minimize).alias("__v")).agg(
+        F.max(maximize).alias("__best")
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = g.select(
+        "__v", "__best", F.max("__best").over(w).alias("__best_cheaper")
+    )
+    out = df.join(
+        F.broadcast(r), df[minimize] == r["__v"]
+    ).filter(
+        (F.col(maximize) == F.col("__best"))
+        & (
+            F.col("__best_cheaper").isNull()
+            | (F.col("__best_cheaper") < F.col(maximize))
+        )
+    )
+    return out.select(*df.columns)

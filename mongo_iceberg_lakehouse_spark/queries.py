@@ -5084,6 +5084,108 @@ def timeseries_twap_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bfs_oracle(max_hops: int = 4) -> str:
+    """Unrolled frontier BFS (generated CTEs, same posture as the other
+    iterative oracles — DuckDB recursive CTEs can't express the
+    visited-set anti-join per round)."""
+    sql = """
+    WITH j AS (
+      SELECT o_orderkey, o_orderdate, o_custkey, c_nationkey, c_mktsegment
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT lag(o_custkey) OVER (PARTITION BY c_nationkey
+                 ORDER BY o_orderdate, o_orderkey) AS src,
+               o_custkey AS dst FROM j
+        UNION ALL
+        SELECT lag(o_custkey) OVER (PARTITION BY c_mktsegment
+                 ORDER BY o_orderdate, o_orderkey) AS src,
+               o_custkey AS dst FROM j
+      ) WHERE src IS NOT NULL AND src <> dst
+    ),
+    r0 AS (SELECT DISTINCT c_custkey AS node, 0 AS dist
+           FROM customer WHERE c_nationkey = 0),
+    f0 AS (SELECT node FROM r0)
+    """
+    for i in range(1, max_hops + 1):
+        sql += f""",
+    n{i} AS (SELECT DISTINCT e.dst AS node FROM edges e
+             JOIN f{i - 1} f ON e.src = f.node
+             WHERE e.dst NOT IN (SELECT node FROM r{i - 1})),
+    r{i} AS (SELECT node, dist FROM r{i - 1}
+             UNION ALL SELECT node, {i} AS dist FROM n{i}),
+    f{i} AS (SELECT node FROM n{i})
+    """
+    return sql + f"SELECT node AS custkey, dist FROM r{max_hops}"
+
+
+@register(
+    "graph_bfs_distance",
+    _bfs_oracle(),
+    doc="Hop distance (directed BFS, 4 rounds) from nation-0 customers "
+    "over the customer handoff graph. operators/graph.py::bfs_levels is "
+    "frontier-delta iteration — each round joins only the NEWLY found "
+    "frontier to the edges (O(frontier-adjacent edges) shuffle), with "
+    "one left_anti against the accumulated visited set, and "
+    "localCheckpoint bounding the union-grown plan — the shape that "
+    "keeps distributed BFS linear instead of quadratic in rounds. "
+    "Oracle = the identical frontier recurrence unrolled into CTEs.",
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import bfs_levels
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "o_orderdate", "o_custkey", "c_nationkey", "c_mktsegment"
+    )
+    w_nat = Window.partitionBy("c_nationkey").orderBy("o_orderdate", "o_orderkey")
+    w_seg = Window.partitionBy("c_mktsegment").orderBy("o_orderdate", "o_orderkey")
+    edges = (
+        j.select(
+            F.lag("o_custkey").over(w_nat).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .unionByName(
+            j.select(
+                F.lag("o_custkey").over(w_seg).alias("src"),
+                F.col("o_custkey").alias("dst"),
+            )
+        )
+        .where(F.col("src").isNotNull())
+    )
+    seeds = c.filter(F.col("c_nationkey") == 0).select("c_custkey")
+    out = bfs_levels(edges, seeds, max_hops=4, checkpoint_every=2)
+    return out.select(F.col("node").alias("custkey"), "dist")
+
+
+@register(
+    "skyline_parts",
+    """
+    SELECT p_partkey, p_retailprice, p_size FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+    doc="2-D Pareto skyline of parts (minimize retail price, maximize "
+    "size): the multi-objective curation filter. operators/relational.py"
+    "::skyline_2d collapses to one (price, best-size) row per distinct "
+    "price (the only full pass, map-side combined), takes a running best "
+    "over strictly-cheaper prices on that O(distinct) aggregate, and "
+    "broadcast-joins the verdict back — vs the oracle's DELIBERATELY "
+    "independent quadratic NOT EXISTS self-join, so the check is a real "
+    "cross-formulation proof, not a mirror.",
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import skyline_2d
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    return skyline_2d(p, "p_retailprice", "p_size")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

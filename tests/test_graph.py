@@ -117,3 +117,26 @@ def test_lpa_isolated_pair_oscillates_synchronously(spark):
     # oracle unrolls the identical recurrence.
     assert _communities(spark, [(7, 9)], iterations=1) == {7: 9, 9: 7}
     assert _communities(spark, [(7, 9)], iterations=2) == {7: 7, 9: 9}
+
+
+def test_bfs_frontier_levels_and_cap(spark):
+    from mongo_iceberg_lakehouse_spark.operators.graph import bfs_levels
+
+    # chain 1->2->3->4->5->6 with a shortcut 1->4
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_levels(e, seeds, max_hops=2).collect()}
+    # shortcut wins for 4; 5 is reached via the shortcut at hop 2; 6 is
+    # beyond the cap; 3 at hop 2.
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_bfs_seed_not_in_graph_is_dist_zero(spark):
+    from mongo_iceberg_lakehouse_spark.operators.graph import bfs_levels
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,), (1,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_levels(e, seeds, max_hops=3).collect()}
+    assert got == {99: 0, 1: 0, 2: 1}
