@@ -5186,6 +5186,233 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(p, "p_retailprice", "p_size")
 
 
+@register(
+    "anomaly_rolling_zscore",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             avg(value) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS mu,
+             stddev_samp(value) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sd,
+             count(value) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS nprev
+      FROM events
+    )
+    SELECT user_id, event_id, value, (value - mu) / sd AS z
+    FROM w WHERE nprev >= 5 AND abs((value - mu) / sd) > 3.0
+    """,
+    doc="Rolling z-score anomaly detection: each event scored against the "
+    "trailing 20 observations of ITS OWN user (mean/stddev over a "
+    "preceding-rows frame, current row excluded so the anomaly can't "
+    "mask itself), flagged at |z|>3 with a 5-observation warm-up. All "
+    "three rolling stats share ONE (user_id; ts, event_id) window sort — "
+    "a single shuffle; zero-variance windows yield NULL z and drop out "
+    "identically in both engines. The streaming-ready shape of "
+    "fleet-wide telemetry anomaly scoring.",
+)
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scored = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("value").over(w).alias("nprev"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter((F.col("nprev") >= 5) & (F.abs(z) > 3.0))
+        .select("user_id", "event_id", "value", z.alias("z"))
+    )
+
+
+@register(
+    "stat_ols_price_trend",
+    """
+    WITH p AS (
+      SELECT c_nationkey AS nation,
+             CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS DOUBLE) AS x,
+             o_totalprice AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    s AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM p GROUP BY nation
+    )
+    SELECT nation, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+    FROM s WHERE n * sxx - sx * sx <> 0
+    """,
+    doc="Per-nation OLS trend of order value over time (closed-form "
+    "simple regression): ONE map-side-combined aggregation collects the "
+    "five sufficient statistics (n, Sx, Sy, Sxx, Sxy); slope/intercept "
+    "are scalar arithmetic on the 25-row aggregate. The one-pass "
+    "sufficient-statistics shape is the only formulation that scales — "
+    "no residual pass, no matrix, no per-group collect. Degenerate "
+    "(zero-variance-x) groups are excluded identically in both engines.",
+)
+def stat_ols_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("nation"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    s = p.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    return (
+        s.filter(det != 0)
+        .select(
+            "nation",
+            "n",
+            slope.alias("slope"),
+            ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        )
+    )
+
+
+@register(
+    "outliers_mad_by_type",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type, d.med, d.mad,
+           CAST(sum(CASE WHEN abs(e.value - d.med) > 3.0 * 1.4826 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM events e JOIN dev d ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.med, d.mad
+    """,
+    doc="Median-absolute-deviation outlier gate per event type — the "
+    "robust alternative to mean/stddev (one wild value moves a z-score "
+    "gate's own threshold; the median/MAD gate it cannot). Three "
+    "aggregation passes (median -> MAD -> flag count), each reusing the "
+    "same event_type shuffle key; the per-type medians travel as a "
+    "broadcast join (5 rows). Exact interpolated percentile on both "
+    "engines (Spark percentile == DuckDB quantile_cont, verified "
+    "bit-for-bit on interpolated cases); 1.4826 = consistency constant "
+    "for normal data.",
+)
+def outliers_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    thr = F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    return (
+        e.join(F.broadcast(dev), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > thr, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select("event_type", "med", "mad", "n_outliers", "n_total")
+    )
+
+
+@register(
+    "survival_kaplan_meier",
+    """
+    WITH last AS (
+      SELECT user_id, max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_day
+      FROM events GROUP BY user_id
+    ),
+    d AS (SELECT last_day AS day, CAST(count(*) AS BIGINT) AS deaths
+          FROM last GROUP BY last_day),
+    r AS (
+      SELECT day, deaths,
+             CAST(sum(deaths) OVER (ORDER BY day DESC) AS BIGINT) AS at_risk
+      FROM d
+    )
+    SELECT day, deaths, at_risk,
+           exp(sum(ln(1.0 - CAST(deaths AS DOUBLE) / at_risk))
+                 OVER (ORDER BY day)) AS survival
+    FROM r WHERE deaths < at_risk
+    """,
+    doc="Kaplan-Meier survival curve of user lifetime: death day = a "
+    "user's last observed event day; at-risk(d) = users whose last day "
+    ">= d (a DESC cumulative sum — no self-join); S(d) = running product "
+    "of (1 - deaths/at_risk), computed as exp(sum(ln ...)) so the "
+    "product is an ordered-window SUM, the associative form engines can "
+    "run distributed. Input collapses to one row per user then one row "
+    "per DAY before any window touches it, so the ordered steps are "
+    "O(days). The terminal day (deaths == at_risk, survival 0) is "
+    "excluded on both sides — Spark ln(0) is NULL while DuckDB is -inf, "
+    "the one place the engines' math disagrees.",
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    last = e.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day")
+    )
+    d = last.groupBy(F.col("last_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("deaths")
+    )
+    w_desc = Window.orderBy(F.col("day").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = d.select(
+        "day",
+        "deaths",
+        F.sum("deaths").over(w_desc).cast("long").alias("at_risk"),
+    )
+    w_asc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = F.exp(
+        F.sum(
+            F.log(F.lit(1.0) - F.col("deaths").cast("double") / F.col("at_risk"))
+        ).over(w_asc)
+    )
+    return (
+        r.filter(F.col("deaths") < F.col("at_risk"))
+        .select("day", "deaths", "at_risk", surv.alias("survival"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
