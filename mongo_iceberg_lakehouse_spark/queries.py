@@ -5413,6 +5413,263 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_recursive_hierarchy",
+    """
+    WITH RECURSIVE up AS (
+      SELECT c_custkey, CAST(c_custkey AS BIGINT) AS anc, 0 AS depth
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, CAST(FLOOR(anc / 10.0) AS BIGINT) AS anc, depth + 1
+      FROM up WHERE anc >= 10
+    ),
+    roots AS (
+      SELECT c_custkey, anc AS root, depth FROM up WHERE anc < 10
+    )
+    SELECT r.root, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(r.depth) AS BIGINT) AS max_depth,
+           sum(c.c_acctbal) AS subtree_acctbal
+    FROM roots r JOIN customer c ON r.c_custkey = c.c_custkey
+    GROUP BY r.root
+    """,
+    doc="Hierarchy rollup via Spark 4's native WITH RECURSIVE (the "
+    "SQL-standard recursive CTE, new in Spark 4.0): each customer walks "
+    "up a synthetic decimal-digit org forest (parent = custkey div 10) "
+    "to its single-digit root, then the forest is aggregated per root "
+    "(member count, max depth, subtree balance). Recursion depth is "
+    "O(log10 keys) rounds, each round one narrow projection over the "
+    "still-walking rows — the iterative-union shape Spark executes "
+    "without any driver-side loop. Oracle = the identical recursive CTE "
+    "in DuckDB, a true cross-engine check of recursion semantics "
+    "(termination, UNION ALL accumulation, type unification).",
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE up AS (
+          SELECT c_custkey, CAST(c_custkey AS BIGINT) AS anc, 0 AS depth
+          FROM customer_rcte
+          UNION ALL
+          SELECT c_custkey, CAST(FLOOR(anc / 10.0) AS BIGINT) AS anc, depth + 1
+          FROM up WHERE anc >= 10
+        ),
+        roots AS (
+          SELECT c_custkey, anc AS root, depth FROM up WHERE anc < 10
+        )
+        SELECT r.root, CAST(count(*) AS BIGINT) AS n_members,
+               CAST(max(r.depth) AS BIGINT) AS max_depth,
+               sum(c.c_acctbal) AS subtree_acctbal
+        FROM roots r JOIN customer_rcte c ON r.c_custkey = c.c_custkey
+        GROUP BY r.root
+        """
+    )
+
+
+@register(
+    "digits_benford_prices",
+    """
+    WITH d AS (
+      SELECT CAST(FLOOR(o_totalprice / POW(10, FLOOR(LOG10(o_totalprice))))
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit)
+    SELECT digit, n,
+           n * 1.0 / sum(n) OVER () AS obs_share,
+           LOG10(1.0 + 1.0 / digit) AS exp_share,
+           POW(n * 1.0 / sum(n) OVER () - LOG10(1.0 + 1.0 / digit), 2)
+             / LOG10(1.0 + 1.0 / digit) AS chi2_term
+    FROM g
+    """,
+    doc="Benford's-law audit of order prices: leading digit extracted "
+    "arithmetically (floor(x / 10^floor(log10 x)) — no string round-trip), "
+    "observed share vs the log10(1+1/d) expectation, plus the per-digit "
+    "chi-square contribution — the classic fraud/synthetic-data detector "
+    "for financial columns. One map-side-combined 9-group aggregation; "
+    "the share window runs over the 9-row aggregate, so the "
+    "unpartitioned window is O(9), never O(rows).",
+)
+def digits_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10), F.floor(F.log10("o_totalprice")))
+    ).cast("long")
+    g = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy())
+    obs = F.col("n") * 1.0 / tot
+    exp_share = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return g.select(
+        "digit",
+        "n",
+        obs.alias("obs_share"),
+        exp_share.alias("exp_share"),
+        (F.pow(obs - exp_share, 2) / exp_share).alias("chi2_term"),
+    )
+
+
+@register(
+    "weighted_median_price",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT l_returnflag, min(v) AS wmedian
+    FROM w WHERE cum >= tot / 2.0
+    GROUP BY l_returnflag
+    """,
+    doc="Quantity-weighted (lower) median of line-item price per return "
+    "flag: the 'median unit actually shipped', not the median order "
+    "line. Cumulative weight along the price-sorted order crosses "
+    "half the total weight exactly once; min(v) over the qualifying "
+    "rows picks that crossing value with no second pass. Both window "
+    "specs share the l_returnflag partitioning — one shuffle; the "
+    "(price, orderkey, linenumber) sort key makes the cumsum, and hence "
+    "the result, fully deterministic under ties.",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    scored = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(w_cum).alias("cum"),
+        F.sum("l_quantity").over(w_tot).alias("tot"),
+    )
+    return (
+        scored.filter(F.col("cum") >= F.col("tot") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("wmedian"))
+    )
+
+
+@register(
+    "timeseries_ewma_user",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events
+    )
+    SELECT a.user_id, a.event_id,
+           sum(b.value * POW(0.6, a.rn - b.rn)) * (1.0 - 0.6)
+             / (1.0 - POW(0.6, LEAST(a.rn, 10))) AS ewma
+    FROM r a JOIN r b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn
+    GROUP BY a.user_id, a.event_id, a.rn
+    """,
+    doc="Trailing-10 exponentially weighted moving average of each "
+    "user's event values (decay 0.6, weights renormalized over the "
+    "observed frame so early rows aren't biased toward zero). Spark "
+    "side: collect_list over ONE ordered row-frame window, then a "
+    "JVM-side higher-order aggregate applies position weights — no "
+    "self-join, no Python, O(rows x 10) work on a single shuffle; the "
+    "normalizer is the closed-form geometric sum (1-d^n)/(1-d). Oracle "
+    "is the DELIBERATELY different O(rows x 10) band self-join "
+    "formulation, so parity is a cross-formulation proof.",
+)
+def timeseries_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    framed = e.select(
+        "user_id",
+        "event_id",
+        F.collect_list("value").over(w).alias("vals"),
+    )
+    num = F.expr(
+        "aggregate(zip_with(vals, sequence(1, size(vals)),"
+        " (v, i) -> v * pow(0.6, size(vals) - i)),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    den = F.lit(1.0) - F.pow(F.lit(0.6), F.size("vals"))
+    return framed.select(
+        "user_id",
+        "event_id",
+        (num * F.lit(0.4) / den).alias("ewma"),
+    )
+
+
+@register(
+    "skew_key_gini",
+    """
+    WITH k AS (
+      SELECT c_mktsegment AS segment, o_custkey AS kk,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_custkey
+    ),
+    r AS (
+      SELECT segment, cnt,
+             row_number() OVER (PARTITION BY segment ORDER BY cnt, kk) AS i,
+             count(*) OVER (PARTITION BY segment) AS n,
+             sum(cnt) OVER (PARTITION BY segment) AS tot,
+             max(cnt) OVER (PARTITION BY segment) AS maxc
+      FROM k
+    )
+    SELECT segment, CAST(max(n) AS BIGINT) AS n_keys,
+           2.0 * sum(i * cnt) / (max(n) * max(tot))
+             - (max(n) + 1.0) / max(n) AS gini,
+           max(maxc) * 1.0 / max(tot) AS top1_share
+    FROM r GROUP BY segment
+    """,
+    doc="Join-key skew diagnostics per market segment: Gini coefficient "
+    "of the orders-per-customer distribution (sorted-rank formula "
+    "2*sum(i*x_i)/(n*sum x) - (n+1)/n) plus the heaviest key's share of "
+    "all rows — the numbers that tell you whether a planned join/agg on "
+    "this key needs salting or AQE skew handling BEFORE you run it at "
+    "100 TB. Everything after the first per-key count runs on the "
+    "O(distinct keys) aggregate, all windows sharing one segment "
+    "partitioning.",
+)
+def skew_key_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    k = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("kk"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("segment")
+    r = k.select(
+        "segment",
+        "cnt",
+        F.row_number().over(w.orderBy("cnt", "kk")).alias("i"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cnt").over(w).alias("tot"),
+        F.max("cnt").over(w).alias("maxc"),
+    )
+    return r.groupBy("segment").agg(
+        F.max("n").cast("long").alias("n_keys"),
+        (
+            F.lit(2.0) * F.sum(F.col("i") * F.col("cnt"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n")
+        ).alias("gini"),
+        (F.max("maxc") * F.lit(1.0) / F.max("tot")).alias("top1_share"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
