@@ -5670,6 +5670,321 @@ def skew_key_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "alloc_largest_remainder",
+    """
+    WITH l AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             sum(l_extendedprice) OVER (PARTITION BY l_orderkey) AS tot
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS target,
+             CAST(FLOOR(o_totalprice) AS BIGINT) * l_extendedprice / tot
+               AS share
+      FROM l JOIN orders ON l_orderkey = o_orderkey
+    ),
+    f AS (
+      SELECT l_orderkey, l_linenumber, target,
+             CAST(FLOOR(share) AS BIGINT) AS base,
+             share - FLOOR(share) AS frac,
+             CAST(sum(FLOOR(share)) OVER (PARTITION BY l_orderkey)
+                  AS BIGINT) AS base_sum
+      FROM s
+    )
+    SELECT l_orderkey, l_linenumber,
+           base + CASE WHEN row_number() OVER (PARTITION BY l_orderkey
+                          ORDER BY frac DESC, l_linenumber)
+                       <= target - base_sum THEN 1 ELSE 0 END AS alloc
+    FROM f
+    """,
+    doc="Largest-remainder (Hamilton) allocation: each order's integer "
+    "total is split across its line items proportional to extended "
+    "price so the parts sum EXACTLY to the whole — floor every "
+    "proportional share, then hand the leftover units to the largest "
+    "fractional remainders (line number breaks ties). The integer-exact "
+    "budget/revenue allocation every finance pipeline needs and naive "
+    "rounding gets wrong. All three windows share the l_orderkey "
+    "partitioning — one shuffle after the broadcast-joined order "
+    "totals; invariant sum(alloc)=target holds per order by "
+    "construction.",
+)
+def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    l = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.sum("l_extendedprice")
+        .over(Window.partitionBy("l_orderkey"))
+        .alias("tot"),
+    )
+    s = l.join(
+        o.select("o_orderkey", "o_totalprice"),
+        l["l_orderkey"] == o["o_orderkey"],
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("o_totalprice").cast("long").alias("target"),
+        (
+            F.floor("o_totalprice").cast("long")
+            * F.col("l_extendedprice")
+            / F.col("tot")
+        ).alias("share"),
+    )
+    f = s.select(
+        "l_orderkey",
+        "l_linenumber",
+        "target",
+        F.floor("share").cast("long").alias("base"),
+        (F.col("share") - F.floor("share")).alias("frac"),
+        F.sum(F.floor("share"))
+        .over(Window.partitionBy("l_orderkey"))
+        .cast("long")
+        .alias("base_sum"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(
+            F.col("frac").desc(), F.col("l_linenumber")
+        )
+    )
+    return f.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base")
+            + F.when(rn <= F.col("target") - F.col("base_sum"), 1).otherwise(0)
+        ).alias("alloc"),
+    )
+
+
+@register(
+    "changepoint_cusum_user",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, value,
+             CAST(ts AS TIMESTAMP) AS tts,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, event_id, n,
+             sum(value - mu) OVER (PARTITION BY user_id
+               ORDER BY tts, event_id ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM d
+    )
+    SELECT user_id, event_id AS cp_event_id, abs(cusum) AS max_abs_cusum,
+           CAST(n AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id, event_id, cusum, n,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY abs(cusum) DESC, event_id) AS r
+      FROM c
+    ) WHERE r = 1 AND n >= 20
+    """,
+    doc="CUSUM changepoint detection per user: cumulative sum of "
+    "deviations from the user's own mean peaks (in absolute value) at "
+    "the most likely level-shift point — the standard "
+    "distribution-shift locator for telemetry. Mean, running CUSUM, and "
+    "the argmax all ride the SAME user_id partitioning (one shuffle, "
+    "three window passes); users under 20 events are dropped as "
+    "too-short series. Ties in |cusum| break on event_id so the "
+    "reported changepoint is deterministic.",
+)
+def changepoint_cusum_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id")
+    d = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts",
+        F.avg("value").over(w_u).alias("mu"),
+        F.count(F.lit(1)).over(w_u).alias("n"),
+    )
+    w_cum = w_u.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select(
+        "user_id",
+        "event_id",
+        "n",
+        F.sum(F.col("value") - F.col("mu")).over(w_cum).alias("cusum"),
+    )
+    r = F.row_number().over(
+        w_u.orderBy(F.abs(F.col("cusum")).desc(), F.col("event_id"))
+    )
+    return (
+        c.withColumn("r", r)
+        .filter((F.col("r") == 1) & (F.col("n") >= 20))
+        .select(
+            "user_id",
+            F.col("event_id").alias("cp_event_id"),
+            F.abs(F.col("cusum")).alias("max_abs_cusum"),
+            F.col("n").cast("long").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "profile_orders_columns",
+    """
+    SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderdate) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+    """,
+    doc="Single-pass table profiler over every orders column: row count, "
+    "null count, exact distinct cardinality — the schema-wide data "
+    "profile a catalog/DQ layer publishes per snapshot. Spark side is "
+    "ONE aggregation (Catalyst plans the multi-column DISTINCTs with a "
+    "single Expand, not six scans) whose 18 scalars are unpivoted to "
+    "6 rows via stack; the oracle is the deliberately naive 6-scan "
+    "UNION ALL — same numbers, opposite plan shape, a real "
+    "cross-formulation check.",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col_name, n, n_null, n_distinct)"
+        )
+    )
+
+
+@register(
+    "text_tfidf_cosine_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks WHERE length(term) > 0 GROUP BY doc_id, term),
+    dfc AS (SELECT term, count(DISTINCT doc_id) AS dfc
+            FROM toks WHERE length(term) > 0 GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n AS DOUBLE) / dfc.dfc) AS wt
+      FROM tf JOIN dfc USING (term) CROSS JOIN n
+      WHERE dfc.dfc * 2 < n.n
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           sum(a.wt * b.wt) / (max(na.nrm) * max(nb.nrm)) AS cosine
+    FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+    JOIN nrm na ON na.doc_id = a.doc_id
+    JOIN nrm nb ON nb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING sum(a.wt * b.wt) / (max(na.nrm) * max(nb.nrm)) > 0.3
+    """,
+    doc="Sparse TF-IDF cosine similarity between document pairs via an "
+    "inverted-index join — the IR-style near-duplicate detector that "
+    "never materializes a dense vector: weights join themselves ON TERM "
+    "(posting lists), partial dot-products combine map-side, and the "
+    "pair survives at cosine > 0.3. Terms appearing in >= half the "
+    "corpus are pruned from the index FIRST — the stop-posting cut "
+    "that keeps the self-join linear in posting-list size instead of "
+    "quadratic in documents, which is what makes this shape viable at "
+    "100 TB. Norms arrive by broadcast.",
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfc = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        tf.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("dfc") * 2 < F.col("n"))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n").cast("double") / F.col("dfc"))).alias(
+                "wt"
+            ),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    a = w.alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dot"))
+    )
+    na = nrm.select(
+        F.col("doc_id").alias("d1"), F.col("nrm").alias("nrm1")
+    )
+    nb = nrm.select(
+        F.col("doc_id").alias("d2"), F.col("nrm").alias("nrm2")
+    )
+    return (
+        dots.join(F.broadcast(na), "d1")
+        .join(F.broadcast(nb), "d2")
+        .select(
+            "d1",
+            "d2",
+            (F.col("dot") / (F.col("nrm1") * F.col("nrm2"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") > 0.3)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
