@@ -5985,6 +5985,250 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_reset_cumsum",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, value,
+             CAST(ts AS TIMESTAMP) AS tts,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM events
+    )
+    SELECT user_id, event_id,
+           sum(value) OVER (PARTITION BY user_id, grp
+                            ORDER BY tts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_value
+    FROM g
+    """,
+    doc="Restartable running total: per-user cumulative value that "
+    "RESETS at every 'error' event — the counter/odometer pattern "
+    "(session spend, liquidity since last halt) that a plain window "
+    "cumsum cannot express. Two-level window algebra: an ordered count "
+    "of reset markers assigns each row an epoch id, then the cumsum "
+    "partitions by (user, epoch) — both windows hash-shuffle on "
+    "user_id so epoch refinement is a local re-sort, not a second "
+    "shuffle. The error row itself starts its epoch (its value is "
+    "counted after the reset), deterministically on both engines.",
+)
+def window_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w_marks = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts",
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w_marks)
+        .alias("grp"),
+    )
+    w_run = (
+        Window.partitionBy("user_id", "grp")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "user_id",
+        "event_id",
+        F.sum("value").over(w_run).alias("run_value"),
+    )
+
+
+@register(
+    "stat_chi2_segment_priority",
+    """
+    WITH ct AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_orderpriority
+    ),
+    m AS (
+      SELECT seg, pri, n,
+             sum(n) OVER (PARTITION BY seg) AS row_tot,
+             sum(n) OVER (PARTITION BY pri) AS col_tot,
+             sum(n) OVER () AS tot
+      FROM ct
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           sum(POW(n - row_tot * col_tot / (tot * 1.0), 2)
+               / (row_tot * col_tot / (tot * 1.0))) AS chi2,
+           CAST((count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1)
+                AS BIGINT) AS dof
+    FROM m
+    """,
+    doc="Chi-square test of independence between customer market segment "
+    "and order priority: contingency table by ONE hash aggregation, "
+    "then marginals via three windows over the tiny seg x pri "
+    "aggregate (25 cells — the windows never touch raw rows), and the "
+    "test statistic sum((O-E)^2/E) with its degrees of freedom. The "
+    "is-this-attribute-independent-of-that screen run across feature "
+    "pairs before any model training.",
+)
+def stat_chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ct = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = ct.select(
+        "seg",
+        "pri",
+        "n",
+        F.sum("n").over(Window.partitionBy("seg")).alias("row_tot"),
+        F.sum("n").over(Window.partitionBy("pri")).alias("col_tot"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    expected = F.col("row_tot") * F.col("col_tot") / (F.col("tot") * 1.0)
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.pow(F.col("n") - expected, 2) / expected).alias("chi2"),
+        (
+            (F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1)
+        ).cast("long").alias("dof"),
+    )
+
+
+@register(
+    "stat_mannwhitney_u",
+    """
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    r AS (
+      SELECT event_type, value,
+             (CAST(min(rn) OVER (PARTITION BY value) AS DOUBLE)
+              + max(rn) OVER (PARTITION BY value)) / 2.0 AS avg_rank
+      FROM (
+        SELECT event_type, value,
+               row_number() OVER (ORDER BY value) AS rn
+        FROM s
+      )
+    )
+    SELECT sum(CASE WHEN event_type = 'click' THEN avg_rank END)
+             - n1 * (n1 + 1) / 2.0 AS u_click,
+           CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view
+    FROM r CROSS JOIN (
+      SELECT CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS n1,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS n2
+      FROM s
+    )
+    GROUP BY n1, n2
+    """,
+    doc="Mann-Whitney U (Wilcoxon rank-sum) statistic comparing click vs "
+    "view value distributions — the nonparametric A/B test that needs "
+    "no normality assumption. Midrank tie handling the distributed "
+    "way: global row_number over value, then min/max of that number "
+    "within each tied value group average to the textbook midrank — "
+    "no dense collect, ties resolved by window algebra. U = R1 - "
+    "n1(n1+1)/2 from the rank sum; group sizes ride along via a "
+    "broadcast 1-row cross join.",
+)
+def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type").isin("click", "view")).select(
+        "event_type", "value"
+    )
+    rn = s.select(
+        "event_type",
+        "value",
+        F.row_number().over(Window.orderBy("value")).alias("rn"),
+    )
+    w_v = Window.partitionBy("value")
+    r = rn.select(
+        "event_type",
+        (
+            (F.min("rn").over(w_v).cast("double") + F.max("rn").over(w_v))
+            / 2.0
+        ).alias("avg_rank"),
+    )
+    sizes = s.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double")
+        .alias("n2"),
+    )
+    return (
+        r.crossJoin(F.broadcast(sizes))
+        .groupBy("n1", "n2")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "click", F.col("avg_rank")
+                    )
+                )
+                - F.col("n1") * (F.col("n1") + 1) / 2.0
+            ).alias("u_click"),
+        )
+        .select(
+            "u_click",
+            F.col("n1").cast("long").alias("n_click"),
+            F.col("n2").cast("long").alias("n_view"),
+        )
+    )
+
+
+@register(
+    "user_event_entropy",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (
+      SELECT user_id, event_type, cnt,
+             sum(cnt) OVER (PARTITION BY user_id) AS tot
+      FROM c
+    )
+    SELECT user_id,
+           -sum((cnt * 1.0 / tot) * ln(cnt * 1.0 / tot)) AS entropy,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(max(tot) AS BIGINT) AS n_events
+    FROM t GROUP BY user_id
+    """,
+    doc="Shannon entropy of each user's event-type mix — the behavioral "
+    "diversity feature (0 = single-minded, ln(k) = uniform over k "
+    "types) used for bot filtering and engagement segmentation. One "
+    "map-side-combined (user, type) count, per-user totals via a "
+    "window over that O(users x 5) aggregate, then the entropy "
+    "aggregate — the raw event table is touched exactly once.",
+)
+def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = c.select(
+        "user_id",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("user_id")).alias("tot"),
+    )
+    p = F.col("cnt") * 1.0 / F.col("tot")
+    return t.groupBy("user_id").agg(
+        (-F.sum(p * F.log(p))).alias("entropy"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.max("tot").cast("long").alias("n_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
