@@ -6132,57 +6132,50 @@ def stat_chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Mann-Whitney U (Wilcoxon rank-sum) statistic comparing click vs "
     "view value distributions — the nonparametric A/B test that needs "
-    "no normality assumption. Midrank tie handling the distributed "
-    "way: global row_number over value, then min/max of that number "
-    "within each tied value group average to the textbook midrank — "
-    "no dense collect, ties resolved by window algebra. U = R1 - "
-    "n1(n1+1)/2 from the rank sum; group sizes ride along via a "
-    "broadcast 1-row cross join.",
+    "no normality assumption. Tie midranks computed WITHOUT ranking raw "
+    "rows: one hash aggregation collapses input to per-distinct-value "
+    "(click, view) counts, and midrank(v) = cum-count-before + "
+    "(cnt+1)/2 falls out of an ordered window over that O(distinct) "
+    "aggregate — the only ordered step never touches raw rows, so no "
+    "single-partition full-data sort. U = R1 - n1(n1+1)/2 closes it "
+    "out in a final 1-row aggregate. Oracle is the textbook "
+    "row_number-midrank formulation, a real cross-formulation proof.",
 )
 def stat_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     s = e.filter(F.col("event_type").isin("click", "view")).select(
         "event_type", "value"
     )
-    rn = s.select(
-        "event_type",
-        "value",
-        F.row_number().over(Window.orderBy("value")).alias("rn"),
-    )
-    w_v = Window.partitionBy("value")
-    r = rn.select(
-        "event_type",
-        (
-            (F.min("rn").over(w_v).cast("double") + F.max("rn").over(w_v))
-            / 2.0
-        ).alias("avg_rank"),
-    )
-    sizes = s.agg(
+    g = s.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
         .cast("double")
-        .alias("n1"),
+        .alias("c1"),
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
         .cast("double")
-        .alias("n2"),
+        .alias("c2"),
     )
-    return (
-        r.crossJoin(F.broadcast(sizes))
-        .groupBy("n1", "n2")
-        .agg(
-            (
-                F.sum(
-                    F.when(
-                        F.col("event_type") == "click", F.col("avg_rank")
-                    )
-                )
-                - F.col("n1") * (F.col("n1") + 1) / 2.0
-            ).alias("u_click"),
-        )
-        .select(
-            "u_click",
-            F.col("n1").cast("long").alias("n_click"),
-            F.col("n2").cast("long").alias("n_view"),
-        )
+    w_prev = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cnt = F.col("c1") + F.col("c2")
+    r = g.select(
+        "c1",
+        "c2",
+        (
+            F.coalesce(F.sum(cnt).over(w_prev), F.lit(0.0))
+            + (cnt + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    return r.agg(
+        F.sum(F.col("c1") * F.col("avg_rank")).alias("r1"),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+    ).select(
+        (F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0).alias(
+            "u_click"
+        ),
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_view"),
     )
 
 
