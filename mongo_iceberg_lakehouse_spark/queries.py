@@ -6222,6 +6222,250 @@ def user_event_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "feature_winsorize",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, b.p05, b.p95,
+           avg(e.value) AS mean_raw,
+           avg(CASE WHEN e.value < b.p05 THEN b.p05
+                    WHEN e.value > b.p95 THEN b.p95
+                    ELSE e.value END) AS mean_winsorized,
+           CAST(sum(CASE WHEN e.value < b.p05 OR e.value > b.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.p05, b.p95
+    """,
+    doc="Winsorization (per-type P05/P95 clipping) for feature "
+    "robustness: exact interpolated percentile bounds per event type, "
+    "broadcast back (5 rows), and the clipped column aggregated "
+    "alongside the raw mean plus a count of affected rows — the "
+    "before/after report a feature-store job publishes when taming "
+    "heavy tails. Two passes over events, both map-side combined on "
+    "the same event_type key; no sort of raw data.",
+)
+def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    clipped = (
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+    )
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.avg("value").alias("mean_raw"),
+            F.avg(clipped).alias("mean_winsorized"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("p05"))
+                    | (F.col("value") > F.col("p95")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+        )
+        .select(
+            "event_type", "p05", "p95", "mean_raw", "mean_winsorized",
+            "n_clipped",
+        )
+    )
+
+
+@register(
+    "split_temporal_leakage",
+    """
+    WITH u AS (
+      SELECT event_type, user_id,
+             max(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-22'
+                      THEN 1 ELSE 0 END) AS has_train,
+             max(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-22'
+                      THEN 1 ELSE 0 END) AS has_test
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(sum(has_train) AS BIGINT) AS users_train,
+           CAST(sum(has_test) AS BIGINT) AS users_test,
+           CAST(sum(has_train * has_test) AS BIGINT) AS users_both,
+           sum(has_train * has_test) * 1.0 / count(*) AS leak_share
+    FROM u GROUP BY event_type
+    """,
+    doc="Temporal train/test split leakage report: cut the event stream "
+    "at 2024-01-22, then per event type count users seen only before, "
+    "only after, and on BOTH sides of the cut — the entity-overlap "
+    "audit that catches target leakage before a time-split model "
+    "train. ONE aggregation to per-(type, user) boolean flags, one "
+    "more to the report; no join, no distinct-set materialization.",
+)
+def split_temporal_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-22").cast("timestamp")
+    u = e.groupBy("event_type", "user_id").agg(
+        F.max(F.when(F.col("ts") < cut, 1).otherwise(0)).alias("has_train"),
+        F.max(F.when(F.col("ts") >= cut, 1).otherwise(0)).alias("has_test"),
+    )
+    both = F.col("has_train") * F.col("has_test")
+    return u.groupBy("event_type").agg(
+        F.sum("has_train").cast("long").alias("users_train"),
+        F.sum("has_test").cast("long").alias("users_test"),
+        F.sum(both).cast("long").alias("users_both"),
+        (F.sum(both) * 1.0 / F.count(F.lit(1))).alias("leak_share"),
+    )
+
+
+@register(
+    "negatives_sample_contrastive",
+    """
+    WITH inter AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    np AS (SELECT max(p_partkey) + 1 AS np FROM part),
+    cand AS (
+      SELECT i.user_id, j,
+             (i.user_id * 131071 + j * 524287) % np.np AS item
+      FROM (SELECT DISTINCT user_id FROM inter) i
+      CROSS JOIN np
+      CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS j)
+    ),
+    uniq AS (
+      SELECT user_id, item, min(j) AS j FROM cand GROUP BY user_id, item
+    ),
+    neg AS (
+      SELECT u.user_id, u.item, u.j FROM uniq u
+      LEFT JOIN inter i ON u.user_id = i.user_id AND u.item = i.item
+      WHERE i.user_id IS NULL
+    )
+    SELECT user_id, CAST(rank AS BIGINT) AS rank, item AS neg_partkey
+    FROM (
+      SELECT user_id, item,
+             row_number() OVER (PARTITION BY user_id ORDER BY j) AS rank
+      FROM neg
+    ) WHERE rank <= 4
+    """,
+    doc="Deterministic negative sampling for contrastive training: per "
+    "user, 12 pseudo-random candidate items from an arithmetic hash "
+    "((user*131071 + j*524287) mod n_items — engine-portable, seedless, "
+    "reproducible), collision-deduped, rejected against the user's "
+    "true interaction set by LEFT ANTI JOIN, first 4 survivors kept. "
+    "The candidate set is O(users x 12) — generated by explode, never "
+    "a users x catalog cross join — and the rejection anti-join "
+    "shuffles on (user, item) exactly once. The (user, positive, "
+    "negative) triple generator every embedding/two-tower trainer "
+    "needs at 100 TB.",
+)
+def negatives_sample_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    inter = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    np_ = p.agg((F.max("p_partkey") + 1).alias("np"))
+    users = inter.select("user_id").distinct()
+    cand = (
+        users.crossJoin(F.broadcast(np_))
+        .select(
+            "user_id",
+            "np",
+            F.explode(F.sequence(F.lit(0), F.lit(11))).alias("j"),
+        )
+        .select(
+            "user_id",
+            "j",
+            (
+                (F.col("user_id") * 131071 + F.col("j") * 524287)
+                % F.col("np")
+            ).alias("item"),
+        )
+    )
+    uniq = cand.groupBy("user_id", "item").agg(F.min("j").alias("j"))
+    neg = uniq.join(inter, ["user_id", "item"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy("j")
+    return (
+        neg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .select(
+            "user_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("item").alias("neg_partkey"),
+        )
+    )
+
+
+@register(
+    "trending_topk_sliding",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+               - k * INTERVAL '1 hour' AS window_start,
+             event_type
+      FROM events
+      CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k)
+    ),
+    c AS (
+      SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM w GROUP BY window_start, event_type
+    )
+    SELECT window_start, event_type, cnt, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT window_start, event_type, cnt,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY cnt DESC, event_type) AS rnk
+      FROM c
+    ) WHERE rnk <= 3
+    """,
+    doc="Trending top-3 event types per 6-hour SLIDING window (1-hour "
+    "hop) — the dashboard 'what's hot now' query. Spark side uses the "
+    "native F.window(ts, '6 hours', '1 hour') slide (each event lands "
+    "in its 6 covering windows inside the generated Expand — no "
+    "self-join), counts hash-aggregate with map-side partials, and the "
+    "per-window rank runs over the O(windows x 5 types) aggregate. "
+    "Oracle rebuilds the same slide arithmetically: hour-floor minus "
+    "k in 0..5 hours. Batch twin of the streaming sliding-window "
+    "operator, hop-aligned identically to Spark's epoch-anchored "
+    "windows.",
+)
+def trending_topk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.select(
+            F.window("ts", "6 hours", "1 hour").alias("win"), "event_type"
+        )
+        .groupBy(F.col("win.start").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "window_start",
+            "event_type",
+            "cnt",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
