@@ -6466,6 +6466,291 @@ def trending_topk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rfm_segmentation",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency,
+             CAST(count(*) AS BIGINT) AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    th AS (
+      SELECT quantile_cont(recency * 1.0, 0.4) AS r40,
+             quantile_cont(recency * 1.0, 0.8) AS r80,
+             quantile_cont(frequency * 1.0, 0.4) AS f40,
+             quantile_cont(monetary, 0.4) AS m40
+      FROM rfm
+    ),
+    lab AS (
+      SELECT CASE
+               WHEN recency <= r40 AND frequency > f40 AND monetary > m40
+                 THEN 'champion'
+               WHEN recency > r80 AND monetary > m40 THEN 'at_risk'
+               WHEN recency > r80 THEN 'hibernating'
+               ELSE 'regular' END AS segment,
+             recency, frequency, monetary
+      FROM rfm CROSS JOIN th
+    )
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+           avg(recency * 1.0) AS avg_recency_days,
+           avg(frequency * 1.0) AS avg_frequency,
+           avg(monetary) AS avg_monetary
+    FROM lab GROUP BY segment
+    """,
+    doc="RFM (recency/frequency/monetary) customer segmentation: one "
+    "aggregation to per-customer RFM, exact percentile thresholds "
+    "(P40/P80) computed once and broadcast as a 1-row dimension, "
+    "threshold CASE labels (champion / at-risk / hibernating / "
+    "regular), and the per-segment profile report. Threshold scoring "
+    "instead of a global ntile: no total-order sort of customers, so "
+    "the plan stays fully parallel — the choice that matters when "
+    "'customers' is 10^9 rows.",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("anchor"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.datediff("anchor", "last_order").alias("recency"),
+            "frequency",
+            "monetary",
+        )
+    )
+    th = rfm.agg(
+        F.percentile(F.col("recency") * 1.0, F.lit(0.4)).alias("r40"),
+        F.percentile(F.col("recency") * 1.0, F.lit(0.8)).alias("r80"),
+        F.percentile(F.col("frequency") * 1.0, F.lit(0.4)).alias("f40"),
+        F.percentile("monetary", F.lit(0.4)).alias("m40"),
+    )
+    lab = rfm.crossJoin(F.broadcast(th)).select(
+        F.when(
+            (F.col("recency") <= F.col("r40"))
+            & (F.col("frequency") > F.col("f40"))
+            & (F.col("monetary") > F.col("m40")),
+            "champion",
+        )
+        .when(
+            (F.col("recency") > F.col("r80"))
+            & (F.col("monetary") > F.col("m40")),
+            "at_risk",
+        )
+        .when(F.col("recency") > F.col("r80"), "hibernating")
+        .otherwise("regular")
+        .alias("segment"),
+        "recency",
+        "frequency",
+        "monetary",
+    )
+    return lab.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.avg(F.col("recency") * 1.0).alias("avg_recency_days"),
+        F.avg(F.col("frequency") * 1.0).alias("avg_frequency"),
+        F.avg("monetary").alias("avg_monetary"),
+    )
+
+
+@register(
+    "pareto_revenue_share",
+    """
+    WITH rev AS (
+      SELECT c_mktsegment AS segment, o_custkey, sum(o_totalprice) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, o_custkey
+    ),
+    r AS (
+      SELECT segment, rev,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY rev DESC, o_custkey) AS rn,
+             sum(rev) OVER (PARTITION BY segment
+                            ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(rev) OVER (PARTITION BY segment) AS tot,
+             count(*) OVER (PARTITION BY segment) AS cnt
+      FROM rev
+    )
+    SELECT segment, CAST(max(cnt) AS BIGINT) AS n_customers,
+           CAST(min(CASE WHEN cum >= 0.8 * tot THEN rn END) AS BIGINT)
+             AS n_for_80pct,
+           min(CASE WHEN cum >= 0.8 * tot THEN rn END) * 1.0 / max(cnt)
+             AS share_for_80pct,
+           sum(CASE WHEN rn <= CEIL(0.2 * cnt) THEN rev ELSE 0 END)
+             / max(tot) AS top20_rev_share
+    FROM r GROUP BY segment
+    """,
+    doc="Pareto concentration analysis per market segment: how few "
+    "customers carry 80% of revenue, and what share the top-20% hold "
+    "— the 80/20 health check behind account prioritization. Ranking, "
+    "running revenue, totals and counts all share ONE segment-keyed "
+    "window sort over the per-customer aggregate (already 1000x "
+    "smaller than orders); the report falls out of conditional "
+    "aggregation, no second pass. Cumsum tie order is pinned by "
+    "(rev DESC, custkey) so the 80% crossing row is identical on both "
+    "engines bit-for-bit.",
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy("segment")
+    w_ord = w.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    r = rev.select(
+        "segment",
+        "rev",
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum("rev")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("rev").over(w).alias("tot"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    crossing = F.min(
+        F.when(F.col("cum") >= 0.8 * F.col("tot"), F.col("rn"))
+    )
+    return r.groupBy("segment").agg(
+        F.max("cnt").cast("long").alias("n_customers"),
+        crossing.cast("long").alias("n_for_80pct"),
+        (crossing * 1.0 / F.max("cnt")).alias("share_for_80pct"),
+        (
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.ceil(0.2 * F.col("cnt")), F.col("rev")
+                ).otherwise(0.0)
+            )
+            / F.max("tot")
+        ).alias("top20_rev_share"),
+    )
+
+
+@register(
+    "jackknife_mean_se",
+    """
+    WITH b AS (
+      SELECT o_orderkey % 10 AS bucket, sum(o_totalprice) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderkey % 10
+    ),
+    t AS (SELECT sum(s) AS st, sum(n) AS nt,
+                 CAST(count(*) AS BIGINT) AS nb FROM b),
+    loo AS (
+      SELECT (t.st - b.s) / (t.nt - b.n) AS mean_i, t.nb, t.st, t.nt
+      FROM b CROSS JOIN t
+    )
+    SELECT max(st / nt) AS mean,
+           sqrt((max(nb) - 1.0) / max(nb)
+                * sum(POW(mean_i - (SELECT avg(mean_i) FROM loo), 2)))
+             AS jackknife_se,
+           CAST(max(nb) AS BIGINT) AS n_buckets
+    FROM loo
+    """,
+    doc="Delete-a-group jackknife standard error of the mean order "
+    "price: rows land in 10 deterministic buckets (orderkey mod 10), "
+    "one aggregation produces per-bucket sums, and the 10 "
+    "leave-one-bucket-out means give the variance estimate — the "
+    "production-grade uncertainty quantification that replaces "
+    "row-level bootstrap at 100 TB (one pass over data, all "
+    "resampling algebra on a 10-row aggregate). SE formula: "
+    "sqrt((B-1)/B * sum((m_i - mbar)^2)).",
+)
+def jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    b = o.groupBy((F.col("o_orderkey") % 10).alias("bucket")).agg(
+        F.sum("o_totalprice").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    t = b.agg(
+        F.sum("s").alias("st"),
+        F.sum("n").alias("nt"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    loo = b.crossJoin(F.broadcast(t)).select(
+        ((F.col("st") - F.col("s")) / (F.col("nt") - F.col("n"))).alias(
+            "mean_i"
+        ),
+        "nb",
+        "st",
+        "nt",
+    )
+    mbar = loo.agg(F.avg("mean_i").alias("mbar"))
+    return (
+        loo.crossJoin(F.broadcast(mbar))
+        .agg(
+            F.max(F.col("st") / F.col("nt")).alias("mean"),
+            F.sqrt(
+                (F.max("nb") - 1.0)
+                / F.max("nb")
+                * F.sum(F.pow(F.col("mean_i") - F.col("mbar"), 2))
+            ).alias("jackknife_se"),
+            F.max("nb").cast("long").alias("n_buckets"),
+        )
+    )
+
+
+@register(
+    "timeseries_xcorr_lags",
+    """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS n_click,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS n_purchase
+      FROM events GROUP BY 1
+    )
+    SELECT lag, corr(a.n_click, b.n_purchase) AS xcorr,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM daily a
+    CROSS JOIN (SELECT unnest(generate_series(-3, 3)) AS lag)
+    JOIN daily b ON b.day = a.day + lag * INTERVAL 1 DAY
+    GROUP BY lag
+    """,
+    doc="Lead-lag cross-correlation between the click and purchase "
+    "daily series at lags -3..+3 days — the does-traffic-predict-"
+    "conversion diagnostic. The raw stream collapses to ONE small "
+    "daily table (conditional aggregation, map-side combined) before "
+    "any correlation math; the 7 lags come from an exploded sequence "
+    "joined back to the daily table, so the quadratic part is O(days "
+    "x 7), never O(events). Sample corr on both engines.",
+)
+def timeseries_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double")
+        .alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("n_purchase"),
+    )
+    lags = spark.range(1).select(
+        F.explode(F.sequence(F.lit(-3), F.lit(3))).alias("lag")
+    )
+    a = daily.alias("a").crossJoin(F.broadcast(lags))
+    b = daily.alias("b")
+    joined = a.join(
+        b,
+        F.col("b.day")
+        == F.expr("date_add(a.day, CAST(lag AS INT))"),
+    )
+    return joined.groupBy("lag").agg(
+        F.corr(F.col("a.n_click"), F.col("b.n_purchase")).alias("xcorr"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
