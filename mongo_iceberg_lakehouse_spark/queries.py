@@ -6751,6 +6751,222 @@ def timeseries_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "revenue_mom_yoy",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             sum(o_totalprice) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           (revenue - lag(revenue, 1) OVER (ORDER BY month)) * 100.0
+             / lag(revenue, 1) OVER (ORDER BY month) AS mom_pct,
+           (revenue - lag(revenue, 12) OVER (ORDER BY month)) * 100.0
+             / lag(revenue, 12) OVER (ORDER BY month) AS yoy_pct
+    FROM m
+    """,
+    doc="Month-over-month and year-over-year revenue growth: the "
+    "standard finance trend report. Raw orders collapse to ONE "
+    "monthly aggregate first (map-side combined); the lag(1)/lag(12) "
+    "windows then order ~80 month-rows — the unpartitioned window "
+    "touches only the aggregate, never the fact table, which is what "
+    "makes a global-ordered window acceptable at any scale. Months "
+    "with no comparison period yield NULL growth on both engines.",
+)
+def revenue_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    prev1 = F.lag("revenue", 1).over(w)
+    prev12 = F.lag("revenue", 12).over(w)
+    return m.select(
+        "month",
+        "revenue",
+        ((F.col("revenue") - prev1) * 100.0 / prev1).alias("mom_pct"),
+        ((F.col("revenue") - prev12) * 100.0 / prev12).alias("yoy_pct"),
+    )
+
+
+@register(
+    "histogram_equiwidth",
+    """
+    WITH mm AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    b AS (
+      SELECT CAST(LEAST(FLOOR((value - lo) / ((hi - lo) / 20.0)), 19)
+                  AS BIGINT) AS bin,
+             lo, hi
+      FROM events CROSS JOIN mm
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS cnt,
+           max(lo + bin * (hi - lo) / 20.0) AS bin_lo,
+           max(lo + (bin + 1) * (hi - lo) / 20.0) AS bin_hi
+    FROM b GROUP BY bin
+    """,
+    doc="Equi-width 20-bin histogram of event values: global min/max "
+    "from one scalar aggregate broadcast back, arithmetic bin "
+    "assignment (the max value clamps into the last bin), per-bin "
+    "counts with computed bounds — the profile-pane histogram every "
+    "data tool draws, in two map-side-combined passes with no sort. "
+    "Bin edges are computed with the identical FP expression on both "
+    "engines, so boundary rows land identically.",
+)
+def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    mm = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    b = e.crossJoin(F.broadcast(mm)).select(
+        F.least(F.floor((F.col("value") - F.col("lo")) / width), F.lit(19))
+        .cast("long")
+        .alias("bin"),
+        "lo",
+        "hi",
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max(
+            F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / 20.0
+        ).alias("bin_lo"),
+        F.max(
+            F.col("lo")
+            + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / 20.0
+        ).alias("bin_hi"),
+    )
+
+
+@register(
+    "scalar_business_days",
+    """
+    WITH f AS (
+      SELECT o_orderkey, o_orderpriority,
+             5 * FLOOR(date_diff('day', DATE '1970-01-05',
+                                 CAST(ship AS DATE)) / 7.0)
+               + LEAST(date_diff('day', DATE '1970-01-05',
+                                 CAST(ship AS DATE)) % 7, 5)
+             - (5 * FLOOR(date_diff('day', DATE '1970-01-05',
+                                    CAST(o_orderdate AS DATE)) / 7.0)
+               + LEAST(date_diff('day', DATE '1970-01-05',
+                                 CAST(o_orderdate AS DATE)) % 7, 5))
+               AS busdays
+      FROM (
+        SELECT o_orderkey, o_orderpriority, o_orderdate,
+               min(l_shipdate) AS ship
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderkey, o_orderpriority, o_orderdate
+      )
+    )
+    SELECT o_orderpriority, avg(busdays * 1.0) AS avg_busdays,
+           CAST(max(busdays) AS BIGINT) AS max_busdays,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM f GROUP BY o_orderpriority
+    """,
+    doc="Business days from order to first shipment, closed form: "
+    "f(d) = 5*floor(n/7) + min(n mod 7, 5) counts weekdays since a "
+    "fixed Monday epoch (1970-01-05), so busdays = f(ship) - "
+    "f(order) — pure integer expression, no calendar explode, no "
+    "date-spine join, O(1) per row at any scale. Reported per order "
+    "priority (avg / max / count). The weekday convention (Sat+Sun "
+    "excluded) is encoded in arithmetic both engines evaluate "
+    "identically — no locale-dependent dayofweek anywhere.",
+)
+def scalar_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    base = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("ship"))
+    )
+    monday = F.lit("1970-01-05").cast("date")
+
+    def busday_index(col):
+        n = F.datediff(col.cast("date"), monday)
+        return 5 * F.floor(n / 7.0) + F.least(n % 7, F.lit(5))
+
+    f = base.select(
+        "o_orderpriority",
+        (busday_index(F.col("ship")) - busday_index(F.col("o_orderdate")))
+        .alias("busdays"),
+    )
+    return f.groupBy("o_orderpriority").agg(
+        F.avg(F.col("busdays") * 1.0).alias("avg_busdays"),
+        F.max("busdays").cast("long").alias("max_busdays"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    WITH pos AS (
+      SELECT label, p.pos, avg(embedding[p.pos]) AS c
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) p
+      GROUP BY label, p.pos
+    ),
+    nrm AS (
+      SELECT label, sqrt(sum(c * c)) AS nrm FROM pos GROUP BY label
+    )
+    SELECT a.label AS l1, b.label AS l2,
+           sum(a.c * b.c) / (max(na.nrm) * max(nb.nrm)) AS cosine
+    FROM pos a
+    JOIN pos b ON a.pos = b.pos AND a.label < b.label
+    JOIN nrm na ON na.label = a.label
+    JOIN nrm nb ON nb.label = b.label
+    GROUP BY a.label, b.label
+    """,
+    doc="Per-label embedding centroids and their pairwise cosine "
+    "similarity — the cluster-separation report for an embedding "
+    "space (labels whose centroids cosine ~1 are indistinguishable "
+    "to a classifier). Element-wise mean the distributed way: "
+    "posexplode to (label, dim, value), ONE hash aggregation to "
+    "label x 64 centroids, then all pairwise dots join on dim over "
+    "that tiny aggregate. No vector ever collects to the driver; "
+    "the posexplode shuffle is the only data-sized move.",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos0", "v")
+        )
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.avg("v").alias("c"))
+    )
+    nrm = pos.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a = pos.alias("a")
+    b = pos.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(F.col("a.label").alias("l1"), F.col("b.label").alias("l2"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = nrm.select(F.col("label").alias("l1"), F.col("nrm").alias("nrm1"))
+    nb = nrm.select(F.col("label").alias("l2"), F.col("nrm").alias("nrm2"))
+    return (
+        dots.join(F.broadcast(na), "l1")
+        .join(F.broadcast(nb), "l2")
+        .select(
+            "l1",
+            "l2",
+            (F.col("dot") / (F.col("nrm1") * F.col("nrm2"))).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
