@@ -6967,6 +6967,304 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view'
+                      THEN CAST(ts AS TIMESTAMP) END) AS first_view,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT date_diff('second', first_view, first_purchase) / 3600.0
+               AS hours_to_convert
+      FROM f
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           quantile_cont(hours_to_convert, 0.5) AS p50_hours,
+           quantile_cont(hours_to_convert, 0.9) AS p90_hours,
+           avg(hours_to_convert) AS mean_hours
+    FROM d
+    """,
+    doc="Time-to-convert distribution: first view -> first purchase "
+    "latency per user (users whose purchase precedes any view are "
+    "excluded as mis-attributed), summarized as P50/P90/mean hours — "
+    "the metric behind 'how long does the funnel take'. ONE "
+    "conditional-min aggregation per user (no event-pair self-join), "
+    "then exact interpolated percentiles over the per-user deltas; "
+    "the raw stream is read exactly once.",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    d = f.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            (
+                F.unix_timestamp("first_purchase")
+                - F.unix_timestamp("first_view")
+            )
+            / 3600.0
+        ).alias("hours_to_convert")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("hours_to_convert", F.lit(0.5)).alias("p50_hours"),
+        F.percentile("hours_to_convert", F.lit(0.9)).alias("p90_hours"),
+        F.avg("hours_to_convert").alias("mean_hours"),
+    )
+
+
+@register(
+    "timeseries_gapfill_linear",
+    """
+    WITH obs AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(min(day), max(day),
+                                             INTERVAL 1 DAY))::DATE AS day
+      FROM obs GROUP BY user_id
+    ),
+    j AS (
+      SELECT s.user_id, s.day, o.v,
+             CASE WHEN o.v IS NOT NULL THEN s.day END AS obs_day
+      FROM spine s LEFT JOIN obs o
+        ON s.user_id = o.user_id AND s.day = o.day
+    ),
+    w AS (
+      SELECT user_id, day, v,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(obs_day IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS pd,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(obs_day IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id, day,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + (nv - pv) * date_diff('day', pd, day)
+                       / date_diff('day', pd, nd)
+                ELSE coalesce(pv, nv) END AS v_filled,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS was_gap
+    FROM w
+    """,
+    doc="Linear-interpolation gap fill on each user's daily series: a "
+    "per-user date spine (sequence explode between the user's own min "
+    "and max day) left-joins the observations, then interpolated "
+    "values come from four IGNORE-NULLS window lookups (previous/next "
+    "observed value and day) sharing ONE (user_id; day) sort — "
+    "interior gaps get the linear blend, edges fall back to "
+    "nearest-observation. The LOCF upgrade a feature pipeline needs "
+    "when flat-fill biases trends; all windows ride a single shuffle.",
+)
+def timeseries_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.avg("value").alias("v"))
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    j = spine.join(obs, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        "v",
+        F.when(F.col("v").isNotNull(), F.col("day")).alias("obs_day"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    w = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last("obs_day", ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first("obs_day", ignorenulls=True).over(w_next).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
+        "day", "pd"
+    ) / F.datediff("nd", "pd")
+    return w.select(
+        "user_id",
+        "day",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
+        )
+        .otherwise(F.coalesce("pv", "nv"))
+        .alias("v_filled"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("long").alias(
+            "was_gap"
+        ),
+    )
+
+
+@register(
+    "topn_with_other",
+    """
+    WITH rev AS (
+      SELECT n_name AS nation, p_brand AS brand, sum(l_extendedprice) AS rev
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name, p_brand
+    ),
+    r AS (
+      SELECT nation, brand, rev,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY rev DESC, brand) AS rnk
+      FROM rev
+    )
+    SELECT nation,
+           CASE WHEN rnk <= 3 THEN brand ELSE 'OTHER' END AS brand_group,
+           sum(rev) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_brands
+    FROM r GROUP BY nation,
+             CASE WHEN rnk <= 3 THEN brand ELSE 'OTHER' END
+    """,
+    doc="Top-3 brands per supplier nation with everything else rolled "
+    "into an 'OTHER' bucket — the reporting idiom that keeps "
+    "dashboards readable without dropping the tail's mass. Facts "
+    "aggregate FIRST (nation x brand, map-side combined, dims joined "
+    "by broadcast), ranking runs on that small aggregate, and the "
+    "relabel + re-aggregate costs one more tiny shuffle. Rank ties "
+    "pin on brand name so the OTHER boundary is deterministic.",
+)
+def topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("p_brand").alias("brand")
+        )
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    w = Window.partitionBy("nation").orderBy(
+        F.col("rev").desc(), F.col("brand")
+    )
+    r = rev.withColumn("rnk", F.row_number().over(w))
+    grp = F.when(F.col("rnk") <= 3, F.col("brand")).otherwise("OTHER")
+    return r.groupBy("nation", grp.alias("brand_group")).agg(
+        F.sum("rev").alias("revenue"),
+        F.count(F.lit(1)).alias("n_brands"),
+    )
+
+
+@register(
+    "sample_pps_horvitz_thompson",
+    """
+    WITH sz AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    t AS (SELECT sum(n_orders) AS tot_n, sum(rev) AS true_total FROM sz),
+    p AS (
+      SELECT o_custkey, rev, true_total,
+             LEAST(1.0, 100.0 * n_orders / tot_n) AS pi,
+             ((o_custkey * 2654435761) % 1000003) / 1000003.0 AS u
+      FROM sz CROSS JOIN t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+           sum(rev / pi) AS ht_estimate,
+           max(true_total) AS true_total,
+           abs(sum(rev / pi) - max(true_total)) / max(true_total)
+             AS rel_err
+    FROM p WHERE u < pi
+    """,
+    doc="Probability-proportional-to-size sampling with the "
+    "Horvitz-Thompson total estimator: inclusion probability pi ~ "
+    "customer order count (expected sample ~100), membership decided "
+    "by a seedless multiplicative-hash uniform (engine-portable "
+    "integer arithmetic, reproducible run to run), and the revenue "
+    "total estimated as sum(y/pi) — reported next to the truth with "
+    "its relative error. The approximate-query-processing pattern "
+    "that answers 100 TB aggregates from a 0.1% sample with "
+    "quantified bias (HT is design-unbiased).",
+)
+def sample_pps_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    sz = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("rev"),
+    )
+    t = sz.agg(
+        F.sum("n_orders").alias("tot_n"),
+        F.sum("rev").alias("true_total"),
+    )
+    p = sz.crossJoin(F.broadcast(t)).select(
+        "rev",
+        "true_total",
+        F.least(
+            F.lit(1.0), 100.0 * F.col("n_orders") / F.col("tot_n")
+        ).alias("pi"),
+        (
+            ((F.col("o_custkey") * 2654435761) % 1000003) / 1000003.0
+        ).alias("u"),
+    )
+    est = F.sum(F.col("rev") / F.col("pi"))
+    return (
+        p.filter(F.col("u") < F.col("pi"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            est.alias("ht_estimate"),
+            F.max("true_total").alias("true_total"),
+            (
+                F.abs(est - F.max("true_total")) / F.max("true_total")
+            ).alias("rel_err"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
