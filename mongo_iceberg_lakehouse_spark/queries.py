@@ -71,20 +71,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "gold_sales_report",
     """
     SELECT o_orderstatus, o_orderpriority,
-           sum(o_totalprice) AS total_revenue,
+           round(sum(o_totalprice), 2) AS total_revenue,
            count(o_orderkey) AS order_count
     FROM orders
     GROUP BY o_orderstatus, o_orderpriority
     """,
     doc="Reference gold report shape (A1-A3 + O1): groupBy 2 keys, sum + "
-    "count, revenue-desc. gold_reporting.py:104-115.",
+    "count, revenue-desc. gold_reporting.py:104-115. The sum is rounded to "
+    "the source's 2-decimal grid: the true total is ON the grid, float "
+    "noise from partial-agg order is ~1e-9, so both engines recover the "
+    "bit-identical double regardless of combine order.",
 )
 def gold_sales_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy("o_orderstatus", "o_orderpriority")
         .agg(
-            F.sum("o_totalprice").alias("total_revenue"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
             F.count("o_orderkey").alias("order_count"),
         )
         .orderBy(F.col("total_revenue").desc())
@@ -210,12 +213,16 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            count(o_orderkey) AS order_count,
-           sum(o_totalprice) AS revenue,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
            count(DISTINCT c_custkey) AS customers
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
     """,
-    doc="Equi inner join fact->dim + grouped agg + distinct agg.",
+    doc="Equi inner join fact->dim + grouped agg + distinct agg. Revenue is "
+    "summed as DECIMAL(18,2): source prices carry exactly 2 decimal digits, "
+    "so decimal addition is exact and associative — bit-identical regardless "
+    "of partial-aggregation order, unlike a double sum whose 6-significant-"
+    "digit rendering can flip on a rounding boundary (r01 flake).",
 )
 def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -225,7 +232,7 @@ def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("order_count"),
-            F.sum("o_totalprice").alias("revenue"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
             F.countDistinct("c_custkey").alias("customers"),
         )
     )
@@ -235,7 +242,7 @@ def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_region_revenue",
     """
     SELECT r_name, n_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
            count(*) AS line_count
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -257,9 +264,9 @@ def join_broadcast_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("line_count"),
         )
     )
@@ -315,7 +322,7 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey,
            count(o_orderkey) AS orders_1995,
-           coalesce(sum(o_totalprice), 0.0) AS spent_1995
+           coalesce(round(sum(o_totalprice), 2), 0.0) AS spent_1995
     FROM customer c
     LEFT JOIN (SELECT * FROM orders
                WHERE o_orderdate >= TIMESTAMP '1995-01-01'
@@ -337,7 +344,9 @@ def join_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("orders_1995"),
-            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("spent_1995"),
+            F.coalesce(F.round(F.sum("o_totalprice"), 2), F.lit(0.0)).alias(
+                "spent_1995"
+            ),
         )
     )
 
@@ -410,7 +419,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     """
     SELECT o_orderstatus, o_orderpriority,
-           sum(o_totalprice) AS revenue, count(*) AS cnt
+           round(sum(o_totalprice), 2) AS revenue, count(*) AS cnt
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -419,7 +428,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("cnt")
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("cnt"),
     )
 
 
@@ -471,7 +481,7 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
            CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INT) AS hr,
-           count(*) AS events, sum(value) AS total_value
+           count(*) AS events, round(sum(value), 2) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -487,7 +497,10 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
         .groupBy("day", "hr")
-        .agg(F.count(F.lit(1)).alias("events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
     )
 
 
@@ -562,11 +575,11 @@ def scalar_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_event_values",
     """
     SELECT user_id,
-           sum(value) FILTER (WHERE event_type = 'click')    AS click,
-           sum(value) FILTER (WHERE event_type = 'error')    AS error,
-           sum(value) FILTER (WHERE event_type = 'purchase') AS purchase,
-           sum(value) FILTER (WHERE event_type = 'signup')   AS signup,
-           sum(value) FILTER (WHERE event_type = 'view')     AS view
+           round(sum(value) FILTER (WHERE event_type = 'click'), 2)    AS click,
+           round(sum(value) FILTER (WHERE event_type = 'error'), 2)    AS error,
+           round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+           round(sum(value) FILTER (WHERE event_type = 'signup'), 2)   AS signup,
+           round(sum(value) FILTER (WHERE event_type = 'view'), 2)     AS view
     FROM events
     GROUP BY user_id
     """,
@@ -578,7 +591,7 @@ def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id")
         .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
-        .agg(F.sum("value"))
+        .agg(F.round(F.sum("value"), 2))
     )
 
 
@@ -665,7 +678,7 @@ def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice < 300000 THEN 'medium'
                 ELSE 'large' END AS bucket,
            coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_label,
-           count(*) AS cnt, sum(o_totalprice) AS revenue
+           count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
     FROM orders
     GROUP BY 1, 2
     """,
@@ -682,7 +695,10 @@ def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.select(bucket.alias("bucket"), status.alias("status_label"), "o_totalprice")
         .groupBy("bucket", "status_label")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("revenue"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
     )
 
 
@@ -695,13 +711,15 @@ def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, o_custkey,
            CAST(row_number() OVER w AS INT) AS order_seq,
-           sum(o_totalprice) OVER w AS running_spend
+           round(sum(o_totalprice) OVER w, 2) AS running_spend
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     doc="Aggregate-over-window with explicit frame: per-customer running "
-    "spend (deterministic ordering => deterministic float accumulation).",
+    "spend, rounded to the source's 2-decimal grid so engine-specific "
+    "accumulation (sequential vs segment-tree) can't flip a rendering "
+    "boundary.",
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -716,7 +734,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
         .alias("order_seq"),
-        F.sum("o_totalprice").over(w).alias("running_spend"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
     )
 
 
@@ -804,7 +822,8 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, 'sum_qty' AS metric, sum(l_quantity) AS val
     FROM lineitem GROUP BY l_returnflag
     UNION ALL
-    SELECT l_returnflag, 'sum_price' AS metric, sum(l_extendedprice) AS val
+    SELECT l_returnflag, 'sum_price' AS metric, round(sum(l_extendedprice), 2)
+      AS val
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Unpivot/melt: wide per-flag measures back to long (metric, val) "
@@ -814,7 +833,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
         F.sum("l_quantity").alias("sum_qty"),
-        F.sum("l_extendedprice").alias("sum_price"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
     return wide.unpivot(
         ids=["l_returnflag"],
@@ -859,10 +878,10 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     """
     SELECT event_id, user_id,
-           sum(value) OVER (
+           round(sum(value) OVER (
              PARTITION BY user_id
              ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
-             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2)
              AS value_1h
     FROM events
     """,
@@ -877,7 +896,8 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return ev.select(
-        "event_id", "user_id", F.sum("value").over(w).alias("value_1h")
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w), 2).alias("value_1h"),
     )
 
 
@@ -1134,19 +1154,25 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,
-           sum(l_extendedprice) AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+             AS sum_charge,
            avg(l_quantity) AS avg_qty,
-           avg(l_extendedprice) AS avg_price,
-           avg(l_discount) AS avg_disc,
+           round(sum(l_extendedprice), 2) / count(*) AS avg_price,
+           round(sum(l_discount), 2) / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="Flagship: TPC-H Q1 pricing summary — full scan + pushdown filter + "
-    "8 aggregates over 2 grouping keys; the throughput headline.",
+    "8 aggregates over 2 grouping keys; the throughput headline. Money sums "
+    "are rounded to their exact decimal grid (2/4/6 digits — the true sums "
+    "are ON the grid, noise ~1e-9) and averages are decomposed as "
+    "rounded-sum/count, so both engines emit bit-identical doubles "
+    "regardless of partial-aggregation order. avg/sum of l_quantity stay "
+    "raw: integer-valued doubles sum exactly.",
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -1156,12 +1182,18 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias(
+                "sum_charge"
+            ),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.round(F.sum("l_discount"), 2) / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1171,7 +1203,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     """
     SELECT l_orderkey,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -1199,9 +1231,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -1211,7 +1243,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast_revenue",
     """
-    SELECT sum(l_extendedprice * l_discount) AS revenue
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -1227,7 +1259,11 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+        ).alias("revenue")
+    )
 
 
 @register(
@@ -1295,10 +1331,11 @@ def tpch_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14_promo_ratio",
     """
-    SELECT 100.0 * sum(CASE WHEN p_type LIKE 'ECONOMY%'
-                            THEN l_extendedprice * (1 - l_discount)
-                            ELSE 0.0 END)
-           / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
+    SELECT 100.0 * round(sum(CASE WHEN p_type LIKE 'ECONOMY%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END), 4)
+           / round(sum(l_extendedprice * (1 - l_discount)), 4)
+             AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-03-01'
       AND l_shipdate <  TIMESTAMP '1997-04-01'
@@ -1316,7 +1353,11 @@ def tpch_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            (F.lit(100.0) * F.sum(promo) / F.sum(net)).alias("promo_revenue_pct")
+            (
+                F.lit(100.0)
+                * F.round(F.sum(promo), 4)
+                / F.round(F.sum(net), 4)
+            ).alias("promo_revenue_pct")
         )
     )
 
@@ -1324,7 +1365,7 @@ def tpch_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q5_local_supplier_volume",
     """
-    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON c_custkey = o_custkey
@@ -1354,9 +1395,9 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
         )
     )
 
@@ -1365,8 +1406,9 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     "tpch_q8_market_share",
     """
     SELECT l_year,
-           sum(CASE WHEN supp_nation = 'NATION_0' THEN volume ELSE 0.0 END)
-             / sum(volume) AS mkt_share
+           round(sum(CASE WHEN supp_nation = 'NATION_0' THEN volume
+                          ELSE 0.0 END), 4)
+             / round(sum(volume), 4) AS mkt_share
     FROM (SELECT CAST(date_part('year', o_orderdate) AS INT) AS l_year,
                  l_extendedprice * (1 - l_discount) AS volume,
                  sn.n_name AS supp_nation
@@ -1401,12 +1443,15 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.groupBy("l_year").agg(
         (
-            F.sum(
-                F.when(F.col("supp_nation") == "NATION_0", F.col("volume")).otherwise(
-                    0.0
-                )
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_0", F.col("volume")
+                    ).otherwise(0.0)
+                ),
+                4,
             )
-            / F.sum("volume")
+            / F.round(F.sum("volume"), 4)
         ).alias("mkt_share")
     )
 
@@ -1415,7 +1460,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_type_ops",
     """
     WITH per_type AS (
-      SELECT user_id, event_type, sum(value) AS total
+      SELECT user_id, event_type, round(sum(value), 2) AS total
       FROM events GROUP BY user_id, event_type)
     SELECT user_id,
            CAST(count(*) AS INT) AS n_types,
@@ -1430,7 +1475,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     per_type = ev.groupBy("user_id", "event_type").agg(
-        F.sum("value").alias("total")
+        F.round(F.sum("value"), 2).alias("total")
     )
     mapped = per_type.groupBy("user_id").agg(
         F.map_from_entries(
@@ -1450,7 +1495,7 @@ def map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            CAST(date_part('year', l_shipdate) AS INT) AS l_year,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM lineitem
     JOIN orders   ON o_orderkey = l_orderkey
     JOIN customer ON c_custkey = o_custkey
@@ -1493,9 +1538,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
         )
     )
 
@@ -1504,7 +1549,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     """
     SELECT c_custkey, c_name, n_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1533,9 +1578,9 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
@@ -1574,7 +1619,7 @@ def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q17_small_qty_revenue",
     """
-    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    SELECT round(sum(l_extendedprice), 2) / 7.0 AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
       AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
@@ -1593,7 +1638,9 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(avg_qty, li.l_partkey == avg_qty.ap_partkey)
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg(
+            (F.round(F.sum("l_extendedprice"), 2) / 7.0).alias("avg_yearly")
+        )
     )
 
 
@@ -1633,7 +1680,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q19_disjunctive",
     """
-    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 21)
@@ -1664,9 +1711,9 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
         )
     )
 
@@ -1674,11 +1721,12 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q22_global_sales",
     """
-    SELECT cntrycode, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+    SELECT cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
     FROM (SELECT substring(c_name, 16, 2) AS cntrycode, c_acctbal
           FROM customer c
-          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                             WHERE c_acctbal > 0.0)
+          WHERE c_acctbal > (SELECT round(sum(c_acctbal), 2) / count(*)
+                             FROM customer WHERE c_acctbal > 0.0)
             AND NOT EXISTS (SELECT 1 FROM orders o
                             WHERE o.o_custkey = c.c_custkey
                               AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
@@ -1693,7 +1741,7 @@ def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("__avg_bal")
+        (F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1))).alias("__avg_bal")
     )
     # scalar broadcast-joined in, not collect()ed — keeps the plan fully
     # distributed (the scalar subquery shape Catalyst would build from SQL)
@@ -1708,7 +1756,7 @@ def tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum("c_acctbal").alias("totacctbal"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
 
@@ -2153,7 +2201,8 @@ def hypertable_rollup_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             round(sum(l_extendedprice * (1 - l_discount)), 4)
+               AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1997-04-01'
@@ -2171,9 +2220,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _t(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
-        )
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_revenue")
     )
     mx = revenue.agg(F.max("total_revenue").alias("__mx"))
     return (
@@ -2276,7 +2325,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q9_product_profit",
     """
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-           sum(l_extendedprice * (1 - l_discount)) AS sum_profit
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_profit
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN supplier ON s_suppkey = l_suppkey
@@ -2305,9 +2354,9 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_profit"
-            )
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_profit")
         )
     )
 
@@ -2316,7 +2365,8 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q11_important_parts",
     """
     WITH v AS (
-      SELECT l_partkey, sum(l_extendedprice * l_quantity) AS part_value
+      SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2)
+               AS part_value
       FROM lineitem
       JOIN supplier ON s_suppkey = l_suppkey
       JOIN nation ON n_nationkey = s_nationkey
@@ -2324,7 +2374,7 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_partkey)
     SELECT l_partkey, part_value
     FROM v
-    WHERE part_value > (SELECT sum(part_value) * 0.001 FROM v)
+    WHERE part_value > (SELECT round(sum(part_value), 2) * 0.001 FROM v)
     """,
     doc="TPC-H Q11 analog (inventory value from lineitem; no partsupp): "
     "grouped value per part HAVING > scalar-fraction-of-total subquery "
@@ -2340,9 +2390,15 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy("l_partkey")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2
+            ).alias("part_value")
+        )
     )
-    threshold = v.agg((F.sum("part_value") * F.lit(0.001)).alias("__thr"))
+    threshold = v.agg(
+        (F.round(F.sum("part_value"), 2) * F.lit(0.001)).alias("__thr")
+    )
     return (
         v.crossJoin(F.broadcast(threshold))
         .filter(F.col("part_value") > F.col("__thr"))
@@ -2604,7 +2660,7 @@ def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sample_stratified_events",
     """
-    SELECT event_type, count(*) AS cnt, sum(value) AS sum_value
+    SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
     FROM events
     WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) <
           CASE event_type WHEN 'click' THEN '8000'
@@ -2631,14 +2687,15 @@ def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         default=0.0625,
     )
     return kept.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value")
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
     )
 
 
 @register(
     "agg_salted_event_revenue",
     """
-    SELECT event_type, sum(value) AS sum_value, count(*) AS cnt
+    SELECT event_type, round(sum(value), 2) AS sum_value, count(*) AS cnt
     FROM events GROUP BY event_type
     """,
     doc="Skew-safe two-stage aggregation: 5 event types over the whole "
@@ -2651,7 +2708,9 @@ def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_salted_event_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
     out = R.salted_groupby_sum(ev, ["event_type"], "value", salt_buckets=32)
-    return out.select("event_type", F.col("sum_value"), "cnt")
+    return out.select(
+        "event_type", F.round(F.col("sum_value"), 2).alias("sum_value"), "cnt"
+    )
 
 
 @register(
@@ -2943,7 +3002,7 @@ def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, session_id,
            min(ts) AS session_start, max(ts) AS session_end,
            count(*) AS n_events,
-           sum(value) AS total_value
+           round(sum(value), 2) AS total_value
     FROM sess
     GROUP BY user_id, session_id
     """,
@@ -2961,7 +3020,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("total_value"),
+        F.round(F.sum("value"), 2).alias("total_value"),
     )
 
 
@@ -3481,7 +3540,7 @@ def streaming_view_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n_orders,
-           sum(o_totalprice) AS sum_price
+           round(sum(o_totalprice), 2) AS sum_price
     FROM resolved GROUP BY o_orderstatus
     """,
     doc="Merge-on-read resolution (Iceberg v2 / deletion-vector read path): "
@@ -3516,7 +3575,7 @@ def merge_on_read_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = merge_on_read(base, deltas, key="o_orderkey")
     return view.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum("o_totalprice").alias("sum_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
 
 
@@ -3760,7 +3819,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH a AS (
       SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-             sum(value) AS v
+             sum(CAST(value AS DECIMAL(18,2))) AS v
       FROM events GROUP BY 1, 2
     ), b AS (
       SELECT user_id, min(h) AS h0, max(h) AS h1 FROM a GROUP BY 1
@@ -3791,12 +3850,16 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "last(ignorenulls) over an unbounded-preceding frame. Two shuffles "
     "total: (user, bucket) for densify+join, user for the fill window. "
     "sum_filled depends on every carried value, so a wrong fill "
-    "mismatches the oracle.",
+    "mismatches the oracle. Bucket sums are DECIMAL(18,2) (source values "
+    "carry 2 decimal digits) so partial-agg order can't perturb the carried "
+    "value onto a 6-sig-digit rendering boundary.",
 )
 def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.timeseries import gapfill_locf
 
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
     filled = gapfill_locf(e, "user_id", "ts", "value")
     return filled.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_hours"),
@@ -4434,7 +4497,7 @@ def active_users_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_salted_lineitem_orders",
     """
     SELECT o_orderpriority,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
            CAST(count(*) AS BIGINT) AS line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -4456,7 +4519,9 @@ def join_salted_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = R.salted_join(li, o, "okey", num_salts=8)
     return joined.groupBy("o_orderpriority").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("line_count"),
     )
 
@@ -5675,7 +5740,8 @@ def skew_key_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH l AS (
       SELECT l_orderkey, l_linenumber, l_extendedprice,
-             sum(l_extendedprice) OVER (PARTITION BY l_orderkey) AS tot
+             round(sum(l_extendedprice) OVER (PARTITION BY l_orderkey), 2)
+               AS tot
       FROM lineitem
     ),
     s AS (
@@ -5717,9 +5783,9 @@ def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_extendedprice",
-        F.sum("l_extendedprice")
-        .over(Window.partitionBy("l_orderkey"))
-        .alias("tot"),
+        F.round(
+            F.sum("l_extendedprice").over(Window.partitionBy("l_orderkey")), 2
+        ).alias("tot"),
     )
     s = l.join(
         o.select("o_orderkey", "o_totalprice"),
@@ -5766,7 +5832,8 @@ def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT user_id, event_id, value,
              CAST(ts AS TIMESTAMP) AS tts,
-             avg(value) OVER (PARTITION BY user_id) AS mu,
+             round(sum(value) OVER (PARTITION BY user_id), 2)
+               / count(*) OVER (PARTITION BY user_id) AS mu,
              count(*) OVER (PARTITION BY user_id) AS n
       FROM events
     ),
@@ -5802,7 +5869,10 @@ def changepoint_cusum_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
         "ts",
-        F.avg("value").over(w_u).alias("mu"),
+        (
+            F.round(F.sum("value").over(w_u), 2)
+            / F.count(F.lit(1)).over(w_u)
+        ).alias("mu"),
         F.count(F.lit(1)).over(w_u).alias("n"),
     )
     w_cum = w_u.orderBy("ts", "event_id").rowsBetween(
@@ -5998,9 +6068,9 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, event_id,
-           sum(value) OVER (PARTITION BY user_id, grp
-                            ORDER BY tts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS run_value
+           round(sum(value) OVER (PARTITION BY user_id, grp
+                                  ORDER BY tts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS run_value
     FROM g
     """,
     doc="Restartable running total: per-user cumulative value that "
@@ -6037,7 +6107,7 @@ def window_reset_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "user_id",
         "event_id",
-        F.sum("value").over(w_run).alias("run_value"),
+        F.round(F.sum("value").over(w_run), 2).alias("run_value"),
     )
 
 
@@ -6474,7 +6544,7 @@ def trending_topk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
              date_diff('day', max(o_orderdate),
                        (SELECT max(o_orderdate) FROM orders)) AS recency,
              CAST(count(*) AS BIGINT) AS frequency,
-             sum(o_totalprice) AS monetary
+             round(sum(o_totalprice), 2) AS monetary
       FROM orders GROUP BY o_custkey
     ),
     th AS (
@@ -6497,7 +6567,7 @@ def trending_topk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
            avg(recency * 1.0) AS avg_recency_days,
            avg(frequency * 1.0) AS avg_frequency,
-           avg(monetary) AS avg_monetary
+           round(sum(monetary), 2) / count(*) AS avg_monetary
     FROM lab GROUP BY segment
     """,
     doc="RFM (recency/frequency/monetary) customer segmentation: one "
@@ -6517,7 +6587,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).alias("frequency"),
-            F.sum("o_totalprice").alias("monetary"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
         .crossJoin(F.broadcast(anchor))
         .select(
@@ -6555,7 +6625,9 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.avg(F.col("recency") * 1.0).alias("avg_recency_days"),
         F.avg(F.col("frequency") * 1.0).alias("avg_frequency"),
-        F.avg("monetary").alias("avg_monetary"),
+        (F.round(F.sum("monetary"), 2) / F.count(F.lit(1))).alias(
+            "avg_monetary"
+        ),
     )
 
 
@@ -6563,7 +6635,8 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pareto_revenue_share",
     """
     WITH rev AS (
-      SELECT c_mktsegment AS segment, o_custkey, sum(o_totalprice) AS rev
+      SELECT c_mktsegment AS segment, o_custkey,
+             round(sum(o_totalprice), 2) AS rev
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment, o_custkey
     ),
@@ -6571,10 +6644,10 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT segment, rev,
              row_number() OVER (PARTITION BY segment
                                 ORDER BY rev DESC, o_custkey) AS rn,
-             sum(rev) OVER (PARTITION BY segment
-                            ORDER BY rev DESC, o_custkey
-                            ROWS UNBOUNDED PRECEDING) AS cum,
-             sum(rev) OVER (PARTITION BY segment) AS tot,
+             round(sum(rev) OVER (PARTITION BY segment
+                                  ORDER BY rev DESC, o_custkey
+                                  ROWS UNBOUNDED PRECEDING), 2) AS cum,
+             round(sum(rev) OVER (PARTITION BY segment), 2) AS tot,
              count(*) OVER (PARTITION BY segment) AS cnt
       FROM rev
     )
@@ -6583,7 +6656,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_for_80pct,
            min(CASE WHEN cum >= 0.8 * tot THEN rn END) * 1.0 / max(cnt)
              AS share_for_80pct,
-           sum(CASE WHEN rn <= CEIL(0.2 * cnt) THEN rev ELSE 0 END)
+           round(sum(CASE WHEN rn <= CEIL(0.2 * cnt) THEN rev ELSE 0 END), 2)
              / max(tot) AS top20_rev_share
     FROM r GROUP BY segment
     """,
@@ -6603,7 +6676,7 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
     )
     w = Window.partitionBy("segment")
     w_ord = w.orderBy(F.col("rev").desc(), F.col("o_custkey"))
@@ -6611,10 +6684,11 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         "rev",
         F.row_number().over(w_ord).alias("rn"),
-        F.sum("rev")
-        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("cum"),
-        F.sum("rev").over(w).alias("tot"),
+        F.round(
+            F.sum("rev").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+            2,
+        ).alias("cum"),
+        F.round(F.sum("rev").over(w), 2).alias("tot"),
         F.count(F.lit(1)).over(w).alias("cnt"),
     )
     crossing = F.min(
@@ -6625,10 +6699,13 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         crossing.cast("long").alias("n_for_80pct"),
         (crossing * 1.0 / F.max("cnt")).alias("share_for_80pct"),
         (
-            F.sum(
-                F.when(
-                    F.col("rn") <= F.ceil(0.2 * F.col("cnt")), F.col("rev")
-                ).otherwise(0.0)
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("rn") <= F.ceil(0.2 * F.col("cnt")), F.col("rev")
+                    ).otherwise(0.0)
+                ),
+                2,
             )
             / F.max("tot")
         ).alias("top20_rev_share"),
@@ -6639,11 +6716,11 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jackknife_mean_se",
     """
     WITH b AS (
-      SELECT o_orderkey % 10 AS bucket, sum(o_totalprice) AS s,
+      SELECT o_orderkey % 10 AS bucket, round(sum(o_totalprice), 2) AS s,
              CAST(count(*) AS BIGINT) AS n
       FROM orders GROUP BY o_orderkey % 10
     ),
-    t AS (SELECT sum(s) AS st, sum(n) AS nt,
+    t AS (SELECT round(sum(s), 2) AS st, sum(n) AS nt,
                  CAST(count(*) AS BIGINT) AS nb FROM b),
     loo AS (
       SELECT (t.st - b.s) / (t.nt - b.n) AS mean_i, t.nb, t.st, t.nt
@@ -6668,11 +6745,11 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     b = o.groupBy((F.col("o_orderkey") % 10).alias("bucket")).agg(
-        F.sum("o_totalprice").alias("s"),
+        F.round(F.sum("o_totalprice"), 2).alias("s"),
         F.count(F.lit(1)).alias("n"),
     )
     t = b.agg(
-        F.sum("s").alias("st"),
+        F.round(F.sum("s"), 2).alias("st"),
         F.sum("n").alias("nt"),
         F.count(F.lit(1)).alias("nb"),
     )
@@ -6756,7 +6833,7 @@ def timeseries_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-             sum(o_totalprice) AS revenue
+             round(sum(o_totalprice), 2) AS revenue
       FROM orders GROUP BY 1
     )
     SELECT month, revenue,
@@ -6778,7 +6855,7 @@ def revenue_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     m = o.groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").alias("month")
-    ).agg(F.sum("o_totalprice").alias("revenue"))
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     w = Window.orderBy("month")
     prev1 = F.lag("revenue", 1).over(w)
     prev12 = F.lag("revenue", 12).over(w)
@@ -7146,7 +7223,8 @@ def timeseries_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topn_with_other",
     """
     WITH rev AS (
-      SELECT n_name AS nation, p_brand AS brand, sum(l_extendedprice) AS rev
+      SELECT n_name AS nation, p_brand AS brand,
+             round(sum(l_extendedprice), 2) AS rev
       FROM lineitem
       JOIN part ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -7161,7 +7239,7 @@ def timeseries_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT nation,
            CASE WHEN rnk <= 3 THEN brand ELSE 'OTHER' END AS brand_group,
-           sum(rev) AS revenue,
+           round(sum(rev), 2) AS revenue,
            CAST(count(*) AS BIGINT) AS n_brands
     FROM r GROUP BY nation,
              CASE WHEN rnk <= 3 THEN brand ELSE 'OTHER' END
@@ -7186,7 +7264,7 @@ def topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.col("p_brand").alias("brand")
         )
-        .agg(F.sum("l_extendedprice").alias("rev"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
     )
     w = Window.partitionBy("nation").orderBy(
         F.col("rev").desc(), F.col("brand")
@@ -7194,7 +7272,7 @@ def topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = rev.withColumn("rnk", F.row_number().over(w))
     grp = F.when(F.col("rnk") <= 3, F.col("brand")).otherwise("OTHER")
     return r.groupBy("nation", grp.alias("brand_group")).agg(
-        F.sum("rev").alias("revenue"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_brands"),
     )
 
@@ -7204,10 +7282,11 @@ def topn_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH sz AS (
       SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
-             sum(o_totalprice) AS rev
+             round(sum(o_totalprice), 2) AS rev
       FROM orders GROUP BY o_custkey
     ),
-    t AS (SELECT sum(n_orders) AS tot_n, sum(rev) AS true_total FROM sz),
+    t AS (SELECT sum(n_orders) AS tot_n, round(sum(rev), 2) AS true_total
+          FROM sz),
     p AS (
       SELECT o_custkey, rev, true_total,
              LEAST(1.0, 100.0 * n_orders / tot_n) AS pi,
@@ -7235,11 +7314,11 @@ def sample_pps_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     sz = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum("o_totalprice").alias("rev"),
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
     )
     t = sz.agg(
         F.sum("n_orders").alias("tot_n"),
-        F.sum("rev").alias("true_total"),
+        F.round(F.sum("rev"), 2).alias("true_total"),
     )
     p = sz.crossJoin(F.broadcast(t)).select(
         "rev",

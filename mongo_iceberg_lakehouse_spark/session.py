@@ -33,6 +33,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Fixture events.parquet uses nanosecond timestamps (see module docstring).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Newer fixture generations store TIMESTAMP(MICROS) with
+    # isAdjustedToUTC=false; infer it as TIMESTAMP_LTZ (session tz = UTC, so
+    # values are unchanged) because unix_micros() and streaming watermarks
+    # require LTZ, and DuckDB's naive TIMESTAMP compares identically.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 # Only honored at JVM launch (our own sessions; ignored for driver sessions).

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from ..session import tune
 
@@ -32,11 +33,20 @@ FIXTURE_TABLES = (
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` converted nanos-long -> microsecond timestamp."""
+    """events with ``ts`` normalized to a microsecond timestamp.
+
+    Fixture generations differ: some store ``ts`` as TIMESTAMP(NANOS)
+    (which Spark's reader rejects, so we read nanos-as-long and truncate),
+    newer ones store TIMESTAMP(MICROS) which Spark reads natively. Both
+    paths land on the exact value DuckDB's ``CAST(ts AS TIMESTAMP)`` yields.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # `ts div 1000` truncates ns -> us exactly like DuckDB CAST(ts AS TIMESTAMP)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # `ts div 1000` truncates ns -> us exactly like DuckDB's CAST
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -18,10 +18,14 @@ import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
 
-from mongo_iceberg_lakehouse_spark.streaming.events import EVENTS_RAW_SCHEMA
 from mongo_iceberg_lakehouse_spark.streaming.join import view_click_join
 
 from .conftest import SF_SMOKE
+
+EVENTS_TS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
 
 
 @pytest.fixture(scope="module")
@@ -31,7 +35,8 @@ def sliced_events_dir(tmp_path_factory):
     t = t.set_column(
         t.schema.get_field_index("ts"),
         "ts",
-        pc.cast(t["ts"], pa.int64()),
+        # normalize either fixture generation (ns or us) to TIMESTAMP(MICROS)
+        pc.cast(t["ts"], pa.timestamp("us"), safe=False),
     )
     t = t.sort_by("ts")
     n = t.num_rows
@@ -42,12 +47,11 @@ def sliced_events_dir(tmp_path_factory):
 
 
 def _streamed_pairs(spark, path: str):
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    events = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     q = (
         view_click_join(events)
         .writeStream.format("memory")
@@ -66,12 +70,7 @@ def test_multibatch_join_equals_batch(spark, sliced_events_dir):
     streamed, n_batches = _streamed_pairs(spark, sliced_events_dir)
     assert n_batches >= 4  # one per file: state crossed micro-batches
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.schema(EVENTS_RAW_SCHEMA)
-        .parquet(sliced_events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ev = spark.read.schema(EVENTS_TS_SCHEMA).parquet(sliced_events_dir)
     v = ev.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("u"), F.col("event_id").alias("view_id"),
         F.col("ts").alias("v_ts"),
