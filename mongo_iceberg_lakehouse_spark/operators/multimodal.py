@@ -95,6 +95,72 @@ def extract_features(df: DataFrame, use_codec: bool = False) -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+PNG_SIGNATURE = bytes.fromhex("89504e470d0a1a0a")
+
+PNG_META_SCHEMA = (
+    "doc_id bigint, width int, height int, bit_depth int, color_type int, "
+    "is_png boolean"
+)
+
+
+def synth_png_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic, spec-valid PNG header bytes per row (signature + IHDR),
+    built entirely JVM-side: ints become big-endian 4-byte words via
+    hex/lpad/unhex, body bytes come from the text column. Width/height are
+    pure functions of the id so an SQL oracle can reconstruct them without
+    parsing bytes. (CRC is zeroed: header parsers don't verify it.)"""
+
+    def be4(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    width = (F.lit(16) + F.pmod(F.col(id_col), F.lit(1024))).cast("long")
+    height = (F.lit(16) + F.pmod(F.col(id_col) * 7, F.lit(768))).cast("long")
+    payload = F.concat(
+        F.lit(PNG_SIGNATURE),
+        be4(F.lit(13)),                 # IHDR chunk length
+        F.lit(b"IHDR"),
+        be4(width),
+        be4(height),
+        F.lit(bytes([8, 2, 0, 0, 0])),  # bit depth 8, truecolor, no interlace
+        F.lit(bytes(4)),                # CRC placeholder
+        F.encode(F.col(text_col), "UTF-8"),
+    )
+    return df.select(F.col(id_col).alias("doc_id"), payload.alias("payload"))
+
+
+def decode_png_meta(df: DataFrame) -> DataFrame:
+    """REAL byte-level image-metadata decode (no codec library needed):
+    Arrow-batched ``mapInPandas`` that validates the 8-byte PNG signature and
+    parses width/height/bit-depth/color-type out of the IHDR chunk with
+    ``struct.unpack`` — the exact plumbing a PIL-backed decoder would use
+    (swap the parser body for ``Image.open`` when codecs exist; schema,
+    batching, and payload-dropping stay identical)."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                ok = len(b) >= 26 and b[:8] == PNG_SIGNATURE and b[12:16] == b"IHDR"
+                if ok:
+                    w, h = struct.unpack(">II", b[16:24])
+                    rows.append((int(doc_id), w, h, b[24], b[25], True))
+                else:
+                    rows.append((int(doc_id), None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "bit_depth", "color_type",
+                    "is_png",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=PNG_META_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-style frame sampling plumbing: emit (doc_id, frame_no) rows for
     every ``every_n``-th 'frame', where frame count is derived from payload

@@ -769,3 +769,35 @@ def ann_topk_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def maxsim_multivector(
+    corpus: DataFrame,
+    queries: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """ColBERT-style late-interaction MaxSim scoring.
+
+    A "document" is a GROUP of vectors (``group_col``) and the query is a
+    small multi-vector set; relevance is sum over query vectors of the max
+    cosine against any vector in the group — token-level matching that a
+    single pooled vector loses. Plan: broadcast the query set against the
+    corpus (|corpus| x |Q| narrow rows, never corpus x corpus), take the
+    per-(group, query-vector) max in one partial-aggregated shuffle keyed by
+    the group, then fold the handful of per-query maxima into the score —
+    a second shuffle on the same key that AQE coalesces. All cosine math is
+    JVM-side double HOFs (functions/vectors.py).
+    """
+    q = queries.select(F.col(qid_col), F.col(vec_col).alias("__qv"))
+    per_q = (
+        corpus.select(F.col(group_col), F.col(vec_col).alias("__cv"))
+        .join(F.broadcast(q))
+        .groupBy(group_col, qid_col)
+        .agg(F.max(cosine_similarity("__cv", "__qv")).alias("__best"))
+    )
+    return per_q.groupBy(group_col).agg(
+        F.sum("__best").alias("maxsim_score"),
+        F.count(F.lit(1)).alias("n_query_vecs"),
+    )

@@ -7344,6 +7344,157 @@ def sample_pps_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_lateral_topk_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey <= 200
+    """,
+    doc="LATERAL correlated subquery join (SQL:2016 / Spark 3.2+): top-2 "
+    "priciest orders per customer via a per-row dependent subquery with "
+    "ORDER BY ... LIMIT — the join family member Catalyst decorrelates "
+    "into a ranked window internally. Deterministic tiebreak on "
+    "o_orderkey.",
+)
+def join_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__lat_cust")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__lat_ord")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM __lat_cust c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM __lat_ord o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey <= 200
+        """
+    )
+
+
+@register(
+    "multimodal_png_decode",
+    """
+    SELECT doc_id,
+           CAST(16 + doc_id % 1024 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 768 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(2 AS INT) AS color_type,
+           TRUE AS is_png
+    FROM documents
+    """,
+    doc="REAL multimodal decode round-trip (no codec libs needed): "
+    "spec-valid PNG signature+IHDR bytes are synthesized JVM-side per doc "
+    "(operators/multimodal.py::synth_png_payload, dims a pure function of "
+    "doc_id), then parsed back byte-for-byte with struct.unpack inside an "
+    "Arrow-batched mapInPandas (decode_png_meta). The oracle reconstructs "
+    "the dims arithmetically, so a wrong build OR a wrong parse "
+    "mismatches. Payload is dropped at decode: downstream moves only "
+    "metadata.",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_png_meta, synth_png_payload
+
+    d = _t(spark, sf_dir, "documents")
+    return decode_png_meta(synth_png_payload(d))
+
+
+@register(
+    "ann_maxsim_multivector",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < 4),
+    s AS (
+      SELECT e.label, q.qid,
+             max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qv AS DOUBLE[]))) AS best
+      FROM embeddings e CROSS JOIN q
+      GROUP BY e.label, q.qid)
+    SELECT label, sum(best) AS maxsim_score,
+           CAST(count(*) AS BIGINT) AS n_query_vecs
+    FROM s GROUP BY label
+    """,
+    doc="ColBERT-style MaxSim late interaction: each label's vector set is "
+    "a multi-vector 'document', the 4-vector query scores it as "
+    "sum_q(max_d cos(q, d)) — token-level matching a pooled single vector "
+    "cannot express. Broadcast |Q| against the corpus (|C|x|Q| narrow "
+    "rows, never corpus x corpus), per-(label, qid) max then per-label "
+    "fold, both shuffles on the label key. "
+    "operators/similarity.py::maxsim_multivector.",
+)
+def ann_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return S.maxsim_multivector(e, q, group_col="label", qid_col="qid")
+
+
+@register(
+    "text_dup_ngram_spans",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+    g AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+          FROM w, LATERAL (SELECT unnest(generate_series(
+                             1, greatest(len(words) - 2, 0))) AS i) ii)
+    SELECT gram, n_docs, n_occ FROM (
+      SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             count(*) AS n_occ
+      FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+    ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 100
+    """,
+    doc="Cross-document duplicated-span mining (the suffix-array "
+    "train-set-dedup signal, bounded to word trigrams): every trigram "
+    "window per doc via sequence+slice HOFs (zero shuffle until the "
+    "groupBy), grams appearing in >= 2 distinct docs ranked by spread. "
+    "At 100 TB the same plan runs with hashed grams (xxhash64 of the "
+    "window) to keep the shuffle key 8 bytes; string form kept here for "
+    "the oracle.",
+)
+def text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i, 3), " "),
+    )
+    return (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), F.col("gram"))
+        .limit(100)
+    )
+
+
+@register(
+    "streaming_segment_counts",
+    """
+    SELECT c_mktsegment, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Stream-static dimension enrichment: the events STREAM broadcast-"
+    "joined to the static customer dim per micro-batch (no state, no "
+    "watermark needed on the static side), rolled up per segment. "
+    "availableNow + memory sink => batch-equivalent, oracle is the plain "
+    "join. streaming/join.py::run_stream_static_segment_counts.",
+)
+def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.join import run_stream_static_segment_counts
+
+    return run_stream_static_segment_counts(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -141,3 +141,46 @@ def run_view_click_join_available_now(
     q.awaitTermination()
     q.stop()
     return spark.table(query_name)
+
+
+def run_stream_static_segment_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_static_segment",
+) -> DataFrame:
+    """Stream-static join: the events STREAM enriched against the static
+    customer dimension (user_id -> c_custkey), rolled up to per-segment
+    event counts + distinct users.
+
+    The static side of a stream-static join is re-planned per micro-batch
+    and needs no watermark or state — Spark broadcasts the dim into each
+    batch; this is THE pattern for dimension enrichment in a 100 TB
+    streaming ingest (dims are small, facts stream). availableNow + memory
+    sink makes it batch-equivalent, so the plain SQL join is the oracle.
+    """
+    from pyspark.sql.functions import broadcast
+
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    events = read_events_stream(spark, sf_dir)
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = events.join(
+        broadcast(customers), events.user_id == customers.c_custkey
+    )
+    counts = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(query_name)
