@@ -257,3 +257,55 @@ def fuzzy_pairs_ed1(df: DataFrame, id_col: str, s_col: str) -> DataFrame:
         .distinct()
     )
     return cand.where(F.levenshtein("a_s", "b_s") <= 1).select("a_id", "b_id")
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query terms.
+
+    One explode+groupBy pass produces per-doc term frequencies and document
+    lengths; document frequencies and the average length are tiny aggregates
+    broadcast back (never a driver collect). idf uses the standard
+    ln(1 + (N - df + 0.5)/(df + 0.5)) form, so scores are always positive.
+    Scale shape: the only wide exchange is the (doc, term) aggregation; at
+    corpus scale the term filter prunes the exploded stream to |terms|
+    matches per doc before the shuffle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    dl = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__dl"))
+    n_avg = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    tf = (
+        toks.filter(F.col("__tok").isin(terms))
+        .groupBy("__id", "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "__tok")
+        .join(dl, "__id")
+        .crossJoin(F.broadcast(n_avg))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    denom = F.col("__tf") + k1 * (
+        1 - b + b * F.col("__dl") / F.col("__avgdl")
+    )
+    contrib = idf * F.col("__tf") * (k1 + 1) / denom
+    return (
+        scored.groupBy("__id")
+        .agg(F.sum(contrib).alias("bm25"))
+        .select(F.col("__id").alias(id_col), "bm25")
+    )

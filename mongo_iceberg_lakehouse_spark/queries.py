@@ -7495,6 +7495,175 @@ def streaming_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_static_segment_counts(spark, sf_dir)
 
 
+_BM25_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), toks_ne AS (SELECT * FROM toks WHERE tok <> ''),
+    dl AS (SELECT id, count(*) AS dl FROM toks_ne GROUP BY id),
+    na AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT id, tok, count(*) AS tf FROM toks_ne
+           WHERE tok IN ('hash', 'join', 'scan') GROUP BY id, tok),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.id, ln(1.0 + (na.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * (1.2 + 1) /
+               (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / na.avgdl))
+               AS contrib
+      FROM tf JOIN dfreq USING (tok) JOIN dl USING (id) CROSS JOIN na)
+    SELECT id AS doc_id, sum(contrib) AS bm25
+    FROM scored GROUP BY id
+"""
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    SELECT doc_id, bm25 FROM ({_BM25_ORACLE})
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    doc="Okapi BM25 keyword relevance (terms: hash/join/scan, k1=1.2 "
+    "b=0.75): per-doc tf + doc length in one explode pass, df and avgdl "
+    "as broadcast scalars, ln(1 + (N-df+.5)/(df+.5)) idf — top-20 with "
+    "doc_id tiebreak. operators/text.py::bm25_scores.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        T.bm25_scores(d, ["hash", "join", "scan"])
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "rank_fusion_rrf",
+    f"""
+    WITH bm AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                          AS INT) AS r_bm
+      FROM ({_BM25_ORACLE})
+    ),
+    ln_rank AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                          AS INT) AS r_len
+      FROM documents
+    ),
+    fused AS (
+      SELECT coalesce(bm.doc_id, ln_rank.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + r_bm), 0.0)
+               + coalesce(1.0 / (60 + r_len), 0.0) AS rrf
+      FROM bm FULL OUTER JOIN ln_rank ON bm.doc_id = ln_rank.doc_id)
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    doc="Reciprocal-rank fusion of two retrieval rankings (BM25 keyword "
+    "relevance + length prior): rrf = sum_i 1/(60 + rank_i), the "
+    "standard zero-tuning hybrid-search combiner. Each ranking is an "
+    "unpartitioned window over an already-aggregated per-doc frame (not "
+    "the token stream); full-outer join keeps docs ranked by only one "
+    "side.",
+)
+def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bm = T.bm25_scores(d, ["hash", "join", "scan"]).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("r_bm"),
+    )
+    ln_rank = d.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_chars").desc(), F.col("doc_id")))
+        .alias("r_len"),
+    )
+    fused = (
+        bm.join(ln_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_len")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(20)
+
+
+@register(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS curr_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type)
+    SELECT prev_type, curr_type, CAST(n AS BIGINT) AS n,
+           n * 1.0 / sum(n) OVER (PARTITION BY prev_type) AS p
+    FROM c
+    """,
+    doc="First-order Markov transition matrix of user event sequences: "
+    "lag() per user timeline (deterministic event_id tiebreak) -> bigram "
+    "counts -> row-normalized P(curr|prev) via a window over the tiny "
+    "25-cell aggregate. The sequence-prior profile used for session "
+    "simulation and anomaly scoring; counts are integers so the "
+    "probabilities are bit-identical across engines.",
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("curr_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return c.select(
+        "prev_type",
+        "curr_type",
+        "n",
+        (
+            F.col("n") * 1.0
+            / F.sum("n").over(Window.partitionBy("prev_type"))
+        ).alias("p"),
+    )
+
+
+@register(
+    "spatial_radius_pairs",
+    """
+    WITH p AS (
+      SELECT c_custkey AS id, c_custkey % 1000 AS x,
+             (c_custkey * 37) % 1000 AS y
+      FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25
+    """,
+    doc="Spatial radius join (all point pairs within distance 5) via 3x3 "
+    "grid-cell bucketing: each left point explodes to its neighbor cells "
+    "of side=radius, equi-join on the cell key, exact squared-distance "
+    "filter on candidates only — O(n * density) vs the oracle's O(n^2) "
+    "cross join. Projected integer coordinates (derived from custkey) "
+    "keep distance math exact. operators/spatial.py::radius_pairs_grid.",
+)
+def spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.spatial import radius_pairs_grid
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.pmod(F.col("c_custkey"), F.lit(1000)).alias("x"),
+        F.pmod(F.col("c_custkey") * 37, F.lit(1000)).alias("y"),
+    )
+    return radius_pairs_grid(c, radius=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
