@@ -161,6 +161,81 @@ def decode_png_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=PNG_META_SCHEMA)
 
 
+WAV_META_SCHEMA = (
+    "doc_id bigint, sample_rate int, channels int, bits_per_sample int, "
+    "n_data_bytes int, is_wav boolean"
+)
+
+
+def synth_wav_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic, spec-valid WAV (RIFF) header bytes per row, built
+    JVM-side. Little-endian words are assembled by byte-swapping the hex
+    string before unhex. Audio params are pure functions of the id so an
+    SQL oracle can reconstruct them; the 'audio data' is the text bytes."""
+
+    def le(c, nbytes):
+        h = F.lpad(F.hex(c), 2 * nbytes, "0")
+        swapped = F.concat(
+            *[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
+        )
+        return F.unhex(swapped)
+
+    rate = (F.lit(8000) + F.pmod(F.col(id_col), F.lit(8)) * 4000).cast("long")
+    channels = (F.lit(1) + F.pmod(F.col(id_col), F.lit(2))).cast("long")
+    bits = F.lit(16).cast("long")
+    data = F.encode(F.col(text_col), "UTF-8")
+    data_len = F.length(data).cast("long")
+    block_align = (channels * bits / 8).cast("long")
+    byte_rate = (rate * block_align).cast("long")
+    payload = F.concat(
+        F.lit(b"RIFF"), le(data_len + 36, 4), F.lit(b"WAVE"),
+        F.lit(b"fmt "), le(F.lit(16).cast("long"), 4),
+        le(F.lit(1).cast("long"), 2),      # PCM
+        le(channels, 2), le(rate, 4), le(byte_rate, 4),
+        le(block_align, 2), le(bits, 2),
+        F.lit(b"data"), le(data_len, 4),
+        data,
+    )
+    return df.select(F.col(id_col).alias("doc_id"), payload.alias("payload"))
+
+
+def decode_wav_meta(df: DataFrame) -> DataFrame:
+    """REAL audio-metadata decode: parse the RIFF/WAVE fmt chunk with
+    struct.unpack inside Arrow-batched mapInPandas — same plumbing a
+    soundfile-backed decoder would use (swap the body when codecs exist)."""
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                ok = (
+                    len(b) >= 44
+                    and b[:4] == b"RIFF"
+                    and b[8:12] == b"WAVE"
+                    and b[12:16] == b"fmt "
+                )
+                if ok:
+                    channels, rate = struct.unpack("<HI", b[22:28])
+                    bits = struct.unpack("<H", b[34:36])[0]
+                    ndata = struct.unpack("<I", b[40:44])[0]
+                    rows.append((int(doc_id), rate, channels, bits, ndata, True))
+                else:
+                    rows.append((int(doc_id), None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "bits_per_sample",
+                    "n_data_bytes", "is_wav",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=WAV_META_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-style frame sampling plumbing: emit (doc_id, frame_no) rows for
     every ``every_n``-th 'frame', where frame count is derived from payload

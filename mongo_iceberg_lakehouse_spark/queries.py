@@ -7664,6 +7664,71 @@ def spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return radius_pairs_grid(c, radius=5)
 
 
+@register(
+    "multimodal_wav_decode",
+    """
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 8) * 4000 AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(16 AS INT) AS bits_per_sample,
+           CAST(strlen(text) AS INT) AS n_data_bytes,
+           TRUE AS is_wav
+    FROM documents
+    """,
+    doc="REAL audio-metadata decode round-trip (codec-free): spec-valid "
+    "RIFF/WAVE headers (little-endian words via hex byte-swap) built "
+    "JVM-side per doc, parsed back with struct.unpack in Arrow-batched "
+    "mapInPandas. Oracle reconstructs the params arithmetically — a wrong "
+    "build OR parse mismatches. Together with multimodal_png_decode this "
+    "covers image+audio byte-level decode plumbing. "
+    "operators/multimodal.py::synth_wav_payload/decode_wav_meta.",
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_wav_meta, synth_wav_payload
+
+    d = _t(spark, sf_dir, "documents")
+    return decode_wav_meta(synth_wav_payload(d))
+
+
+@register(
+    "governance_pseudonymized_rollup",
+    """
+    WITH t AS (
+      SELECT sha256('tenant-key-1:' || CAST(c_custkey AS VARCHAR)) AS token,
+             c_custkey
+      FROM customer)
+    SELECT token, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM t JOIN orders ON o_custkey = c_custkey
+    GROUP BY token
+    """,
+    doc="Crypto-shredding-style pseudonymization: customer identity is "
+    "replaced by a keyed SHA-256 token (drop the key => tokens become "
+    "unlinkable — GDPR erasure without rewriting the fact table), and the "
+    "fact rollup joins/aggregates on the token with full fidelity. The "
+    "token map is a narrow projection; the join keeps the original "
+    "custkey equi-join shape so pushdown/broadcast behavior is unchanged.",
+)
+def governance_pseudonymized_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    t = c.select(
+        F.sha2(
+            F.concat(F.lit("tenant-key-1:"), F.col("c_custkey").cast("string")),
+            256,
+        ).alias("token"),
+        "c_custkey",
+    )
+    return (
+        t.join(o, t.c_custkey == o.o_custkey)
+        .groupBy("token")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -99,3 +99,22 @@ def run_user_profiles_available_now(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def transform_with_state_available() -> bool:
+    """Probe for Spark 4's transformWithStateInPandas prerequisites.
+
+    The StatefulProcessor API ships in PySpark 4.x but its Python worker
+    speaks protobuf to the JVM state server; without a working
+    ``google.protobuf`` the streaming runner crashes at init
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). Gate on the import so
+    the engine can auto-select the newer API when the environment gains it;
+    until then ``applyInPandasWithState`` (above) covers custom stateful
+    operators with the same per-key pandas semantics.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

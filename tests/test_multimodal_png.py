@@ -68,3 +68,42 @@ def test_maxsim_prefers_group_with_matching_vectors(spark):
     }
     assert abs(got[1][0] - 2.0) < 1e-12 and got[1][1] == 2
     assert abs(got[2][0] - 0.0) < 1e-12
+
+
+def test_wav_round_trip(spark):
+    import struct as _struct
+
+    from mongo_iceberg_lakehouse_spark.operators.multimodal import (
+        decode_wav_meta,
+        synth_wav_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(3, "pcm body bytes"), (4, "x")], "doc_id long, text string"
+    )
+    raw = {r["doc_id"]: bytes(r["payload"]) for r in synth_wav_payload(df).collect()}
+    b = raw[3]
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    # RIFF chunk size = 36 + data bytes, little-endian
+    assert _struct.unpack("<I", b[4:8])[0] == 36 + len("pcm body bytes")
+    assert b[44:] == b"pcm body bytes"
+
+    out = {r["doc_id"]: r for r in decode_wav_meta(synth_wav_payload(df)).collect()}
+    assert out[3]["sample_rate"] == 8000 + (3 % 8) * 4000
+    assert out[3]["channels"] == 1 + 3 % 2
+    assert out[4]["channels"] == 1 and out[4]["n_data_bytes"] == 1
+    assert out[3]["bits_per_sample"] == 16 and out[3]["is_wav"] is True
+
+
+def test_transform_with_state_probe_is_honest():
+    from mongo_iceberg_lakehouse_spark.streaming.stateful import (
+        transform_with_state_available,
+    )
+
+    avail = transform_with_state_available()
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        assert avail is True
+    except ImportError:
+        assert avail is False
