@@ -7729,6 +7729,110 @@ def governance_pseudonymized_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "sql_group_by_all",
+    """
+    SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS yr,
+           count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY ALL
+    """,
+    doc="GROUP BY ALL (modern SQL sugar, Spark 3.4+/DuckDB): every "
+    "non-aggregate select item becomes a grouping key — exercised "
+    "through the SQL entry point to pin the parser surface.",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__gba_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS yr,
+               count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        FROM __gba_orders GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "join_null_safe_eq",
+    """
+    WITH a AS (SELECT nullif(o_orderstatus, 'P') AS k, o_totalprice
+               FROM orders),
+    d AS (SELECT DISTINCT nullif(o_orderstatus, 'P') AS k,
+                 coalesce(o_orderstatus, '?') AS label
+          FROM orders)
+    SELECT d.label, CAST(count(*) AS BIGINT) AS n,
+           round(sum(a.o_totalprice), 2) AS revenue
+    FROM a JOIN d ON a.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.label
+    """,
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match "
+    "each other instead of silently dropping — the join-matrix member "
+    "plain equality cannot express. Spark plans <=> as a hashable key "
+    "(SortMergeJoin/BHJ, not a nested loop), which is what makes "
+    "null-keyed dimension joins viable at scale.",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(
+        F.nullif("o_orderstatus", F.lit("P")).alias("k"), "o_totalprice"
+    )
+    d = o.select(
+        F.nullif("o_orderstatus", F.lit("P")).alias("dk"),
+        F.coalesce("o_orderstatus", F.lit("?")).alias("label"),
+    ).distinct()
+    return (
+        a.join(d, a["k"].eqNullSafe(d["dk"]))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "sql_not_in_null_semantics",
+    """
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders))
+        AS not_in_with_null,
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE nullif(o.o_custkey, 7) = c.c_custkey))
+        AS not_exists,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                               WHERE o_custkey IS NOT NULL))
+        AS not_in_clean
+    """,
+    doc="Three-valued-logic semantics audit: NOT IN against a subquery "
+    "containing a NULL returns zero rows (every comparison is UNKNOWN) "
+    "while NOT EXISTS keeps matching — the classic anti-join footgun, "
+    "asserted identical across engines. The engine-side plan builds the "
+    "three scalar counts with null-aware anti joins, the shape Catalyst "
+    "emits for NOT IN.",
+)
+def sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__tvl_cust")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__tvl_ord")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM __tvl_cust
+           WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7)
+                                   FROM __tvl_ord)) AS not_in_with_null,
+          (SELECT count(*) FROM __tvl_cust c
+           WHERE NOT EXISTS (SELECT 1 FROM __tvl_ord o
+                             WHERE nullif(o.o_custkey, 7) = c.c_custkey))
+            AS not_exists,
+          (SELECT count(*) FROM __tvl_cust
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM __tvl_ord
+                                   WHERE o_custkey IS NOT NULL))
+            AS not_in_clean
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
