@@ -449,6 +449,33 @@ def dedup_survivors(
     )
 
 
+def dedup_survivors_by_quality(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the HIGHEST-QUALITY row per near-dup cluster (id as tiebreak)
+    plus all unpaired rows — the production survivor policy: when a cluster
+    mixes a clean page and its boilerplate-ridden mirror, min-id keeps
+    whichever crawled first; quality-argmax keeps the one you want to train
+    on. One ranking window per component after the components join."""
+    comp = connected_components(pairs)
+    tagged = df.join(comp, df[id_col] == comp.id, "left").drop("id")
+    # unpaired rows form singleton clusters keyed by their own id
+    clustered = tagged.withColumn(
+        "__cluster", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    w = Window.partitionBy("__cluster").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return (
+        clustered.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("component", "__cluster", "__rk")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

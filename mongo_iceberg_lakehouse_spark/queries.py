@@ -7833,6 +7833,116 @@ def sql_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_survivors_quality",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT a.vec_id AS s, b.vec_id AS d
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.4),
+    edges AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+    reach(id, comp) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+    comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+    scored AS (
+      SELECT c.id AS vec_id, c.component,
+             (c.id * 2654435761) % 1000003 AS q
+      FROM comp c)
+    SELECT vec_id, q FROM (
+      SELECT vec_id, q, row_number() OVER (
+               PARTITION BY component ORDER BY q DESC, vec_id) AS rk
+      FROM scored)
+    WHERE rk = 1
+    """,
+    doc="Quality-preference near-dup survivor selection: cosine>=0.4 pairs "
+    "-> distributed connected components (min-label + pointer jumping) -> "
+    "keep the highest-quality member per cluster (deterministic hash "
+    "pseudo-score; id tiebreak) — the production policy that keeps the "
+    "clean page instead of whichever crawled first. Full oracle: DuckDB "
+    "computes the same components via a recursive-CTE min-label closure, "
+    "so a wrong cluster or wrong argmax mismatches. "
+    "operators/dedup.py::dedup_survivors_by_quality.",
+)
+def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_survivors_by_quality
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = S.cosine_neardup_blocked(e, threshold=0.4).select("id_a", "id_b")
+    scored = e.select(
+        "vec_id",
+        F.pmod(F.col("vec_id") * 2654435761, F.lit(1000003)).alias("q"),
+    )
+    return dedup_survivors_by_quality(scored, pairs, "q", id_col="vec_id")
+
+
+@register(
+    "mix_temperature_quota",
+    """
+    WITH n AS (
+      SELECT source, sum(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_tokens,
+             sqrt(CAST(n_tokens AS DOUBLE)) AS wt,
+             sum(sqrt(CAST(n_tokens AS DOUBLE))) OVER () AS wt_sum,
+             count(*) OVER () AS n_src
+      FROM n),
+    s AS (
+      SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(FLOOR(100000 * wt / wt_sum) AS BIGINT) AS base,
+             100000 * wt / wt_sum - FLOOR(100000 * wt / wt_sum) AS frac,
+             CAST(sum(FLOOR(100000 * wt / wt_sum)) OVER () AS BIGINT)
+               AS base_sum
+      FROM w)
+    SELECT source, n_tokens,
+           base + CASE WHEN row_number() OVER (ORDER BY frac DESC, source)
+                       <= 100000 - base_sum THEN 1 ELSE 0 END AS quota
+    FROM s
+    """,
+    doc="Temperature-scaled training-mix quotas (alpha=0.5, the "
+    "multilingual-sampling staple): per-source token counts from one "
+    "explode-free size(split) aggregation, sampling weight n^alpha "
+    "normalized over sources, and a 100k-token budget allocated "
+    "integer-exactly by largest remainder (source-name tiebreak) — "
+    "sum(quota) == budget by construction. The windows run over the "
+    "handful-of-sources aggregate, never the corpus.",
+)
+def mix_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    wt = F.sqrt(F.col("n_tokens").cast("double"))
+    w = n.select(
+        "source",
+        "n_tokens",
+        wt.alias("wt"),
+        F.sum(wt).over(w_all).alias("wt_sum"),
+    )
+    share = F.lit(100000) * F.col("wt") / F.col("wt_sum")
+    s = w.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(share).cast("long").alias("base"),
+        (share - F.floor(share)).alias("frac"),
+        F.sum(F.floor(share)).over(w_all).cast("long").alias("base_sum"),
+    )
+    rn = F.row_number().over(Window.orderBy(F.col("frac").desc(), F.col("source")))
+    return s.select(
+        "source",
+        "n_tokens",
+        (
+            F.col("base")
+            + F.when(rn <= F.lit(100000) - F.col("base_sum"), 1).otherwise(0)
+        ).alias("quota"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

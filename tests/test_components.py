@@ -45,3 +45,24 @@ def test_components_converges_on_long_chain(spark):
     comp = {r.id: r.component for r in connected_components(pairs).collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == 41
+
+
+def test_survivors_by_quality_keeps_best_per_cluster(spark):
+    from mongo_iceberg_lakehouse_spark.operators.dedup import (
+        dedup_survivors_by_quality,
+    )
+
+    # cluster {1,2,3} (chain), cluster {10,11}, singleton 99
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    rows = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (10, 1.0), (11, 1.0), (99, 0.0)],
+        "doc_id long, score double",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dedup_survivors_by_quality(rows, pairs, "score").collect()
+    }
+    # best of {1,2,3} is 2; {10,11} ties on score -> min id 10; singleton kept
+    assert got == {2: 9.0, 10: 1.0, 99: 0.0}
