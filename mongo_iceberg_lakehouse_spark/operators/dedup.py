@@ -497,3 +497,76 @@ def ngram_jaccard_pairs(
         shingle_n=shingle_n,
         jaccard_threshold=jaccard_threshold,
     )
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Directional set-containment join with PREFIX FILTERING (SSJoin):
+    pairs (a, b) where |shingles(a) ∩ shingles(b)| / |shingles(a)| >= t —
+    the "a is mostly contained in b" signal that catches quote-inclusion
+    and boilerplate wrapping, which symmetric Jaccard under-scores.
+
+    Prefix filter: order every doc's shingles by ascending global document
+    frequency (rarest first); if containment >= t then a and b must share
+    at least one of a's first |A| - ceil(t*|A|) + 1 shingles. Only that
+    prefix is exploded on the probe side (the index side posts full lists),
+    so the candidate join is |prefix| x df(token) instead of all-pairs —
+    the classic similarity-join pruning that keeps this off the O(n^2)
+    cliff at corpus scale. Exact verification via array_intersect on the
+    candidate set only.
+    """
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(ws) - (shingle_n - 1), F.lit(0))
+            ),
+            lambda i: F.array_join(F.slice(ws, i, shingle_n), " "),
+        )
+    )
+    base = df.select(F.col(id_col).alias("__id"), grams.alias("__tk")).filter(
+        F.size("__tk") > 0
+    )
+    toks = base.select("__id", F.explode("__tk").alias("__tok"))
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    # rarest-first order per doc: sort (df, tok) structs, keep the tok
+    ordered = (
+        toks.join(freq, "__tok")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "__tok"))),
+                lambda s: s["__tok"],
+            ).alias("__srt")
+        )
+    )
+    prefix_len = (
+        F.size("__srt")
+        - F.ceil(F.lit(threshold) * F.size("__srt")).cast("int")
+        + 1
+    )
+    probe = ordered.select(
+        F.col("__id").alias("id_a"),
+        F.explode(F.slice(F.col("__srt"), 1, prefix_len)).alias("__tok"),
+    )
+    index = toks.select(F.col("__id").alias("id_b"), "__tok")
+    cand = (
+        probe.join(index, "__tok")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = base.select(F.col("__id").alias("id_a"), F.col("__tk").alias("__tka"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__tk").alias("__tkb"))
+    cont = F.size(F.array_intersect("__tka", "__tkb")) / F.size("__tka")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

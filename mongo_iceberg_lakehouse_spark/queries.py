@@ -7943,6 +7943,38 @@ def mix_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment_pairs",
+    """
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+    t AS (SELECT doc_id,
+                 list_distinct([array_to_string(ws[i:i+2], ' ')
+                   for i in generate_series(1, greatest(len(ws)-2, 0))]) AS tk
+          FROM w WHERE len(ws) >= 3)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.tk, b.tk)) * 1.0 / len(a.tk) AS containment
+    FROM t a, t b
+    WHERE a.doc_id <> b.doc_id
+      AND len(list_intersect(a.tk, b.tk)) * 1.0 / len(a.tk) >= 0.7
+    """,
+    doc="Directional set-containment join over distinct trigram shingles "
+    "(containment(a,b) = |A∩B|/|A| >= 0.7) with SSJoin prefix filtering: "
+    "shingles ordered rarest-first by global document frequency, only "
+    "a's |A| - ceil(t|A|) + 1 prefix explodes on the probe side — the "
+    "pruning that keeps quote-inclusion/boilerplate detection off the "
+    "O(n^2) cliff. Oracle is the quadratic join, so both the prefix "
+    "filter's completeness and the verify step are checked. "
+    "operators/dedup.py::containment_join.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import containment_join
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_join(d, "doc_id", "text", threshold=0.7, shingle_n=3)
+
+
 # The driver's correctness gate walks queries() IN ORDER under a budget
 # (round 1 graded exactly the first 49 registered entries before cutting
 # off). Emit a curated order: one fast representative of every operator

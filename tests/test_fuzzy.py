@@ -38,3 +38,40 @@ def test_fuzzy_ed1_identical_strings_pair(spark):
     # Exact duplicates are distance 0 <= 1: must pair once (a_id < b_id).
     got = _pairs(spark, [(1, "same"), (2, "same")])
     assert got == {(1, 2)}
+
+
+def test_containment_join_matches_bruteforce(spark):
+    from mongo_iceberg_lakehouse_spark.operators.dedup import containment_join
+
+    docs = [
+        (1, "a b c d e f g h"),          # base
+        (2, "a b c d e f g h x y"),      # superset: 1 contained in 2
+        (3, "a b c d q r s t u v"),      # partial overlap
+        (4, "z z z z z"),                # disjoint content
+        (5, "a b c d e f g h"),          # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_join(df, threshold=0.7, shingle_n=3).collect()
+    }
+
+    # brute force in python
+    def tri(t):
+        ws = t.split()
+        return set(" ".join(ws[i : i + 3]) for i in range(len(ws) - 2))
+
+    want = {}
+    for ia, ta in docs:
+        for ib, tb in docs:
+            if ia == ib:
+                continue
+            A, B = tri(ta), tri(tb)
+            c = len(A & B) / len(A)
+            if c >= 0.7:
+                want[(ia, ib)] = c
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+    # directional: 1 fully inside 2 (1.0), 2 only partially inside 1 (0.75)
+    assert got[(1, 2)] == 1.0 and abs(got[(2, 1)] - 0.75) < 1e-12
