@@ -7944,6 +7944,44 @@ def mix_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "catalog_time_travel",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS v1_revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Time travel over versioned snapshots (Nessie/Iceberg analog, "
+    "sources/snapshots.py): v1 = orders as-is, v2 = prices doubled, both "
+    "committed write-then-manifest; the query reads VERSION 1 *after* v2 "
+    "is committed and aggregates it — so a reader that resolved 'latest' "
+    "or saw uncommitted data would mismatch the oracle (which is plain "
+    "orders). Snapshot dirs are immutable; manifests are one-row parquet "
+    "files, so version listing never touches data.",
+)
+def catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sources.snapshots import read_snapshot, write_snapshot
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="snapshots_")
+    write_snapshot(o, base, "orders_snap")
+    write_snapshot(
+        o.withColumn("o_totalprice", F.col("o_totalprice") * 2),
+        base,
+        "orders_snap",
+    )
+    v1 = read_snapshot(spark, base, "orders_snap", version=1)
+    return v1.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("v1_revenue"),
+    )
+
+
+@register(
     "dedup_containment_pairs",
     """
     WITH w AS (SELECT doc_id,

@@ -98,3 +98,30 @@ def test_partitioned_table_prunes(spark):
     # partition filter, not a post-scan filter
     assert one_day.count() > 0
     assert "PartitionFilters: [isnotnull(day" in plan or "day#" in plan
+
+
+def test_snapshot_time_travel_and_commit_protocol(spark, tmp_path):
+    from mongo_iceberg_lakehouse_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "snaps")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, s string")
+    assert write_snapshot(df1, base, "t") == 1
+    assert write_snapshot(df2, base, "t") == 2
+    assert snapshot_versions(spark, base, "t") == [1, 2]
+
+    # time travel: v1 unchanged after v2 commit; latest resolves to v2
+    assert {r["id"] for r in read_snapshot(spark, base, "t", 1).collect()} == {1, 2}
+    assert {r["id"] for r in read_snapshot(spark, base, "t").collect()} == {3}
+
+    # uncommitted data dirs are invisible: fake a half-written v3
+    import os
+
+    os.makedirs(os.path.join(base, "t", "v=3"), exist_ok=True)
+    assert snapshot_versions(spark, base, "t") == [1, 2]
+    with __import__("pytest").raises(ValueError):
+        read_snapshot(spark, base, "t", 3)
