@@ -7944,6 +7944,50 @@ def mix_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_cross_entropy",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    t AS (SELECT * FROM toks WHERE tok <> ''),
+    lm AS (
+      SELECT tok, count(*) * 1.0 / (SELECT count(*) FROM t) AS p
+      FROM t GROUP BY tok)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           sum(-ln(p)) / count(*) AS cross_entropy
+    FROM t JOIN lm USING (tok)
+    GROUP BY doc_id
+    """,
+    doc="Perplexity-style quality scoring (CCNet filtering pattern): a "
+    "unigram LM is fit on the corpus itself (token relative frequencies, "
+    "one aggregation, broadcast back — the vocab is tiny relative to the "
+    "corpus at any scale), and each document is scored by its per-token "
+    "cross-entropy -avg ln p(tok). Outlier-entropy docs are the "
+    "gibberish/boilerplate candidates. In production the LM table is a "
+    "pre-fit KenLM dump joined the same way.",
+)
+def text_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    total = t.agg(F.count(F.lit(1)).alias("__total"))
+    lm = (
+        t.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .crossJoin(F.broadcast(total))
+        .select("tok", (F.col("__cnt") * 1.0 / F.col("__total")).alias("p"))
+    )
+    return (
+        t.join(F.broadcast(lm), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum(-F.log("p")) / F.count(F.lit(1))).alias("cross_entropy"),
+        )
+    )
+
+
+@register(
     "catalog_time_travel",
     """
     SELECT o_orderstatus,
