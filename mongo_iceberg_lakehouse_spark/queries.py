@@ -7944,6 +7944,166 @@ def mix_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cohort_ltv_curve",
+    """
+    WITH firsts AS (
+      SELECT o_custkey,
+             CAST(date_trunc('quarter', min(o_orderdate)) AS DATE) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    aged AS (
+      SELECT f.cohort,
+             CAST(date_diff('quarter',
+                   CAST(f.cohort AS TIMESTAMP),
+                   date_trunc('quarter', o.o_orderdate)) AS INT) AS age_q,
+             o.o_totalprice
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    per_age AS (
+      SELECT cohort, age_q, round(sum(o_totalprice), 2) AS rev
+      FROM aged GROUP BY cohort, age_q),
+    sized AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM firsts
+      GROUP BY cohort)
+    SELECT p.cohort, p.age_q,
+           round(sum(p.rev) OVER (PARTITION BY p.cohort ORDER BY p.age_q
+                                  ROWS UNBOUNDED PRECEDING), 2)
+             / s.cohort_size AS cum_ltv_per_customer,
+           s.cohort_size
+    FROM per_age p JOIN sized s ON p.cohort = s.cohort
+    """,
+    doc="Cohort LTV curves: customers grouped by first-order quarter, "
+    "revenue bucketed by cohort age, cumulative spend per customer via a "
+    "running window over the tiny (cohort x age) aggregate — the "
+    "curve marketing reads retention payback from. Facts collapse "
+    "before any window; cohort sizes broadcast-join back. Sums ride "
+    "the 2-decimal grid (round) so the running totals are bit-stable.",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("quarter", F.min("o_orderdate")).cast("date").alias("cohort")
+    )
+    aged = o.join(firsts, "o_custkey").select(
+        "cohort",
+        (
+            (F.year(F.date_trunc("quarter", "o_orderdate")) - F.year("cohort")) * 4
+            + (F.quarter(F.date_trunc("quarter", "o_orderdate")) - F.quarter("cohort"))
+        ).alias("age_q"),
+        "o_totalprice",
+    )
+    per_age = aged.groupBy("cohort", "age_q").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    sized = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_age.join(F.broadcast(sized), "cohort")
+        .select(
+            "cohort",
+            "age_q",
+            (F.round(F.sum("rev").over(w), 2) / F.col("cohort_size")).alias(
+                "cum_ltv_per_customer"
+            ),
+            "cohort_size",
+        )
+    )
+
+
+@register(
+    "bitmap_week_overlap",
+    """
+    WITH b AS (
+      SELECT c_mktsegment AS segment,
+             bit_or(CAST(1 AS BIGINT) << (CAST(date_part('week', o_orderdate)
+                                               AS INT) % 52)) AS weeks_bm
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE date_part('year', o_orderdate) = 1997
+      GROUP BY c_mktsegment)
+    SELECT a.segment AS seg_a, c.segment AS seg_b,
+           CAST(bit_count(a.weeks_bm & c.weeks_bm) AS INT) AS weeks_both,
+           CAST(bit_count(a.weeks_bm | c.weeks_bm) AS INT) AS weeks_either
+    FROM b a JOIN b c ON a.segment < c.segment
+    """,
+    doc="Bitmap-index set algebra: each segment's 1997 active order-weeks "
+    "packed into one 52-bit bigint bitmask (bit_or aggregation = bitmap "
+    "build), pairwise overlap answered with pure bitwise AND/OR + "
+    "popcount on the 5-row aggregate — the roaring-bitmap technique that "
+    "replaces a distinct-join explosion for set intersection counts at "
+    "scale. Shuffle carries 8 bytes per group, never week lists.",
+)
+def bitmap_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    c = _t(spark, sf_dir, "customer")
+    b = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.bit_or(
+                F.expr(
+                    "shiftleft(cast(1 as bigint), "
+                    "cast(pmod(weekofyear(o_orderdate), 52) as int))"
+                )
+            ).alias("weeks_bm")
+        )
+    )
+    a, d = b.alias("a"), b.alias("d")
+    return a.join(d, F.col("a.segment") < F.col("d.segment")).select(
+        F.col("a.segment").alias("seg_a"),
+        F.col("d.segment").alias("seg_b"),
+        F.bit_count(F.col("a.weeks_bm").bitwiseAND(F.col("d.weeks_bm")))
+        .cast("int")
+        .alias("weeks_both"),
+        F.bit_count(F.col("a.weeks_bm").bitwiseOR(F.col("d.weeks_bm")))
+        .cast("int")
+        .alias("weeks_either"),
+    )
+
+
+@register(
+    "timeseries_decay_score",
+    """
+    WITH t AS (
+      SELECT user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             max(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id) AS t_last
+      FROM events)
+    SELECT user_id,
+           sum(value * exp(-((t_last - us) / 1000000.0) / 21600.0))
+             AS decay_score,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM t GROUP BY user_id
+    """,
+    doc="Time-decayed engagement score (tau = 6h): every event's value "
+    "weighted by exp(-age/tau) relative to the user's LAST event — the "
+    "recency-weighted activity metric feature stores serve. The "
+    "exponential-decay recursion is rewritten in closed form (one "
+    "per-user max + one weighted sum, both on the same user_id shuffle), "
+    "so irregular event spacing needs no sequential scan.",
+)
+def timeseries_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    t_last = F.max(us).over(Window.partitionBy("user_id"))
+    aged = e.select(
+        "user_id",
+        "value",
+        (((t_last - us) / 1_000_000.0) / 21600.0).alias("__age"),
+    )
+    return aged.groupBy("user_id").agg(
+        F.sum(F.col("value") * F.exp(-F.col("__age"))).alias("decay_score"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
     "text_unigram_cross_entropy",
     """
     WITH toks AS (
