@@ -8067,6 +8067,39 @@ def bitmap_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "seasonal_baseline_bands",
+    """
+    SELECT event_type,
+           CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+           CAST(count(*) AS BIGINT) AS n,
+           quantile_cont(value, 0.1) AS p10,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90
+    FROM events GROUP BY event_type, hr
+    """,
+    doc="Seasonal baseline bands: exact P10/P50/P90 of value per "
+    "(event_type, hour-of-day) — the expected-range profile that "
+    "monitoring compares live traffic against (alert when outside the "
+    "band for that hour). One shuffle on the bounded (type, hour) key; "
+    "at 100 TB swap percentile for percentile_approx and the plan is "
+    "unchanged. Spark's percentile interpolation == DuckDB "
+    "quantile_cont.",
+)
+def seasonal_baseline_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.hour("ts").alias("hr"), "value")
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(value, 0.1D)").alias("p10"),
+            F.expr("percentile(value, 0.5D)").alias("p50"),
+            F.expr("percentile(value, 0.9D)").alias("p90"),
+        )
+    )
+
+
+@register(
     "timeseries_decay_score",
     """
     WITH t AS (

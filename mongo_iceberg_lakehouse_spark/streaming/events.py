@@ -40,7 +40,15 @@ def _events_raw_schema(ts_type) -> StructType:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture, ``ts`` normalized to a
     microsecond timestamp (handles both TIMESTAMP(NANOS)-as-long and native
-    TIMESTAMP(MICROS) fixture generations, like ``tables.load_events``)."""
+    TIMESTAMP(MICROS) fixture generations, like ``tables.load_events``).
+
+    Applies the engine's runtime confs first: every streaming entry point
+    funnels through here, and a caller-owned (driver) session without
+    ``spark.sql.session.timeZone=UTC`` would shift window boundaries and
+    hour extraction relative to the oracle."""
+    from ..session import tune
+
+    tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Probe the footer via the batch reader: streaming needs a declared schema.
