@@ -3885,16 +3885,23 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(O((n+m) log m) per key, never the n*m product). Same semantics as "
     "the watermarked stream-stream join and the SQL interval join — three "
     "formulations, one oracle. Cogroup materializes per-key groups: right "
-    "for bounded user timelines, documented as wrong for unbounded keys.",
+    "for bounded user timelines, documented as wrong for unbounded keys. "
+    "Each side aliases ts distinctly: both branches share the source "
+    "relation, and identical attribute ids across cogroup children can be "
+    "pruned from one side's Arrow batch at some plan scales.",
 )
 def cogroup_view_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ordered import cogrouped_interval_match
 
     e = _t(spark, sf_dir, "events")
-    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
-    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
     return cogrouped_interval_match(
-        views, clicks, "user_id", "ts", "ts", window_seconds=1800
+        views, clicks, "user_id", "v_ts", "c_ts", window_seconds=1800
     )
 
 
