@@ -8074,6 +8074,53 @@ def bitmap_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_covariance_matrix",
+    """
+    WITH x AS (
+      SELECT vec_id, i - 1 AS di, CAST(embedding[i] AS DOUBLE) AS xi
+      FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 8)) AS i) ii)
+    SELECT a.di AS dim_i, b.di AS dim_j,
+           (sum(a.xi * b.xi) - sum(a.xi) * sum(b.xi)
+              / (SELECT count(*) FROM embeddings))
+             / ((SELECT count(*) FROM embeddings) - 1) AS cov
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.di <= b.di
+    GROUP BY a.di, b.di
+    """,
+    doc="Embedding covariance matrix (PCA/whitening prep), upper triangle "
+    "of the first 8 dims: one posexplode to (vec, dim, value), an "
+    "equi-self-join on vec_id pairs dims, and the covariance falls out "
+    "of sum/sum-product aggregates (textbook one-pass formula, "
+    "partial+final HashAggregate). At full 64-dim scale the same plan "
+    "emits 64x65/2 cells; dims bounded => the shuffle key (dim_i, dim_j) "
+    "has fixed cardinality regardless of corpus size.",
+)
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    cnt = e.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    x = e.select(
+        "vec_id",
+        F.posexplode(F.slice(F.col("embedding"), 1, 8)).alias("di", "xi"),
+    ).select("vec_id", "di", F.col("xi").cast("double").alias("xi"))
+    a = x.select("vec_id", F.col("di").alias("dim_i"), F.col("xi").alias("xa"))
+    b = x.select("vec_id", F.col("di").alias("dim_j"), F.col("xi").alias("xb"))
+    return (
+        a.join(b, "vec_id")
+        .filter(F.col("dim_i") <= F.col("dim_j"))
+        .crossJoin(F.broadcast(cnt))
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            (
+                (
+                    F.sum(F.col("xa") * F.col("xb"))
+                    - F.sum("xa") * F.sum("xb") / F.first("__n")
+                )
+                / (F.first("__n") - 1)
+            ).alias("cov")
+        )
+    )
+
+
+@register(
     "seasonal_baseline_bands",
     """
     SELECT event_type,
