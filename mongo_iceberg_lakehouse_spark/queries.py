@@ -8074,6 +8074,67 @@ def bitmap_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "concurrency_by_hour",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id,
+             CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) + 1 AS INT) AS session_id,
+             ts
+      FROM flagged
+    ), spans AS (
+      SELECT user_id, session_id,
+             date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM sess GROUP BY user_id, session_id
+    ), hours AS (
+      SELECT user_id, session_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM spans)
+    SELECT CAST(hour AS TIMESTAMP) AS hour,
+           CAST(count(*) AS BIGINT) AS active_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM hours GROUP BY hour
+    """,
+    doc="Interval-to-timeline concurrency: gap-sessionized spans exploded "
+    "into the hour buckets they overlap (sequence between hour-truncated "
+    "bounds — bounded fan-out, no time-dimension cross join), then "
+    "active-session / active-user counts per hour — the 'how many "
+    "concurrent' question behind capacity planning. Session assembly and "
+    "span rollup share one user_id shuffle; the explode emits "
+    "(span-hours) rows keyed by a bounded hour domain.",
+)
+def concurrency_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    s = R.sessionize(e, key="user_id", ts_col="ts", tiebreak="event_id")
+    spans = s.groupBy("user_id", "session_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = spans.select(
+        "user_id",
+        "session_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    return hours.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("active_sessions"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+
+
+@register(
     "embedding_covariance_matrix",
     """
     WITH x AS (
