@@ -8074,6 +8074,99 @@ def bitmap_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wap_audit_publish",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders WHERE o_totalprice > 0 GROUP BY o_orderstatus
+    """,
+    doc="Write-Audit-Publish gate (Iceberg branch-audit-merge analog, "
+    "plans/wap.py): a GOOD snapshot (positive prices) passes the "
+    "single-pass quality audit and commits; a BAD snapshot (prices "
+    "negated) fails its audit and its staged files stay uncommitted — "
+    "invisible to every reader by the snapshots commit protocol. The "
+    "query publishes good, attempts bad, then aggregates the LATEST "
+    "published version; if the bad version leaked, the oracle (positive "
+    "prices only) mismatches.",
+)
+def wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.quality import Check, predicate_rate
+    from .plans.wap import wap_publish
+    from .sources.snapshots import read_snapshot
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).filter(F.col("o_totalprice") > 0)
+    base = tempfile.mkdtemp(prefix="wap_")
+    checks = [
+        Check("prices_positive", predicate_rate(F.col("o_totalprice") > 0), 1.0)
+    ]
+    ok1, v1, _ = wap_publish(o, base, "orders_wap", checks)
+    bad = o.withColumn("o_totalprice", -F.col("o_totalprice"))
+    ok2, v2, _ = wap_publish(bad, base, "orders_wap", checks)
+    assert ok1 and v1 == 1 and not ok2 and v2 is None
+    latest = read_snapshot(spark, base, "orders_wap")
+    return latest.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "governance_erasure_propagation",
+    """
+    WITH victims AS (
+      SELECT c_custkey FROM customer
+      WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0')
+    SELECT
+      (SELECT count(*) FROM customer) AS customers_before,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT c_custkey FROM victims))
+        AS customers_after,
+      (SELECT count(*) FROM orders) AS orders_before,
+      (SELECT count(*) FROM orders
+       WHERE o_custkey NOT IN (SELECT c_custkey FROM victims))
+        AS orders_after,
+      (SELECT count(*) FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM victims)) AS orders_erased
+    """,
+    doc="GDPR erasure propagation: a deterministic victim set (custkey md5 "
+    "bucket '0') anti-joined out of the customer dim AND cascaded through "
+    "the orders fact — broadcast anti joins, each table streams once. "
+    "Before/after/erased counts reconcile exactly (after + erased == "
+    "before), which is the audit evidence an erasure job must produce. "
+    "Pairs with governance_pseudonymized_rollup (crypto-shredding) as the "
+    "two erasure strategies.",
+)
+def governance_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    victims = c.filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) == "0"
+    ).select("c_custkey")
+    c_after = c.join(F.broadcast(victims), "c_custkey", "left_anti")
+    o_after = o.join(
+        F.broadcast(victims), o.o_custkey == victims.c_custkey, "left_anti"
+    )
+    o_erased = o.join(
+        F.broadcast(victims), o.o_custkey == victims.c_custkey, "left_semi"
+    )
+    counts = [
+        c.agg(F.count(F.lit(1)).alias("customers_before")),
+        c_after.agg(F.count(F.lit(1)).alias("customers_after")),
+        o.agg(F.count(F.lit(1)).alias("orders_before")),
+        o_after.agg(F.count(F.lit(1)).alias("orders_after")),
+        o_erased.agg(F.count(F.lit(1)).alias("orders_erased")),
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.crossJoin(df)
+    return out
+
+
+@register(
     "concurrency_by_hour",
     """
     WITH flagged AS (

@@ -125,3 +125,39 @@ def test_snapshot_time_travel_and_commit_protocol(spark, tmp_path):
     assert snapshot_versions(spark, base, "t") == [1, 2]
     with __import__("pytest").raises(ValueError):
         read_snapshot(spark, base, "t", 3)
+
+
+def test_wap_rejected_version_is_invisible(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mongo_iceberg_lakehouse_spark.operators.quality import (
+        Check,
+        predicate_rate,
+    )
+    from mongo_iceberg_lakehouse_spark.plans.wap import wap_publish
+    from mongo_iceberg_lakehouse_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_versions,
+    )
+
+    base = str(tmp_path / "wap")
+    good = spark.createDataFrame([(1, 10.0), (2, 5.0)], "id long, v double")
+    bad = spark.createDataFrame([(3, -1.0)], "id long, v double")
+    checks = [Check("v_positive", predicate_rate(F.col("v") > 0), 1.0)]
+
+    ok, ver, report = wap_publish(good, base, "t", checks)
+    assert ok and ver == 1
+    assert all(r["passed"] for r in report.collect())
+
+    ok2, ver2, report2 = wap_publish(bad, base, "t", checks)
+    assert not ok2 and ver2 is None
+    assert not all(r["passed"] for r in report2.collect())
+
+    # the rejected version never became visible
+    assert snapshot_versions(spark, base, "t") == [1]
+    assert {r["id"] for r in read_snapshot(spark, base, "t").collect()} == {1, 2}
+
+    # rejected stages are cleaned up, so a retry claims version 2 cleanly
+    ok3, ver3, _ = wap_publish(good, base, "t", checks)
+    assert ok3 and ver3 == 2
+    assert snapshot_versions(spark, base, "t") == [1, 2]
