@@ -8074,6 +8074,77 @@ def bitmap_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rag_context_assembly",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS chunk_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, chunk_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, chunk_id) AS rk
+      FROM scored),
+    top AS (SELECT * FROM ranked WHERE rk <= 3)
+    SELECT t.query_id,
+           list(t.chunk_id ORDER BY t.rk) AS chunk_ids,
+           string_agg(substr(d.text, 1, 40), ' | ' ORDER BY t.rk)
+             AS context,
+           CAST(count(*) AS BIGINT) AS n_chunks
+    FROM top t JOIN documents d ON d.doc_id = t.chunk_id
+    GROUP BY t.query_id
+    """,
+    doc="RAG context assembly end to end: per query vector, exact cosine "
+    "top-3 chunks (broadcast query set, one corpus pass, rank with "
+    "chunk-id tiebreak), joined back to the document store and assembled "
+    "into a rank-ordered context string + citation id list — the "
+    "retrieval-to-prompt step of a serving pipeline, all JVM-side "
+    "(sort_array of (rank, payload) structs stands in for ORDER BY "
+    "inside the aggregate).",
+)
+def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("chunk_id"),
+            cosine_similarity("embedding", "qv").alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("chunk_id")
+    )
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    joined = top.join(d, top.chunk_id == d.doc_id).select(
+        "query_id", "rk", "chunk_id", F.substring("text", 1, 40).alias("snip")
+    )
+    return joined.groupBy("query_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("rk", "chunk_id"))),
+            lambda s: s["chunk_id"],
+        ).alias("chunk_ids"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rk", "snip"))),
+                lambda s: s["snip"],
+            ),
+            " | ",
+        ).alias("context"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+
+
+@register(
     "wap_audit_publish",
     """
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
