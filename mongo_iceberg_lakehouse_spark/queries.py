@@ -8590,6 +8590,14 @@ PRIORITY: list[str] = [
     "governance_pseudonymized_rollup", "spatial_radius_pairs",
     "split_train_val_test", "sample_stratified_events",
     "mix_temperature_quota", "markov_event_transitions",
+    # round-2 additions: finance/ops analytics, retrieval pipeline,
+    # governance workflows, heavier dedup/lakehouse ops at the tail
+    "cohort_ltv_curve", "bitmap_week_overlap", "timeseries_decay_score",
+    "seasonal_baseline_bands", "concurrency_by_hour",
+    "text_unigram_cross_entropy", "embedding_covariance_matrix",
+    "rag_context_assembly", "governance_erasure_propagation",
+    "dedup_containment_pairs", "wap_audit_publish",
+    "dedup_survivors_quality", "catalog_time_travel",
 ]
 
 
