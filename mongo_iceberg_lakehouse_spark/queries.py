@@ -8074,6 +8074,50 @@ def bitmap_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "seq_training_examples",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             list(event_type ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS types
+      FROM events GROUP BY user_id)
+    SELECT user_id, CAST(i AS INT) AS pos,
+           types[i:i+2] AS context, types[i+3] AS label
+    FROM seq, LATERAL (SELECT unnest(generate_series(1, len(types) - 3))
+                       AS i) ii
+    """,
+    doc="Sequence-model dataset builder: per-user event timelines become "
+    "(context window of 3, next-event label) training pairs via ordered "
+    "collect + sliding slice HOFs — the next-token-prediction example "
+    "generator, zero shuffles beyond the per-user assembly (explode is "
+    "narrow). Deterministic (ts, event_id) ordering makes the dataset "
+    "reproducible run to run; at 100 TB the same plan emits windows "
+    "directly off sorted-bucketed user partitions.",
+)
+def seq_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("types")
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.size("types") - 3, F.lit(0)))
+    return (
+        seq.filter(F.size("types") >= 4)
+        .select("user_id", F.explode(idx).alias("pos"), "types")
+        .select(
+            "user_id",
+            "pos",
+            F.slice(F.col("types"), F.col("pos"), 3).alias("context"),
+            F.element_at(F.col("types"), F.col("pos") + 3).alias("label"),
+        )
+    )
+
+
+@register(
     "rag_context_assembly",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
