@@ -92,3 +92,28 @@ def test_window_dedup_single_shuffle(spark):
     plan = _plan(spark, "window_dedup_latest", mode="simple")
     # one exchange for the window partitioning, nothing else
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_join_strategy_hints_steer_physical_plan(spark):
+    """The full join-strategy matrix is reachable via hints: broadcast,
+    shuffle-hash, and sort-merge on the same logical join."""
+    from .conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+
+    def physical(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    j_bc = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+    assert "BroadcastHashJoin" in physical(j_bc)
+
+    j_shj = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in physical(j_shj)
+
+    j_smj = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in physical(j_smj)
+
+    # results identical regardless of strategy
+    n = j_bc.count()
+    assert j_shj.count() == n and j_smj.count() == n
