@@ -8074,6 +8074,49 @@ def bitmap_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_kfold_assignment",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 5 AS INT) AS fold,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents)
+    SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM f GROUP BY fold
+    """,
+    doc="Content-addressed k-fold assignment (k=5): fold = md5(id) prefix "
+    "mod k — layout-independent and reproducible across engines, runs, "
+    "and repartitions (unlike seeded randomSplit, whose folds change "
+    "with partitioning). Per-fold doc/token tallies are the balance "
+    "audit; folds are disjoint and exhaustive by construction. "
+    "Complements split_train_val_test (fractional) with the "
+    "cross-validation form.",
+)
+def split_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 5
+    ).cast("int")
+    return (
+        d.select(
+            "doc_id",
+            fold.alias("fold"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@register(
     "seq_training_examples",
     """
     WITH seq AS (
