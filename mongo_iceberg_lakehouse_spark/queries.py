@@ -8061,7 +8061,9 @@ def bitmap_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a, d = b.alias("a"), b.alias("d")
-    return a.join(d, F.col("a.segment") < F.col("d.segment")).select(
+    # 5-row aggregate x itself: broadcast one side so the non-equi pair
+    # join plans as BroadcastNestedLoop, never a partitioned cartesian
+    return a.join(F.broadcast(d), F.col("a.segment") < F.col("d.segment")).select(
         F.col("a.segment").alias("seg_a"),
         F.col("d.segment").alias("seg_b"),
         F.bit_count(F.col("a.weeks_bm").bitwiseAND(F.col("d.weeks_bm")))
