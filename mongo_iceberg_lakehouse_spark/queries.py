@@ -8076,6 +8076,37 @@ def bitmap_week_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_mode_deterministic",
+    """
+    SELECT user_id, mode_type, n FROM (
+      SELECT user_id, event_type AS mode_type, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rk
+      FROM events GROUP BY user_id, event_type)
+    WHERE rk = 1
+    """,
+    doc="Deterministic mode (most frequent value per key): count-rank with "
+    "an explicit value tiebreak instead of the built-in mode(), whose "
+    "tie choice is engine-/partitioning-dependent — the difference "
+    "between a reproducible feature column and a flaky one. One shuffle "
+    "on (key, value), the ranking window rides the same key.",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+@register(
     "split_kfold_assignment",
     """
     WITH f AS (
