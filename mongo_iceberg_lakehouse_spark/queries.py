@@ -4216,14 +4216,17 @@ def retention_cohort_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_channel GROUP BY event_id
     ),
     attributed AS (
-      SELECT c.channel, c.value * c.ch_cnt / t.tot AS contrib
+      SELECT c.channel,
+             CAST(floor(c.value * c.ch_cnt / t.tot * 1e6) AS BIGINT)
+               AS contrib_micro
       FROM per_channel c JOIN totals t ON c.event_id = t.event_id
       UNION ALL
-      SELECT 'direct' AS channel, p.value AS contrib
+      SELECT 'direct' AS channel,
+             CAST(floor(p.value * 1e6) AS BIGINT) AS contrib_micro
       FROM purchases p
       WHERE NOT EXISTS (SELECT 1 FROM pairs x WHERE x.event_id = p.event_id)
     )
-    SELECT channel, sum(contrib) AS revenue,
+    SELECT channel, sum(contrib_micro) / 1e6 AS revenue,
            CAST(count(*) AS BIGINT) AS n_credits
     FROM attributed GROUP BY channel
     """,
@@ -4233,7 +4236,15 @@ def retention_cohort_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Reuses operators/relational.py::interval_join — (user, time-bin) "
     "equi-shuffle with <=2x replication, no per-user cross product even "
     "for hot users — then two bounded aggs (per-channel counts, "
-    "per-purchase totals) and a left-anti union for 'direct'.",
+    "per-purchase totals) and a left-anti union for 'direct'. Per-credit "
+    "contributions are quantized to integer micro-units via "
+    "floor(x*1e6) before summing: both engines compute bit-identical "
+    "IEEE doubles for value*cnt/tot, so floor agrees exactly, and "
+    "BIGINT sums are exact and combine-order-independent (a plain "
+    "double sum reordered across partitions straddled the .6g "
+    "normalization boundary — the round-2 flake; a DECIMAL cast would "
+    "still diverge cross-engine on half-ULP rows because Spark rounds "
+    "the shortest decimal repr while DuckDB rounds the binary value).",
 )
 def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -4257,15 +4268,20 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_channel.join(totals, "event_id")
         .select(
             "channel",
-            (F.col("value") * F.col("ch_cnt") / F.col("tot")).alias("contrib"),
+            F.floor(F.col("value") * F.col("ch_cnt") / F.col("tot") * F.lit(1e6))
+            .cast("long")
+            .alias("contrib_micro"),
         )
         .unionByName(
             purchases.join(pairs.select("event_id").distinct(), "event_id", "left_anti")
-            .select(F.lit("direct").alias("channel"), F.col("value").alias("contrib"))
+            .select(
+                F.lit("direct").alias("channel"),
+                F.floor(F.col("value") * F.lit(1e6)).cast("long").alias("contrib_micro"),
+            )
         )
     )
     return attributed.groupBy("channel").agg(
-        F.sum("contrib").alias("revenue"),
+        (F.sum("contrib_micro") / F.lit(1e6)).alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_credits"),
     )
 
