@@ -439,13 +439,18 @@ def dedup_survivors(
     """Keep one row per near-dup cluster (the min-id member) plus all rows
     that appear in no pair. The end-to-end dedup output: pairs -> connected
     components -> survivors."""
-    comp = connected_components(pairs)
-    tagged = df.join(comp, df[id_col] == comp.id, "left")
+    # reserved-name aliases: a caller whose id_col is literally "id" must
+    # not have its column swallowed by drop-by-name (which removes ALL
+    # occurrences of a name after a join)
+    comp = connected_components(pairs).select(
+        F.col("id").alias("__cc_id"), F.col("component").alias("__cc_comp")
+    )
+    tagged = df.join(comp, df[id_col] == comp["__cc_id"], "left")
     return (
         tagged.filter(
-            F.col("component").isNull() | (F.col(id_col) == F.col("component"))
+            F.col("__cc_comp").isNull() | (F.col(id_col) == F.col("__cc_comp"))
         )
-        .drop("id", "component")
+        .drop("__cc_id", "__cc_comp")
     )
 
 
@@ -460,11 +465,15 @@ def dedup_survivors_by_quality(
     mixes a clean page and its boilerplate-ridden mirror, min-id keeps
     whichever crawled first; quality-argmax keeps the one you want to train
     on. One ranking window per component after the components join."""
-    comp = connected_components(pairs)
-    tagged = df.join(comp, df[id_col] == comp.id, "left").drop("id")
+    # reserved-name aliases (see dedup_survivors): drop-by-name after the
+    # join must never match the caller's own id column
+    comp = connected_components(pairs).select(
+        F.col("id").alias("__cc_id"), F.col("component").alias("__cc_comp")
+    )
+    tagged = df.join(comp, df[id_col] == comp["__cc_id"], "left").drop("__cc_id")
     # unpaired rows form singleton clusters keyed by their own id
     clustered = tagged.withColumn(
-        "__cluster", F.coalesce(F.col("component"), F.col(id_col))
+        "__cluster", F.coalesce(F.col("__cc_comp"), F.col(id_col))
     )
     w = Window.partitionBy("__cluster").orderBy(
         F.col(quality_col).desc(), F.col(id_col)
@@ -472,7 +481,7 @@ def dedup_survivors_by_quality(
     return (
         clustered.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
-        .drop("component", "__cluster", "__rk")
+        .drop("__cc_comp", "__cluster", "__rk")
     )
 
 
@@ -521,12 +530,16 @@ def containment_join(
     candidate set only.
     """
     ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(ws) - (shingle_n - 1), F.lit(0))
-            ),
-            lambda i: F.array_join(F.slice(ws, i, shingle_n), " "),
+    # guard the empty case explicitly: sequence(1, 0) defaults to step -1
+    # and yields [1, 0], and slice(ws, 0, n) then throws — any doc shorter
+    # than shingle_n words must produce an empty gram set instead
+    n_grams = F.greatest(F.size(ws) - (shingle_n - 1), F.lit(0))
+    grams = F.when(n_grams == 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.array_join(F.slice(ws, i, shingle_n), " "),
+            )
         )
     )
     base = df.select(F.col(id_col).alias("__id"), grams.alias("__tk")).filter(

@@ -14,12 +14,25 @@ manifest write — audit cost is O(staged data), publish cost is O(1).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.quality import Check, run_checks
-from ..sources.snapshots import _data_dir, snapshot_versions
+from ..sources.snapshots import _data_dir, commit_version, snapshot_versions
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Best-effort recursive delete through the Hadoop FileSystem API, so
+    cleanup works on any supported filesystem (local, HDFS, s3a, ...), not
+    just the driver's local disk."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    except Exception:
+        # an orphan staged dir is harmless: it is uncommitted (invisible to
+        # readers) and its unique name can never collide with later writes
+        pass
 
 
 def wap_publish(
@@ -33,7 +46,12 @@ def wap_publish(
     Returns (published, version-or-None, audit report). The staged data is
     written BEFORE the audit (write-audit-publish, not audit-write): the
     audit reads back what was actually persisted, so serialization bugs
-    can't slip a bad version through.
+    can't slip a bad version through. Staging goes to a unique directory
+    (sources/snapshots.py::_data_dir appends a uuid) whose path is recorded
+    in the manifest at commit: a crash between stage and audit — or a
+    concurrent writer racing for the same version number — leaves only an
+    invisible orphan directory, never a path collision that would wedge
+    every subsequent publish.
     """
     spark = df.sparkSession
     versions = snapshot_versions(spark, base, table)
@@ -48,17 +66,10 @@ def wap_publish(
     report = spark.createDataFrame(rows, report.schema)
     ok = all(r["passed"] for r in rows)
     if not ok:
-        # the version never became visible; remove the staged files so the
-        # next publish attempt can claim this version number cleanly
-        import shutil
-
-        shutil.rmtree(staged, ignore_errors=True)
+        # the version never became visible; reclaim the staged space
+        # (best-effort — correctness does not depend on this delete)
+        _fs_delete(spark, staged)
         return False, None, report
 
-    manifest = spark.createDataFrame(
-        [(version, staged)], "version int, path string"
-    )
-    manifest.coalesce(1).write.mode("append").parquet(
-        os.path.join(base, table, "_manifests")
-    )
+    commit_version(spark, base, table, version, staged)
     return True, version, report

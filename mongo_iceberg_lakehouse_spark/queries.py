@@ -7481,9 +7481,15 @@ def ann_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i, 3), " "),
+    # empty-guard: sequence(1, 0) yields [1, 0] (step defaults to -1) and
+    # slice(words, 0, 3) throws — docs under 3 words must yield no grams,
+    # matching the oracle's empty generate_series(1, 0)
+    n_grams = F.greatest(F.size(words) - 2, F.lit(0))
+    grams = F.when(n_grams == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.array_join(F.slice(words, i, 3), " "),
+        )
     )
     return (
         d.select("doc_id", F.explode(grams).alias("gram"))

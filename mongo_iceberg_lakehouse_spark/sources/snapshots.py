@@ -6,12 +6,19 @@ session catalog's overwrite loses history. This module provides the minimal
 versioned-store semantics on plain parquet so the engine keeps time travel
 without the Iceberg runtime jar:
 
-- every write lands in an immutable ``v=<n>`` directory (never rewritten);
+- every write lands in an immutable, UNIQUELY-NAMED ``v=<n>-<uuid>``
+  directory (never rewritten, never re-used): a writer that crashes after
+  staging but before committing leaves an orphan directory that can never
+  collide with a later attempt at the same version number, so one crash
+  cannot wedge all future publishes;
 - a version is COMMITTED by writing a one-row manifest parquet under
-  ``_manifests/`` naming it — readers resolve versions only through
-  manifests, so a half-written data directory is invisible (write-then-
-  commit, the same protocol Iceberg's metadata pointer swap relies on);
-- time travel = read the directory a given (or the max) manifest names.
+  ``_manifests/`` naming (version, path) — readers resolve versions ONLY
+  through manifests, so a half-written data directory is invisible
+  (write-then-commit, the same protocol Iceberg's metadata pointer swap
+  relies on);
+- time travel = read the path the given (or the max) version's manifest
+  records. If two racing writers ever commit the same version number, the
+  lexicographically smallest path wins deterministically on every read.
 
 With the Iceberg jar present, ``sources/connectors.py`` swaps in real
 ``VERSION AS OF`` reads; the API here is shaped to match.
@@ -25,6 +32,7 @@ version are consistent without locks.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,17 +42,43 @@ def _manifest_dir(base: str, table: str) -> str:
 
 
 def _data_dir(base: str, table: str, version: int) -> str:
-    return os.path.join(base, table, f"v={version}")
+    """Fresh staging directory for ``version`` — unique per call, so a
+    crashed or concurrent writer can never block a later claim of the same
+    version number with a path-already-exists error."""
+    return os.path.join(base, table, f"v={version}-{uuid.uuid4().hex[:12]}")
+
+
+def _manifest_rows(spark: SparkSession, base: str, table: str) -> list:
+    try:
+        return spark.read.parquet(_manifest_dir(base, table)).collect()
+    except Exception:
+        return []
 
 
 def snapshot_versions(spark: SparkSession, base: str, table: str) -> list[int]:
     """Committed versions, ascending (empty if the table doesn't exist)."""
-    md = _manifest_dir(base, table)
-    try:
-        rows = spark.read.parquet(md).collect()
-    except Exception:
-        return []
-    return sorted(int(r["version"]) for r in rows)
+    return sorted({int(r["version"]) for r in _manifest_rows(spark, base, table)})
+
+
+def _resolve_path(spark: SparkSession, base: str, table: str, version: int) -> str:
+    """The data path a committed version's manifest names (min-path wins on
+    a duplicate-version race, deterministically)."""
+    paths = [
+        r["path"]
+        for r in _manifest_rows(spark, base, table)
+        if int(r["version"]) == version
+    ]
+    if not paths:
+        raise ValueError(f"version {version} has no manifest for {table!r}")
+    return min(paths)
+
+
+def commit_version(
+    spark: SparkSession, base: str, table: str, version: int, path: str
+) -> None:
+    """Publish ``path`` as ``version``: one manifest row, O(1)."""
+    manifest = spark.createDataFrame([(version, path)], "version int, path string")
+    manifest.coalesce(1).write.mode("append").parquet(_manifest_dir(base, table))
 
 
 def write_snapshot(df: DataFrame, base: str, table: str) -> int:
@@ -56,11 +90,9 @@ def write_snapshot(df: DataFrame, base: str, table: str) -> int:
     spark = df.sparkSession
     versions = snapshot_versions(spark, base, table)
     version = (versions[-1] + 1) if versions else 1
-    df.write.mode("errorifexists").parquet(_data_dir(base, table, version))
-    manifest = spark.createDataFrame(
-        [(version, _data_dir(base, table, version))], "version int, path string"
-    )
-    manifest.coalesce(1).write.mode("append").parquet(_manifest_dir(base, table))
+    staged = _data_dir(base, table, version)
+    df.write.mode("errorifexists").parquet(staged)
+    commit_version(spark, base, table, version, staged)
     return version
 
 
@@ -75,4 +107,4 @@ def read_snapshot(
         version = versions[-1]
     if version not in versions:
         raise ValueError(f"version {version} not in {versions} for {table!r}")
-    return spark.read.parquet(_data_dir(base, table, version))
+    return spark.read.parquet(_resolve_path(spark, base, table, version))

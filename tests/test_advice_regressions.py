@@ -1,0 +1,113 @@
+"""Regression tests for the round-2 advisor findings (ADVICE.md):
+
+1. containment_join crashed on any document shorter than shingle_n words
+   (sequence(1, 0) -> [1, 0] -> slice(ws, 0, n) throws).
+2. text_dup_ngram_spans had the same unguarded gram expression, diverging
+   from its oracle (empty generate_series) on short docs.
+3. wap_publish staged into a deterministic v=N path: a crash between stage
+   and audit left an orphan dir that wedged every later publish of that
+   table with path-already-exists.
+4. dedup_survivors(_by_quality) with id_col='id' dropped the caller's own
+   id column (drop-by-name removes all occurrences after a join).
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from mongo_iceberg_lakehouse_spark.operators.dedup import (
+    containment_join,
+    dedup_survivors,
+    dedup_survivors_by_quality,
+)
+from mongo_iceberg_lakehouse_spark.operators.quality import Check
+from mongo_iceberg_lakehouse_spark.plans.wap import wap_publish
+from mongo_iceberg_lakehouse_spark.queries import REGISTRY
+from mongo_iceberg_lakehouse_spark.sources.snapshots import (
+    _data_dir,
+    read_snapshot,
+    snapshot_versions,
+)
+
+from .compare import compare_spark_duckdb
+
+
+def test_containment_join_short_docs(spark):
+    # docs with 0 / 1 / 2 words alongside real ones: must run, short docs
+    # must simply contribute no shingles (previously: INVALID_PARAMETER_VALUE)
+    df = spark.createDataFrame(
+        [
+            (1, "a"),
+            (2, "a b"),
+            (3, ""),
+            (4, "one two three four five six seven"),
+            (5, "zero one two three four five six seven eight"),
+        ],
+        "doc_id int, text string",
+    )
+    out = containment_join(df, "doc_id", "text", threshold=0.5, shingle_n=3)
+    rows = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # doc 4's 5 trigrams are all inside doc 5's 7 -> containment 1.0
+    assert (4, 5) in rows
+    assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in rows)
+
+
+def test_text_dup_ngram_spans_short_docs(spark, tmp_path):
+    # corpus containing sub-3-word docs: engine must agree with the DuckDB
+    # oracle (which yields zero grams for them) instead of erroring
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [
+            (1, "x"),
+            (2, "x y"),
+            (3, "common span here indeed"),
+            (4, "common span here again"),
+        ],
+        "doc_id int, text string",
+    ).coalesce(1).write.parquet(sf + "/documents.parquet")
+    q = REGISTRY["text_dup_ngram_spans"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    ok, msg = compare_spark_duckdb(q.fn(spark, sf), con, q.oracle)
+    con.close()
+    assert ok, msg
+
+
+def test_wap_publish_survives_orphan_staged_dir(spark, tmp_path):
+    base = str(tmp_path / "wh")
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    # simulate a writer that crashed after staging version 1, before commit
+    orphan = _data_dir(base, "t", 1)
+    df.write.parquet(orphan)
+    checks = [Check("has_rows", F.count(F.lit(1)).cast("double"), 1.0)]
+    ok, ver, _ = wap_publish(df, base, "t", checks)
+    assert ok and ver == 1
+    assert snapshot_versions(spark, base, "t") == [1]
+    assert {r["id"] for r in read_snapshot(spark, base, "t").collect()} == {1, 2}
+    # and again: a second publish claims version 2 cleanly
+    ok2, ver2, _ = wap_publish(df, base, "t", checks)
+    assert ok2 and ver2 == 2
+
+
+def test_dedup_survivors_id_col_named_id(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "z")], "id int, payload string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
+    out = dedup_survivors(df, pairs, id_col="id")
+    assert "id" in out.columns
+    assert {r["id"] for r in out.collect()} == {1, 9}
+
+
+def test_dedup_survivors_by_quality_id_col_named_id(spark):
+    df = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.5), (9, 0.2)], "id int, q double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
+    out = dedup_survivors_by_quality(df, pairs, quality_col="q", id_col="id")
+    assert set(out.columns) == {"id", "q"}
+    assert {r["id"] for r in out.collect()} == {2, 9}
