@@ -460,15 +460,58 @@ def agg_stats_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx",
-    None,  # approximate results have no exact SQL oracle by definition
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_ok,
+           TRUE AS median_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="Approx aggregates for 100TB-scale profiling: approx_count_distinct "
-    "(HLL) + percentile_approx sketch. Rows-only check.",
+    "(HLL) + percentile_approx sketch. The sketches have no exact SQL "
+    "equivalent, so the output encodes their accuracy CONTRACT as booleans "
+    "the oracle CAN value-check (the sketch_rollup_distinct pattern): "
+    "hll_ok = HLL estimate within 5 percent of the exact distinct count "
+    "(default rsd 0.05); median_rank_ok = the rank of the approximate "
+    "median lies in [0.45, 0.55]. Both are deterministic for fixed data, "
+    "so the check is stable run-to-run. exact_parts is exposed so the "
+    "oracle also value-checks the exact side.",
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_med_price"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_med"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("long").alias("exact_parts"),
+    )
+    # empirical rank of the sketch median: one extra pass, broadcast of the
+    # tiny per-flag sketch results (3 rows) against the fact table
+    rank = (
+        li.join(F.broadcast(approx), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum((F.col("l_extendedprice") <= F.col("approx_med")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("med_rank")
+        )
+    )
+    return (
+        approx.join(exact, "l_returnflag")
+        .join(rank, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("hll_ok"),
+            ((F.col("med_rank") >= 0.45) & (F.col("med_rank") <= 0.55)).alias(
+                "median_rank_ok"
+            ),
+        )
     )
 
 
