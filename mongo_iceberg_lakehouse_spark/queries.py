@@ -5559,7 +5559,8 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r.root, CAST(count(*) AS BIGINT) AS n_members,
            CAST(max(r.depth) AS BIGINT) AS max_depth,
-           sum(c.c_acctbal) AS subtree_acctbal
+           sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) / 100e0
+             AS subtree_acctbal
     FROM roots r JOIN customer c ON r.c_custkey = c.c_custkey
     GROUP BY r.root
     """,
@@ -5572,7 +5573,10 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "still-walking rows — the iterative-union shape Spark executes "
     "without any driver-side loop. Oracle = the identical recursive CTE "
     "in DuckDB, a true cross-engine check of recursion semantics "
-    "(termination, UNION ALL accumulation, type unification).",
+    "(termination, UNION ALL accumulation, type unification). The subtree "
+    "balance is summed as integer cents (floor(x*100) -> BIGINT) so the "
+    "aggregate is exact and combine-order-independent — the float-sum "
+    "knife-edge discipline (see attribution_linear).",
 )
 def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_rcte")
@@ -5590,7 +5594,8 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT r.root, CAST(count(*) AS BIGINT) AS n_members,
                CAST(max(r.depth) AS BIGINT) AS max_depth,
-               sum(c.c_acctbal) AS subtree_acctbal
+               sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) / 100e0
+                 AS subtree_acctbal
         FROM roots r JOIN customer_rcte c ON r.c_custkey = c.c_custkey
         GROUP BY r.root
         """
