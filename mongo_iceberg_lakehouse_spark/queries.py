@@ -3141,8 +3141,10 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         v.agg(F.count(F.lit(1)).alias("viewed"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("clicked_after_view")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("purchased_after_click")))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("clicked_after_view"))))
+        .crossJoin(
+            F.broadcast(p.agg(F.count(F.lit(1)).alias("purchased_after_click")))
+        )
     )
 
 
@@ -8423,7 +8425,9 @@ def governance_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFram
     ]
     out = counts[0]
     for df in counts[1:]:
-        out = out.crossJoin(df)
+        # each side is a 1-row aggregate: broadcast explicitly so the plan
+        # is BroadcastNestedLoopJoin by construction, not by AQE noticing
+        out = out.crossJoin(F.broadcast(df))
     return out
 
 
