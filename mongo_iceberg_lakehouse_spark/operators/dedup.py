@@ -80,20 +80,25 @@ def _tokenize(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
-def hashed_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word-n-gram shingle HASHES, without materializing shingle
-    strings: one xxhash64 pass over tokens, then each shingle hash combines n
+def hashed_shingles(text: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word-n-gram shingle HASHES, without materializing shingle strings:
+    one xxhash64 pass over tokens, then each shingle hash combines n
     consecutive token hashes with one more xxhash64. String concatenation was
     the hot spot of the string-shingle formulation (~3x the cost of the rest
     of the MinHash pipeline combined); 64-bit hash collisions are negligible
-    for Jaccard estimation."""
+    for Jaccard estimation.
+
+    ``distinct=False`` skips the array_distinct: MinHash signatures take a
+    min over the array, so duplicates cannot change the result — only the
+    exact-Jaccard verify (set semantics) needs the distinct pass."""
     th = F.transform(_tokenize(text), lambda t: F.xxhash64(t))
     count = F.greatest(F.size(th) - (n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), count - 1)
     mk = lambda i: F.xxhash64(*[F.get(th, i + j) for j in range(n)])  # noqa: E731
-    return F.when(count == 0, F.array().cast("array<bigint>")).otherwise(
-        F.array_distinct(F.transform(idx, mk))
-    )
+    arr = F.transform(idx, mk)
+    if distinct:
+        arr = F.array_distinct(arr)
+    return F.when(count == 0, F.array().cast("array<bigint>")).otherwise(arr)
 
 
 _MERSENNE31 = (1 << 31) - 1
@@ -167,19 +172,40 @@ def minhash_signature(base_hashes: Column, num_hashes: int = 64) -> Column:
     (a_i*h + b_i) mod 2^31-1 — cheap long arithmetic that stays well inside
     64-bit range (ANSI-overflow-safe), ~30x cheaper than re-hashing strings
     per seed. Empty shingle sets get a sentinel signature.
-    """
-    mins = [
-        F.coalesce(
-            F.array_min(
-                F.transform(
-                    base_hashes, lambda h: F.pmod(h * a + b, F.lit(_MERSENNE31))
-                )
+
+    Expressed as ONE transform over a literal (a, b) parameter array rather
+    than ``num_hashes`` separate array_min(transform(...)) columns: the
+    unrolled form built a 64-lambda expression tree that cost ~1.4 s of
+    DRIVER-side Catalyst analysis per query build — about 40% of the whole
+    operator's wall time at sf0.1. Same math, same slot order, O(1) plan
+    nodes.
+
+    The F.size guard is load-bearing twice over: it is the empty-set
+    sentinel AND a second reference to ``base_hashes``, which stops
+    CollapseProject from inlining the (expensive) upstream hash-array
+    definition into the 64-iteration lambda — inlined, the upstream array
+    is recomputed once per slot, a measured ~10x slowdown."""
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _affine_params(num_hashes)
+        ]
+    )
+    sentinel = F.array_repeat(F.lit(_MERSENNE31).cast("long"), num_hashes)
+    return F.when(F.size(base_hashes) <= 0, sentinel).otherwise(
+        F.transform(
+            params,
+            lambda p: F.coalesce(
+                F.array_min(
+                    F.transform(
+                        base_hashes,
+                        lambda h: F.pmod(h * p["a"] + p["b"], F.lit(_MERSENNE31)),
+                    )
+                ),
+                F.lit(_MERSENNE31),
             ),
-            F.lit(_MERSENNE31),
         )
-        for a, b in _affine_params(num_hashes)
-    ]
-    return F.array(*mins)
+    )
 
 
 def band_hashes(sig: Column, num_hashes: int, bands: int) -> Column:
@@ -209,26 +235,44 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
+    verify_broadcast: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, exact shingle-Jaccard >= threshold).
 
-    Plan shape (scale-first): signature computation is a narrow map; candidate
-    generation explodes ``bands`` rows per doc and equi-joins on
+    Plan shape (scale-first): signature computation is a narrow map (no
+    array_distinct — min over the shingle array is duplicate-insensitive);
+    candidate generation explodes ``bands`` rows per doc and equi-joins on
     (band, band_hash) — a shuffle join on a well-distributed key; the final
-    exact-Jaccard verification runs only on candidates via
-    array_intersect/array_union sizes. No cross join at any stage.
+    exact-Jaccard verification computes DISTINCT shingles only for documents
+    that appear in a candidate pair. No cross join at any stage.
+
+    Verify stage (``verify_broadcast=True``, the default): the candidate id
+    set is broadcast into ONE semi-join scan of the corpus, shingles are
+    hashed for just those documents, and the two sides of each pair meet in
+    a groupBy over ~2x|candidates| rows — the corpus text is scanned once
+    and full shingle arrays never shuffle. The broadcast is bounded by the
+    candidate volume (itself bounded by the ``max_bucket`` degenerate-band
+    guard); at extreme near-dup rates where candidate ids outgrow a
+    broadcast, pass ``verify_broadcast=False`` to fall back to plain
+    shuffle joins of the pair list against the corpus.
     """
     # CPU-bound signature stage: spread across all cores even when the source
     # is a single small file (one input split). The shuffle moves only raw
     # text once; at real scale the source has many splits and this coalesces
     # to a no-op-ish even redistribution.
+    # verify scans read straight from the source (no repartition exchange:
+    # the broadcast-side verify join streams the scan, so the extra text
+    # shuffle would be pure overhead there)
+    src = df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
     base = (
         df.select(
             F.col(id_col).alias("id"),
-            hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
+            hashed_shingles(F.col(text_col), shingle_n, distinct=False).alias(
+                "sh"
+            ),
         )
         .withColumn("bh", shingle_hashes(F.col("sh")))
         .withColumn("sig", minhash_signature(F.col("bh"), num_hashes))
@@ -247,26 +291,67 @@ def minhash_lsh_pairs(
     )
     cand = _bucket_pairs(banded, ["band", "bh"])
 
-    # Rebuild shingle hashes from the source for the verify joins rather than
-    # reusing `base` — base's subtree includes the 64-slot signature, which
-    # would be recomputed per join branch; shingle hashing alone is cheap.
-    sh_tbl = df.select(
-        F.col(id_col).alias("id"),
-        hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
-    )
-    pairs = (
-        cand.join(
-            sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
-            on="id_a",
-        )
-        .join(
-            sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
-            on="id_b",
-        )
-    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
+
+    if not verify_broadcast:
+        # legacy path: two shuffle joins of the pair list against the corpus
+        sh_tbl = df.select(
+            F.col(id_col).alias("id"),
+            hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        pairs = cand.join(
+            sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            on="id_a",
+        ).join(
+            sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            on="id_b",
+        )
+    else:
+        # one row per pair side, so a single corpus pass serves both sides
+        sides = cand.select(
+            "id_a",
+            "id_b",
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("id"), F.lit("a").alias("side")),
+                    F.struct(F.col("id_b").alias("id"), F.lit("b").alias("side")),
+                )
+            ).alias("s"),
+        ).select("id_a", "id_b", F.col("s.id").alias("id"), F.col("s.side").alias("side"))
+        # broadcast-join FIRST, shingle AFTER: the candidate subtree is
+        # evaluated exactly once (each broadcast() is its own exchange, so
+        # referencing cand from two broadcasts would run the whole
+        # signature+bucket pipeline once per reference), and the corpus
+        # scan hashes shingles only for rows that survive the join
+        # the source scan only filters (broadcast hash probe — cheap even on
+        # few input splits); the surviving ~2x|cand| rows are redistributed
+        # across all cores BEFORE the shingle projection, because shingle
+        # hashing is the expensive step (~ms per doc) and the raw scan may
+        # have very few partitions
+        joined = (
+            src.join(F.broadcast(sides), src[id_col] == sides["id"])
+            .select("id_a", "id_b", "side", F.col(text_col).alias("__txt"))
+            .repartition(par)
+            .select(
+                "id_a",
+                "id_b",
+                "side",
+                hashed_shingles(F.col("__txt"), shingle_n).alias("sh"),
+            )
+        )
+        pairs = (
+            joined.groupBy("id_a", "id_b")
+            .agg(
+                F.first(
+                    F.when(F.col("side") == "a", F.col("sh")), ignorenulls=True
+                ).alias("sh_a"),
+                F.first(
+                    F.when(F.col("side") == "b", F.col("sh")), ignorenulls=True
+                ).alias("sh_b"),
+            )
+        )
     return (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
