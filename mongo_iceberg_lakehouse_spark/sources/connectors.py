@@ -86,6 +86,41 @@ def read_iceberg(spark: SparkSession, ident: str) -> DataFrame:
     return _gate(lambda: spark.read.format("iceberg").load(ident), "iceberg")
 
 
+def jvm_class_available(spark: SparkSession, class_name: str) -> bool:
+    """True iff ``class_name`` resolves through the JVM context classloader
+    (the loader Spark uses for --jars / spark.jars.packages additions).
+    The generic probe behind every connector-availability check, so e2e
+    round-trip tests can self-enable the day a jar appears in the image."""
+    try:
+        jvm = spark.sparkContext._jvm
+        loader = jvm.java.lang.Thread.currentThread().getContextClassLoader()
+        jvm.java.lang.Class.forName(class_name, False, loader)
+        return True
+    except Exception:
+        return False
+
+
+def mongodb_connector_available(spark: SparkSession) -> bool:
+    """True iff the mongo-spark-connector jar is on the classpath."""
+    return jvm_class_available(
+        spark, "com.mongodb.spark.sql.connector.MongoTableProvider"
+    )
+
+
+def kafka_connector_available(spark: SparkSession) -> bool:
+    """True iff the spark-sql-kafka jar is on the classpath."""
+    return jvm_class_available(
+        spark, "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+    )
+
+
+def jdbc_driver_available(
+    spark: SparkSession, driver: str = "org.postgresql.Driver"
+) -> bool:
+    """True iff the given JDBC driver class is on the classpath."""
+    return jvm_class_available(spark, driver)
+
+
 def iceberg_runtime_available(spark: SparkSession) -> bool:
     """True iff the iceberg-spark-runtime jar is on the JVM classpath.
 
@@ -96,15 +131,7 @@ def iceberg_runtime_available(spark: SparkSession) -> bool:
     (catalog.save_table_replace(use_v2=True)) when a future image ships the
     jar, without configuration changes.
     """
-    try:
-        jvm = spark.sparkContext._jvm
-        loader = jvm.java.lang.Thread.currentThread().getContextClassLoader()
-        jvm.java.lang.Class.forName(
-            "org.apache.iceberg.spark.SparkCatalog", False, loader
-        )
-        return True
-    except Exception:
-        return False
+    return jvm_class_available(spark, "org.apache.iceberg.spark.SparkCatalog")
 
 
 def write_jdbc(

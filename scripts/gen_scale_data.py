@@ -1,0 +1,96 @@
+"""Generate deterministic sf1-scale documents/embeddings for scaling runs.
+
+The driver ships sf0.001/sf0.01/sf0.1 only; the scale claims (MinHash LSH,
+blocked ANN, embedding near-dup, containment join) need at least one more
+decade of measured evidence. This synthesizes a 10x corpus FROM the sf0.1
+tables (never replacing driver data — output lives in .scale/, gitignored):
+
+- documents: the 5,000 originals plus 45,000 recombinants (first half of
+  doc a's words + second half of doc b's words, a,b seeded-random). A
+  recombinant shares ~50% of its shingles with each parent — well under
+  the 0.8 near-dup threshold — so the organic near-dup population scales
+  instead of exploding quadratically the way naive replication would.
+- embeddings: the 2,000 originals plus 18,000 unit-normalized 0.6/0.4
+  mixtures of seeded-random pairs, labels inherited from the 0.6 parent.
+
+Seeded (numpy PCG64(7)), so reruns produce identical bytes-for-bytes data.
+
+Usage: python scripts/gen_scale_data.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+
+def gen_documents(out_dir: str, rng: np.random.Generator) -> int:
+    t = pq.read_table(f"{SRC}/documents.parquet")
+    doc_id = t["doc_id"].to_numpy()
+    text = t["text"].to_pylist()
+    lang = t["lang"].to_pylist()
+    source = t["source"].to_pylist()
+    n = len(text)
+    n_new = 9 * n
+    a_idx = rng.integers(0, n, n_new)
+    b_idx = rng.integers(0, n, n_new)
+    next_id = int(doc_id.max()) + 1
+    new_rows = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    for k in range(n_new):
+        wa = text[a_idx[k]].split(" ")
+        wb = text[b_idx[k]].split(" ")
+        tx = " ".join(wa[: len(wa) // 2] + wb[len(wb) // 2 :])
+        new_rows["doc_id"].append(next_id + k)
+        new_rows["text"].append(tx)
+        new_rows["lang"].append(lang[a_idx[k]])
+        new_rows["source"].append(source[b_idx[k]])
+        new_rows["n_chars"].append(len(tx))
+    combined = pa.concat_tables([t, pa.table(new_rows, schema=t.schema)])
+    pq.write_table(combined, f"{out_dir}/documents.parquet", row_group_size=8192)
+    return combined.num_rows
+
+
+def gen_embeddings(out_dir: str, rng: np.random.Generator) -> int:
+    t = pq.read_table(f"{SRC}/embeddings.parquet")
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    labels = t["label"].to_numpy()
+    n, dim = vecs.shape
+    n_new = 9 * n
+    a_idx = rng.integers(0, n, n_new)
+    b_idx = rng.integers(0, n, n_new)
+    mixed = 0.6 * vecs[a_idx] + 0.4 * vecs[b_idx]
+    mixed /= np.maximum(np.linalg.norm(mixed, axis=1, keepdims=True), 1e-9)
+    next_id = int(t["vec_id"].to_numpy().max()) + 1
+    new = pa.table(
+        {
+            "vec_id": pa.array(range(next_id, next_id + n_new), pa.int64()),
+            "embedding": pa.array(
+                [row for row in mixed.astype(np.float32)], pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels[a_idx], pa.int32()),
+        },
+        schema=t.schema,
+    )
+    combined = pa.concat_tables([t, new])
+    pq.write_table(combined, f"{out_dir}/embeddings.parquet", row_group_size=8192)
+    return combined.num_rows
+
+
+def main() -> int:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(7)
+    nd = gen_documents(out_dir, rng)
+    ne = gen_embeddings(out_dir, rng)
+    print(f"wrote {out_dir}: documents={nd} embeddings={ne}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,89 @@
+"""Measure the scaling curve of the headline LLM-pipeline operators.
+
+Runs the four scale-critical queries (MinHash LSH dedup, blocked ANN
+top-k, embedding near-dup blocking, containment join) at sf0.01, sf0.1,
+and the synthetic sf1 decade (scripts/gen_scale_data.py), min-of-3 each,
+and prints one BENCH-style JSON line per scale plus a per-query ratio
+table — super-linear steps are the thing to investigate.
+
+Usage: python scripts/scaling_curve.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from mongo_iceberg_lakehouse_spark.queries import REGISTRY  # noqa: E402
+from mongo_iceberg_lakehouse_spark.session import get_spark  # noqa: E402
+
+QUERIES = [
+    "dedup_minhash_lsh",
+    "ann_topk_blocked",
+    "embedding_neardup_blocked",
+    "dedup_containment_pairs",
+]
+
+SCALES = [
+    ("0.01", "/root/testdata/sf0.01"),
+    ("0.1", "/root/testdata/sf0.1"),
+    ("1(synthetic)", "/root/repo/.scale/sf1"),
+]
+
+
+def main() -> int:
+    spark = get_spark(app_name="scaling-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict[str, float]] = {}
+    rows: dict[str, dict[str, int]] = {}
+    for sf, sf_dir in SCALES:
+        if not os.path.isdir(sf_dir) and not os.path.exists(sf_dir):
+            print(f"# skip sf{sf}: {sf_dir} missing", file=sys.stderr)
+            continue
+        timings: dict[str, float] = {}
+        nrows: dict[str, int] = {}
+        for name in QUERIES:
+            fn = REGISTRY[name].fn
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            nrows[name] = fn(spark, sf_dir).count()
+            print(
+                f"# sf{sf} {name}: {timings[name]}s ({nrows[name]} rows)",
+                file=sys.stderr,
+                flush=True,
+            )
+        results[sf] = timings
+        rows[sf] = nrows
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_sweep_wall_sec",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "rows": nrows,
+                    "sf": sf,
+                }
+            ),
+            flush=True,
+        )
+    if "0.1" in results and "1(synthetic)" in results:
+        print("\n# 10x data -> time ratio (linear scaling = ~10, sub-linear < 10):")
+        for name in QUERIES:
+            r = results["1(synthetic)"][name] / max(results["0.1"][name], 1e-9)
+            print(f"#   {name}: {r:.1f}x")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
