@@ -156,6 +156,75 @@ def _bucket_pairs(
     )
 
 
+def _pair_value_join(
+    src: DataFrame,
+    id_col: str,
+    text_col: str,
+    cand: DataFrame,
+    value_steps: Sequence,
+    par: int,
+    use_broadcast: bool = True,
+) -> DataFrame:
+    """(id_a, id_b, val_a, val_b) for candidate pairs.
+
+    ``use_broadcast=True`` (default): explode each pair into its two sides,
+    broadcast the sides into ONE corpus scan, evaluate ``value_steps`` (a
+    chain of Column->Column builders, each materialized in its own select so
+    CollapseProject cannot inline a multi-referenced upstream into a lambda)
+    only for surviving rows — redistributed across ``par`` cores first —
+    and reunite the sides with a groupBy over ~2x|cand| rows. The candidate
+    subtree is referenced exactly once (each broadcast() is its own
+    exchange; referencing it twice would execute the whole candidate
+    pipeline per reference), the corpus is scanned once, and per-document
+    values never shuffle.
+
+    ``use_broadcast=False``: plain shuffle joins of the pair list against a
+    corpus-wide value table — for candidate volumes too large to broadcast.
+    """
+    if use_broadcast:
+        sides = cand.select(
+            "id_a",
+            "id_b",
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("id"), F.lit("a").alias("side")),
+                    F.struct(F.col("id_b").alias("id"), F.lit("b").alias("side")),
+                )
+            ).alias("s"),
+        ).select(
+            "id_a", "id_b", F.col("s.id").alias("id"), F.col("s.side").alias("side")
+        )
+        joined = (
+            src.join(F.broadcast(sides), src[id_col] == sides["id"])
+            .select("id_a", "id_b", "side", F.col(text_col).alias("__v"))
+            .repartition(par)
+        )
+        for step in value_steps:
+            joined = joined.select(
+                "id_a", "id_b", "side", step(F.col("__v")).alias("__v")
+            )
+        return joined.groupBy("id_a", "id_b").agg(
+            F.first(
+                F.when(F.col("side") == "a", F.col("__v")), ignorenulls=True
+            ).alias("val_a"),
+            F.first(
+                F.when(F.col("side") == "b", F.col("__v")), ignorenulls=True
+            ).alias("val_b"),
+        )
+    tbl = src.select(F.col(id_col).alias("id"), F.col(text_col).alias("__v"))
+    if tbl.rdd.getNumPartitions() < par:
+        tbl = tbl.repartition(par)
+    for step in value_steps:
+        tbl = tbl.select("id", step(F.col("__v")).alias("__v"))
+    return cand.join(
+        tbl.select(F.col("id").alias("id_a"), F.col("__v").alias("val_a")),
+        on="id_a",
+    ).join(
+        tbl.select(F.col("id").alias("id_b"), F.col("__v").alias("val_b")),
+        on="id_b",
+    )
+
+
 def shingle_hashes(sh: Column) -> Column:
     """Reduce hashed shingles mod 2^31-1 for the affine MinHash family.
     Materialize in its own projection before ``minhash_signature`` — the
@@ -291,67 +360,19 @@ def minhash_lsh_pairs(
     )
     cand = _bucket_pairs(banded, ["band", "bh"])
 
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    inter = F.size(F.array_intersect("val_a", "val_b"))
+    union = F.size(F.array_union("val_a", "val_b"))
     jac = F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
 
-    if not verify_broadcast:
-        # legacy path: two shuffle joins of the pair list against the corpus
-        sh_tbl = df.select(
-            F.col(id_col).alias("id"),
-            hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
-        )
-        pairs = cand.join(
-            sh_tbl.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
-            on="id_a",
-        ).join(
-            sh_tbl.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
-            on="id_b",
-        )
-    else:
-        # one row per pair side, so a single corpus pass serves both sides
-        sides = cand.select(
-            "id_a",
-            "id_b",
-            F.explode(
-                F.array(
-                    F.struct(F.col("id_a").alias("id"), F.lit("a").alias("side")),
-                    F.struct(F.col("id_b").alias("id"), F.lit("b").alias("side")),
-                )
-            ).alias("s"),
-        ).select("id_a", "id_b", F.col("s.id").alias("id"), F.col("s.side").alias("side"))
-        # broadcast-join FIRST, shingle AFTER: the candidate subtree is
-        # evaluated exactly once (each broadcast() is its own exchange, so
-        # referencing cand from two broadcasts would run the whole
-        # signature+bucket pipeline once per reference), and the corpus
-        # scan hashes shingles only for rows that survive the join
-        # the source scan only filters (broadcast hash probe — cheap even on
-        # few input splits); the surviving ~2x|cand| rows are redistributed
-        # across all cores BEFORE the shingle projection, because shingle
-        # hashing is the expensive step (~ms per doc) and the raw scan may
-        # have very few partitions
-        joined = (
-            src.join(F.broadcast(sides), src[id_col] == sides["id"])
-            .select("id_a", "id_b", "side", F.col(text_col).alias("__txt"))
-            .repartition(par)
-            .select(
-                "id_a",
-                "id_b",
-                "side",
-                hashed_shingles(F.col("__txt"), shingle_n).alias("sh"),
-            )
-        )
-        pairs = (
-            joined.groupBy("id_a", "id_b")
-            .agg(
-                F.first(
-                    F.when(F.col("side") == "a", F.col("sh")), ignorenulls=True
-                ).alias("sh_a"),
-                F.first(
-                    F.when(F.col("side") == "b", F.col("sh")), ignorenulls=True
-                ).alias("sh_b"),
-            )
-        )
+    pairs = _pair_value_join(
+        src,
+        id_col,
+        text_col,
+        cand,
+        [lambda t: hashed_shingles(t, shingle_n)],
+        par,
+        use_broadcast=verify_broadcast,
+    )
     return (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
@@ -372,17 +393,30 @@ def simhash_signature(hashes: Column, bits: int = 64) -> Column:
     ``hashes`` is the pre-computed token-hash array. For each bit position,
     count hashes with that bit set vs unset; returns array<int> of 0/1 signs,
     cheap to band for candidate search.
+
+    One transform over a literal bit-mask array instead of ``bits``
+    unrolled filter columns: the unrolled tree cost ~8 s of driver-side
+    Catalyst analysis per query build (90% of dedup_simhash's wall time at
+    sf0.1 — the same pathology minhash_signature had). (h & mask) != 0 is
+    the column-friendly form of shiftright(h, b) & 1 == 1; ``hashes`` is
+    referenced twice (filter + size), which keeps its projection from
+    being inlined into the 64-iteration lambda (CollapseProject keeps
+    multi-referenced non-cheap aliases).
     """
+    masks = F.array(
+        *[
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+            for b in range(bits)
+        ]
+    )
     n = F.size(hashes)
-
-    def bit_sign(b: int) -> Column:
-        # b is a Python int (shiftright needs a literal shift amount)
-        ones = F.size(
-            F.filter(hashes, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
-        )
-        return F.when(ones * 2 >= n, F.lit(1)).otherwise(F.lit(0))
-
-    return F.array(*[bit_sign(b) for b in range(bits)])
+    return F.transform(
+        masks,
+        lambda m: F.when(
+            F.size(F.filter(hashes, lambda h: h.bitwiseAND(m) != 0)) * 2 >= n,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
 
 
 def simhash_pairs(
@@ -396,6 +430,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: band the signature into ``chunks`` pieces,
     candidates collide on >=1 piece (guaranteed to catch hamming distance
     < chunks), then verify exact hamming distance <= max_hamming."""
+    src = df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
@@ -420,19 +455,23 @@ def simhash_pairs(
     )
     banded = base.select("id", F.posexplode(chunk_hashes).alias("chunk", "ch"))
     cand = _bucket_pairs(banded, ["chunk", "ch"])
-    sig_tbl = base.select("id", "sig")
-    pairs = (
-        cand.join(
-            sig_tbl.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
-            on="id_a",
-        )
-        .join(
-            sig_tbl.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
-            on="id_b",
-        )
+    # shuffle-join verify (use_broadcast=False), NOT the broadcast-sides
+    # plan minhash uses: the 8-chunk collision guarantee makes simhash
+    # candidate graphs DENSE on template-heavy corpora, and the
+    # per-pair-side value computation would evaluate the 64-pass signature
+    # once per side row (measured 40x slower at sf0.1) — per-document
+    # signatures joined by id are the right shape here
+    pairs = _pair_value_join(
+        src,
+        id_col,
+        text_col,
+        cand,
+        [token_hashes, lambda th: simhash_signature(th, bits)],
+        par,
+        use_broadcast=False,
     )
     hamming = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.zip_with("val_a", "val_b", lambda x, y: F.when(x != y, 1).otherwise(0)),
         F.lit(0),
         lambda acc, x: acc + x,
     )

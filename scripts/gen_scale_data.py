@@ -6,12 +6,18 @@ decade of measured evidence. This synthesizes a 10x corpus FROM the sf0.1
 tables (never replacing driver data — output lives in .scale/, gitignored):
 
 - documents: the 5,000 originals plus 45,000 recombinants (first half of
-  doc a's words + second half of doc b's words, a,b seeded-random). A
-  recombinant shares ~50% of its shingles with each parent — well under
-  the 0.8 near-dup threshold — so the organic near-dup population scales
-  instead of exploding quadratically the way naive replication would.
+  doc a's words + second half of doc b's words, a,b seeded-random), with
+  a unique salt token spliced in every 4th position. The salt is the
+  load-bearing part: the corpus is template-generated, so unsalted
+  half-swaps frequently reproduce near-identical documents and the
+  0.8-Jaccard pair count exploded 58x super-linearly (148k pairs at sf1 vs
+  a linear organic trend of ~2.5k). Salting every 4th token kills ~75% of
+  trigram shingles between any two docs, so only the organic
+  template-dup population survives and the dup RATE stays scale-invariant.
 - embeddings: the 2,000 originals plus 18,000 unit-normalized 0.6/0.4
-  mixtures of seeded-random pairs, labels inherited from the 0.6 parent.
+  mixtures of seeded-random SAME-LABEL pairs (cross-label mixtures landed
+  between clusters and inflated the >=0.4-cosine pair rate ~4x over
+  organic), plus slight gaussian noise.
 
 Seeded (numpy PCG64(7)), so reruns produce identical bytes-for-bytes data.
 
@@ -45,7 +51,13 @@ def gen_documents(out_dir: str, rng: np.random.Generator) -> int:
     for k in range(n_new):
         wa = text[a_idx[k]].split(" ")
         wb = text[b_idx[k]].split(" ")
-        tx = " ".join(wa[: len(wa) // 2] + wb[len(wb) // 2 :])
+        words = wa[: len(wa) // 2] + wb[len(wb) // 2 :]
+        salted = []
+        for i, w in enumerate(words):
+            salted.append(w)
+            if i % 4 == 3:
+                salted.append(f"s{k}x{i}")
+        tx = " ".join(salted)
         new_rows["doc_id"].append(next_id + k)
         new_rows["text"].append(tx)
         new_rows["lang"].append(lang[a_idx[k]])
@@ -63,8 +75,16 @@ def gen_embeddings(out_dir: str, rng: np.random.Generator) -> int:
     n, dim = vecs.shape
     n_new = 9 * n
     a_idx = rng.integers(0, n, n_new)
-    b_idx = rng.integers(0, n, n_new)
+    # partner sampled from the SAME label so mixtures stay inside their
+    # cluster instead of bridging two clusters
+    by_label: dict[int, np.ndarray] = {
+        lab: np.flatnonzero(labels == lab) for lab in np.unique(labels)
+    }
+    b_idx = np.array(
+        [by_label[labels[a]][rng.integers(0, len(by_label[labels[a]]))] for a in a_idx]
+    )
     mixed = 0.6 * vecs[a_idx] + 0.4 * vecs[b_idx]
+    mixed += rng.normal(0.0, 0.05, mixed.shape).astype(np.float32)
     mixed /= np.maximum(np.linalg.norm(mixed, axis=1, keepdims=True), 1e-9)
     next_id = int(t["vec_id"].to_numpy().max()) + 1
     new = pa.table(
