@@ -535,18 +535,37 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
 
 def lsh_signature(vec_col: Column | str, dim: int, bits: int = 16, seed: int = 42) -> Column:
     """Random-hyperplane signature as a bit-string column (JVM-side: the
-    planes are literal arrays, the dot products are zip_with/aggregate)."""
+    planes are literal arrays, the dot products are zip_with/aggregate).
+
+    One transform over a literal array-of-planes rather than ``bits``
+    unrolled aggregate columns — the unrolled form pays O(bits) deep
+    lambda subtrees in driver-side Catalyst analysis (the
+    minhash_signature planning pathology). The F.size guard keeps the
+    cast-to-double array from being inlined into the per-plane lambda
+    (CollapseProject keeps multi-referenced non-cheap aliases)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     vd = F.transform(v, lambda x: x.cast("double"))
-    planes = _hyperplanes(dim, bits, seed)
-    bit_cols = []
-    for plane in planes:
-        p = F.array(*[F.lit(w) for w in plane])
-        d = F.aggregate(
-            F.zip_with(vd, p, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
-        bit_cols.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bit_cols)
+    planes_lit = F.array(
+        *[
+            F.array(*[F.lit(w) for w in plane])
+            for plane in _hyperplanes(dim, bits, seed)
+        ]
+    )
+    bits_arr = F.transform(
+        planes_lit,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(vd, p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.when(F.size(vd) < 0, F.lit(None)).otherwise(
+        F.array_join(bits_arr, "")
+    )
 
 
 def ann_topk_lsh(
