@@ -149,8 +149,12 @@ def _bucket_pairs(
             ),
         )
     )
+    # explode_outer: plain explode triggers InferFiltersFromGenerate, which
+    # inlines the whole combination expression into a size()>0 filter and
+    # evaluates it twice per bucket; >= 2 ids guarantee >= 1 pair, so outer
+    # semantics are identical.
     return (
-        grouped.select(F.explode(pairs).alias("p"))
+        grouped.select(F.explode_outer(pairs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -352,9 +356,12 @@ def minhash_lsh_pairs(
     # NOT travel through the x`bands` explode/shuffle (that would replicate
     # every document's shingles `bands` times); they are joined back for the
     # (tiny) verified candidate set instead.
+    # posexplode_outer: explode's inferred size()>0 filter would inline the
+    # full signature pipeline into a predicate (band_hashes always emits
+    # `bands` rows, so outer changes nothing).
     banded = base.select(
         "id",
-        F.posexplode(band_hashes(F.col("sig"), num_hashes, bands)).alias(
+        F.posexplode_outer(band_hashes(F.col("sig"), num_hashes, bands)).alias(
             "band", "bh"
         ),
     )
@@ -453,7 +460,9 @@ def simhash_pairs(
             for c in range(chunks)
         ]
     )
-    banded = base.select("id", F.posexplode(chunk_hashes).alias("chunk", "ch"))
+    banded = base.select(
+        "id", F.posexplode_outer(chunk_hashes).alias("chunk", "ch")
+    )  # outer: skip the inferred-filter re-inline; always `chunks` elements
     cand = _bucket_pairs(banded, ["chunk", "ch"])
     # shuffle-join verify (use_broadcast=False), NOT the broadcast-sides
     # plan minhash uses: the 8-chunk collision guarantee makes simhash
@@ -652,24 +661,67 @@ def containment_join(
     the classic similarity-join pruning that keeps this off the O(n^2)
     cliff at corpus scale. Exact verification via array_intersect on the
     candidate set only.
+
+    Shingles are HASHED (xxhash64 over n consecutive token hashes, same
+    trick as ``hashed_shingles``) so the freq/order/candidate shuffles and
+    the verify arrays carry 8-byte longs, not ~30-byte strings — at sf1
+    this stage was 7x the sf0.1 cost, nearly all of it candidate-side
+    string traffic (docs/SCALING.md). Completeness is order-independent
+    (any fixed total order works for the prefix bound), so ordering by
+    (df, hash) instead of (df, string) changes nothing; |A∩B| is exact
+    modulo 64-bit collisions (~2^-65 per shingle pair, far below the
+    oracle's comparison grid). A length filter (|B| >= ceil(t*|A|), a
+    necessary condition for containment) prunes candidates before the
+    distinct shuffle.
     """
-    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
-    # guard the empty case explicitly: sequence(1, 0) defaults to step -1
-    # and yields [1, 0], and slice(ws, 0, n) then throws — any doc shorter
-    # than shingle_n words must produce an empty gram set instead
-    n_grams = F.greatest(F.size(ws) - (shingle_n - 1), F.lit(0))
-    grams = F.when(n_grams == 0, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_grams),
-                lambda i: F.array_join(F.slice(ws, i, shingle_n), " "),
-            )
+    # CPU-bound shingling: spread across cores even when the source is one
+    # input split (same idiom as minhash_lsh_pairs; at real scale the source
+    # has many splits and this is a near-no-op redistribution).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    # NOTE: split on a literal single space, NOT _tokenize — the oracle
+    # (and the reference's notion of a "word") is a raw space split with
+    # empties removed, no lowercasing.
+    #
+    # __th MUST be its own projection: the gram lambda references it
+    # shingle_n+1 times, and inlining would re-run tokenize+hash per
+    # reference per element — O(L^2) per document (same CollapseProject
+    # discipline as ``shingle_hashes``; a non-cheap multi-referenced alias
+    # is kept materialized, so downstream F.get reads a bound array).
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # Short-doc guard as a PRE-filter on the word count, not a post-filter
+    # on size(__tk): filtering the computed gram column gets pushed below
+    # the projection by Catalyst, which INLINES the whole gram expression
+    # into the predicate and evaluates it twice per row (measured 5.5 s ->
+    # 0.23 s for this stage at sf0.1). "size(words) >= n" is equivalent to
+    # "grams non-empty" and keeps the guard a cheap scalar predicate.
+    hashed = df.filter(F.size(words) >= shingle_n).select(
+        F.col(id_col).alias("__id"),
+        F.transform(words, lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    th = F.col("__th")
+    mk = lambda i: F.xxhash64(  # noqa: E731
+        *[F.get(th, i + j) for j in range(shingle_n)]
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(th) - shingle_n), mk
         )
     )
-    base = df.select(F.col(id_col).alias("__id"), grams.alias("__tk")).filter(
-        F.size("__tk") > 0
+    base = hashed.select("__id", grams.alias("__tk"))
+    # explode_outer, NOT explode: plain explode makes InferFiltersFromGenerate
+    # add "size(__tk) > 0 AND isnotnull(__tk)", which alias-substitutes the
+    # ENTIRE gram pipeline into a Filter below the projection — the array is
+    # then computed twice per row, once with the token hashes re-inlined
+    # O(L^2) (measured 5.6 s -> 0.76 s for this stage at sf0.1). The
+    # pre-filter already guarantees every row has >= 1 gram, so outer
+    # semantics are identical.
+    toks = base.select(
+        "__id",
+        F.size("__tk").alias("__sz"),
+        F.explode_outer("__tk").alias("__tok"),
     )
-    toks = base.select("__id", F.explode("__tk").alias("__tok"))
     freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     # rarest-first order per doc: sort (df, tok) structs, keep the tok
     ordered = (
@@ -689,12 +741,27 @@ def containment_join(
     )
     probe = ordered.select(
         F.col("__id").alias("id_a"),
-        F.explode(F.slice(F.col("__srt"), 1, prefix_len)).alias("__tok"),
+        F.size("__srt").alias("__sza"),
+        # explode_outer for the same InferFiltersFromGenerate reason as toks
+        # (prefix_len >= 1 on every row, so no rows are lost)
+        F.explode_outer(F.slice(F.col("__srt"), 1, prefix_len)).alias(
+            "__tok"
+        ),
     )
-    index = toks.select(F.col("__id").alias("id_b"), "__tok")
+    index = toks.select(
+        F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"), "__tok"
+    )
     cand = (
         probe.join(index, "__tok")
-        .filter(F.col("id_a") != F.col("id_b"))
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            # |A∩B| >= ceil(t*|A|) forces |B| >= ceil(t*|A|): prune before
+            # the distinct shuffle and the array-verify join
+            & (
+                F.col("__szb")
+                >= F.ceil(F.lit(threshold) * F.col("__sza")).cast("int")
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )
