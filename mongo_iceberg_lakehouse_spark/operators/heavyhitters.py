@@ -81,8 +81,10 @@ def cms_build(df: DataFrame, col: str, depth: int, width: int) -> DataFrame:
             for i in range(depth)
         ]
     )
+    # explode_outer: the inferred size()>0 filter would re-hash the value
+    # depth times per row (array always has `depth` elements)
     return (
-        df.select(F.explode(pairs).alias("sb"))
+        df.select(F.explode_outer(pairs).alias("sb"))
         .select("sb.seed", "sb.bucket")
         .groupBy("seed", "bucket")
         .agg(F.count("*").alias("cnt"))

@@ -243,4 +243,8 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     fan-out a real frame sampler produces, with payload dropped post-fanout."""
     n_frames = (F.col("meta.n_bytes") / F.lit(100)).cast("int")
     frames = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
-    return df.select(F.col("doc_id"), F.explode(frames).alias("frame_no"))
+    # outer + null-filter: avoid the inferred-filter re-evaluation of the
+    # frame sequence; null metadata degrades to no frames, same as explode
+    return df.select(
+        F.col("doc_id"), F.explode_outer(frames).alias("frame_no")
+    ).filter(F.col("frame_no").isNotNull())

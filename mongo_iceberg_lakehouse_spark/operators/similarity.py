@@ -600,7 +600,9 @@ def ann_topk_lsh(
         return df.select(
             F.col(id_col).alias(idn),
             F.col(vec_col).alias(f"__v_{idn}"),
-            F.posexplode(sigs).alias("__tbl", "__sig"),
+            # outer: explode's inferred filter would inline the whole
+            # multi-table signature computation (always `tables` elements)
+            F.posexplode_outer(sigs).alias("__tbl", "__sig"),
         )
 
     e = with_sigs(embeddings, "neighbor_id")

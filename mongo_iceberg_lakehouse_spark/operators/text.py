@@ -156,7 +156,15 @@ def winnow_fingerprints(
             )
         )
     )
-    return df2.select(F.col(id_col), F.explode(mins).alias("fingerprint"))
+    # explode_outer + null-filter instead of explode: the inferred
+    # size()>0 filter would evaluate the whole rolling-min pipeline twice
+    # per row; the post-filter on the GENERATED attribute is cheap and
+    # restores drop-empty semantics (fingerprints are never legitimately
+    # null: array_min over xxhash64 values)
+    return (
+        df2.select(F.col(id_col), F.explode_outer(mins).alias("fingerprint"))
+        .filter(F.col("fingerprint").isNotNull())
+    )
 
 
 def word_ngrams(ws: Column | str, n: int) -> Column:
@@ -196,12 +204,14 @@ def ngram_overlap_contamination(
     """
 
     def grams(df: DataFrame) -> DataFrame:
+        # outer + null-filter: skip the inferred-filter re-evaluation of the
+        # n-gram build (grams themselves are never null: concat_ws)
         return df.select(
             F.col(id_col),
-            F.explode(
+            F.explode_outer(
                 word_ngrams(F.split(F.col(text_col), " "), n)
             ).alias("gram"),
-        )
+        ).filter(F.col("gram").isNotNull())
 
     ev = grams(eval_set).select("gram").distinct()
     return (
@@ -232,7 +242,10 @@ def fuzzy_pairs_ed1(df: DataFrame, id_col: str, s_col: str) -> DataFrame:
     variants = df.select(
         F.col(id_col).alias("__id"),
         F.col(s_col).alias("__s"),
-        F.explode(
+        # outer: skip the inferred-filter re-build of the deletion
+        # neighborhood (always contains the string itself; a null string
+        # yields a null variant that matches nothing in the equi-join)
+        F.explode_outer(
             F.array_distinct(
                 F.concat(
                     F.array(F.col(s_col)),

@@ -42,9 +42,15 @@ def gapfill_locf(
     bounds = actual.groupBy(key).agg(
         F.min("__h").alias("__h0"), F.max("__h").alias("__h1")
     )
+    # outer + null-filter: skip explode's inferred-filter re-evaluation of
+    # the sequence; __h0 <= __h1 whenever the key has observations, and the
+    # null-filter drops keys whose timestamps were all null (same as explode)
     grid = bounds.select(
-        key, F.explode(F.sequence("__h0", "__h1", F.expr(step))).alias("__h")
-    )
+        key,
+        F.explode_outer(F.sequence("__h0", "__h1", F.expr(step))).alias(
+            "__h"
+        ),
+    ).filter(F.col("__h").isNotNull())
     j = grid.join(actual, [key, "__h"], "left")
     w = (
         Window.partitionBy(key)

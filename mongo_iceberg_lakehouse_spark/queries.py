@@ -4011,8 +4011,10 @@ def bigram_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     ws = d.select(F.split("text", " ").alias("ws")).filter(F.size("ws") >= 2)
+    # explode_outer: skip the inferred size()>0 filter that would rebuild
+    # the bigram array per row (ws is pre-filtered to >= 2 words)
     bigrams = ws.select(
-        F.explode(
+        F.explode_outer(
             F.expr(
                 "transform(sequence(0, size(ws)-2),"
                 " i -> concat(ws[i], ' ', ws[i+1]))"
@@ -4545,7 +4547,7 @@ def active_users_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = ud.select(F.col("day").alias("day_t")).distinct()
     contrib = ud.select(
         "user_id",
-        F.explode(
+        F.explode_outer(  # outer: always 7 elements; skip inferred filter
             F.sequence(
                 F.col("day"),
                 F.col("day") + F.expr("INTERVAL 6 DAYS"),
@@ -4820,7 +4822,7 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t.select(
         "doc_id",
         "toks",
-        F.explode(
+        F.explode_outer(  # outer: size(toks) >= 1, so never empty
             F.sequence(F.lit(1), F.size("toks"), F.lit(20))
         ).alias("start"),
     )
@@ -7244,7 +7246,7 @@ def timeseries_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
         .select(
             "user_id",
-            F.explode(
+            F.explode_outer(  # outer: lo <= hi by construction
                 F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
             ).alias("day"),
         )
@@ -7541,8 +7543,13 @@ def text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(words, i, 3), " "),
         )
     )
+    # explode_outer + null-filter: explode's inferred size()>0 predicate
+    # would inline the whole gram build and run it twice per row; grams are
+    # never legitimately null (array_join), so the attribute filter exactly
+    # restores drop-empty semantics for short docs
     return (
-        d.select("doc_id", F.explode(grams).alias("gram"))
+        d.select("doc_id", F.explode_outer(grams).alias("gram"))
+        .filter(F.col("gram").isNotNull())
         .groupBy("gram")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
@@ -8255,7 +8262,9 @@ def seq_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.sequence(F.lit(1), F.greatest(F.size("types") - 3, F.lit(0)))
     return (
         seq.filter(F.size("types") >= 4)
-        .select("user_id", F.explode(idx).alias("pos"), "types")
+        .select(  # outer: size >= 4 makes idx non-empty
+            "user_id", F.explode_outer(idx).alias("pos"), "types"
+        )
         .select(
             "user_id",
             "pos",
@@ -8482,7 +8491,7 @@ def concurrency_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours = spans.select(
         "user_id",
         "session_id",
-        F.explode(
+        F.explode_outer(  # outer: h0 <= h1 by construction
             F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
         ).alias("hour"),
     )

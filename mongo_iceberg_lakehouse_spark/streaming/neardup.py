@@ -98,9 +98,12 @@ def dedup_batch_against_store(
     band_dir = os.path.join(store_dir, "bands")
 
     sigs = _signatures(batch, num_hashes, shingle_n).localCheckpoint()
+    # posexplode_outer: plain explode's inferred size()>0 filter would
+    # re-evaluate band_hashes per row (always `bands` elements, so outer
+    # semantics are identical)
     banded = sigs.select(
         "doc_id",
-        F.posexplode(band_hashes(F.col("sig"), num_hashes, bands)).alias(
+        F.posexplode_outer(band_hashes(F.col("sig"), num_hashes, bands)).alias(
             "band", "bh"
         ),
     )
@@ -159,7 +162,7 @@ def dedup_batch_against_store(
     survivor_sigs.write.mode("append").parquet(sig_dir)
     survivor_sigs.select(
         "doc_id",
-        F.posexplode(band_hashes(F.col("sig"), num_hashes, bands)).alias(
+        F.posexplode_outer(band_hashes(F.col("sig"), num_hashes, bands)).alias(
             "band", "bh"
         ),
     ).write.mode("append").parquet(band_dir)
