@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.expr import let_
+
 # Tiny per-language stopword lists for the n-gram/stopword-vote language-ID
 # heuristic. Order = deterministic tiebreak priority.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -137,16 +139,24 @@ def winnow_fingerprints(
     shingle hashes via transform+xxhash64, window minima via transform over a
     sequence of window start indices + array_min(slice(...)).
     """
-    tk = tokens(F.col(text_col))
-    n_sh = F.greatest(F.size(tk) - (kgram - 1), F.lit(0))
-    sh_idx = F.sequence(F.lit(0), n_sh - 1)
-    hashes = F.when(n_sh == 0, F.array().cast("array<bigint>")).otherwise(
-        F.transform(
-            sh_idx,
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i + 1, kgram))),
+    # bind the token array once (let_): the shingle lambda slices it per
+    # k-gram, and an unbound reference would re-tokenize per shingle —
+    # O(L^2) per document
+    def _hashes(tk: Column) -> Column:
+        n_sh = F.greatest(F.size(tk) - (kgram - 1), F.lit(0))
+        sh_idx = F.sequence(F.lit(0), n_sh - 1)
+        return F.when(n_sh == 0, F.array().cast("array<bigint>")).otherwise(
+            F.transform(
+                sh_idx,
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(tk, i + 1, kgram))
+                ),
+            )
         )
+
+    df2 = df.select(
+        F.col(id_col), let_(tokens(F.col(text_col)), _hashes).alias("__h")
     )
-    df2 = df.select(F.col(id_col), hashes.alias("__h"))
     n_win = F.greatest(F.size(F.col("__h")) - (window - 1), F.lit(0))
     win_idx = F.sequence(F.lit(0), n_win - 1)
     mins = F.when(n_win == 0, F.array().cast("array<bigint>")).otherwise(
@@ -169,17 +179,25 @@ def winnow_fingerprints(
 
 def word_ngrams(ws: Column | str, n: int) -> Column:
     """Space-joined word n-grams from a token array, JVM-side
-    (transform over an index sequence; empty when fewer than n tokens)."""
+    (transform over an index sequence; empty when fewer than n tokens).
+
+    The token array is bound once via ``let_``: the gram lambda references
+    it n+2 times, and when callers pass a computed array (e.g. a split),
+    unbound references would re-evaluate it per gram — O(L^2) per row."""
     c = F.col(ws) if isinstance(ws, str) else ws
-    return F.when(
-        F.size(c) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(c) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(c, i + j + 1) for j in range(n)]
+
+    def body(tk: Column) -> Column:
+        return F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tk, i + j + 1) for j in range(n)]
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_(c, body)
 
 
 def ngram_overlap_contamination(

@@ -2779,11 +2779,18 @@ def agg_salted_event_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan, embarrassingly parallel.",
 )
 def text_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.expr import let_
+
     d = _t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
-    ngrams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 2),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    # bind words once (let_): the window lambda slices it per 3-gram, and
+    # an unbound reference re-splits the text per window -- O(L^2) per doc
+    ngrams = let_(
+        words,
+        lambda ws: F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
+        ),
     )
     n_win = F.size("ngrams").cast("bigint")
     n_dis = F.size(F.array_distinct("ngrams")).cast("bigint")
@@ -7531,18 +7538,27 @@ def ann_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the oracle.",
 )
 def text_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.expr import let_
+
     d = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+
     # empty-guard: sequence(1, 0) yields [1, 0] (step defaults to -1) and
     # slice(words, 0, 3) throws — docs under 3 words must yield no grams,
-    # matching the oracle's empty generate_series(1, 0)
-    n_grams = F.greatest(F.size(words) - 2, F.lit(0))
-    grams = F.when(n_grams == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.array_join(F.slice(words, i, 3), " "),
+    # matching the oracle's empty generate_series(1, 0). words is bound
+    # once via let_ (the gram lambda slices it per window; unbound it
+    # would re-split the text per window — O(L^2) per doc).
+    def _grams(ws):
+        n_grams = F.greatest(F.size(ws) - 2, F.lit(0))
+        return F.when(
+            n_grams == 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.array_join(F.slice(ws, i, 3), " "),
+            )
         )
-    )
+
+    grams = let_(F.split(F.col("text"), " "), _grams)
     # explode_outer + null-filter: explode's inferred size()>0 predicate
     # would inline the whole gram build and run it twice per row; grams are
     # never legitimately null (array_join), so the attribute filter exactly
