@@ -5,7 +5,14 @@ elimination inside interpreted higher-order-function trees, so a Column
 expression referenced k times inside a lambda is *evaluated* k times per
 element — an O(L) subexpression referenced per element of an O(L) array
 silently becomes O(L^2) per row (measured 7.4 s -> 0.37 s on the sf1
-shingling stage). Materializing the subexpression as its own projection
+shingling stage).
+
+Scope: this matters ONLY for references inside lambda bodies. Repeated
+subtrees at the top level of a single projection ARE deduplicated by
+whole-stage codegen's subexpression elimination (measured: a projection
+with ~7 repeated ``tokens(text)`` references costs the same as a bound
+one), so plain multi-use of an expression across output columns does not
+need let_. Materializing the subexpression as its own projection
 column fixes it, but forces an API that returns DataFrames instead of
 composable Columns. ``let_`` keeps the Column shape: a ``transform``
 lambda VARIABLE is bound to its evaluated value, so wrapping the value in
