@@ -540,32 +540,38 @@ def lsh_signature(vec_col: Column | str, dim: int, bits: int = 16, seed: int = 4
     One transform over a literal array-of-planes rather than ``bits``
     unrolled aggregate columns — the unrolled form pays O(bits) deep
     lambda subtrees in driver-side Catalyst analysis (the
-    minhash_signature planning pathology). The F.size guard keeps the
-    cast-to-double array from being inlined into the per-plane lambda
-    (CollapseProject keeps multi-referenced non-cheap aliases)."""
+    minhash_signature planning pathology). The cast-to-double array is
+    bound once via ``let_``: lambda-interior references are re-evaluated
+    per plane (no CSE inside HOF lambdas), which would re-cast the vector
+    ``bits`` times per row."""
+    from ..functions.expr import let_
+
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    vd = F.transform(v, lambda x: x.cast("double"))
     planes_lit = F.array(
         *[
             F.array(*[F.lit(w) for w in plane])
             for plane in _hyperplanes(dim, bits, seed)
         ]
     )
-    bits_arr = F.transform(
-        planes_lit,
-        lambda p: F.when(
-            F.aggregate(
-                F.zip_with(vd, p, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0")),
-    )
-    return F.when(F.size(vd) < 0, F.lit(None)).otherwise(
-        F.array_join(bits_arr, "")
-    )
+
+    def body(vd: Column) -> Column:
+        return F.array_join(
+            F.transform(
+                planes_lit,
+                lambda p: F.when(
+                    F.aggregate(
+                        F.zip_with(vd, p, lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0")),
+            ),
+            "",
+        )
+
+    return let_(F.transform(v, lambda x: x.cast("double")), body)
 
 
 def ann_topk_lsh(
