@@ -762,17 +762,36 @@ def containment_join(
         - F.ceil(F.lit(threshold) * F.size("__srt")).cast("int")
         + 1
     )
+    # Both candidate sides come from `ordered` (identical subtree -> the
+    # sort/groupBy exchange is computed once and reused) and carry the
+    # token's POSITION in the doc's rarest-first order, enabling the
+    # PPJoin positional bound below.
     probe = ordered.select(
         F.col("__id").alias("id_a"),
         F.size("__srt").alias("__sza"),
-        # explode_outer for the same InferFiltersFromGenerate reason as toks
-        # (prefix_len >= 1 on every row, so no rows are lost)
-        F.explode_outer(F.slice(F.col("__srt"), 1, prefix_len)).alias(
-            "__tok"
+        # posexplode_outer for the same InferFiltersFromGenerate reason as
+        # toks (prefix_len >= 1 on every row, so no rows are lost)
+        F.posexplode_outer(F.slice(F.col("__srt"), 1, prefix_len)).alias(
+            "__pa", "__tok"
         ),
     )
-    index = toks.select(
-        F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"), "__tok"
+    index = ordered.select(
+        F.col("__id").alias("id_b"),
+        F.size("__srt").alias("__szb"),
+        F.posexplode_outer("__srt").alias("__pb", "__tok"),
+    )
+    need = F.ceil(F.lit(threshold) * F.col("__sza")).cast("int")
+    # PPJoin positional upper bound on |A∩B| for a pair meeting at
+    # positions (pa, pb) of their shared global order: at A's (and B's)
+    # FIRST shared token every shared token sits at position >= pa (>= pb),
+    # so overlap <= 1 + min(|A|-1-pa, |B|-1-pb). Complete: when overlap >=
+    # need, the first shared token is inside A's prefix (prefix-filter
+    # guarantee) and its row passes this bound; later shared tokens may be
+    # pruned, which only removes duplicate (id_a, id_b) rows the distinct
+    # would have dropped anyway.
+    ub = F.lit(1) + F.least(
+        F.col("__sza") - 1 - F.col("__pa"),
+        F.col("__szb") - 1 - F.col("__pb"),
     )
     cand = (
         probe.join(index, "__tok")
@@ -780,10 +799,8 @@ def containment_join(
             (F.col("id_a") != F.col("id_b"))
             # |A∩B| >= ceil(t*|A|) forces |B| >= ceil(t*|A|): prune before
             # the distinct shuffle and the array-verify join
-            & (
-                F.col("__szb")
-                >= F.ceil(F.lit(threshold) * F.col("__sza")).cast("int")
-            )
+            & (F.col("__szb") >= need)
+            & (ub >= need)
         )
         .select("id_a", "id_b")
         .distinct()
