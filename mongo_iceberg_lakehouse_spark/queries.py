@@ -704,8 +704,10 @@ def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.col("word") != "")
+        d.select(  # outer: skip the inferred re-split; empties filtered below
+            "doc_id", F.explode_outer(F.split("text", " ")).alias("word")
+        )
+        .filter((F.col("word") != "") & F.col("word").isNotNull())
         .groupBy("word")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -2632,7 +2634,7 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("term")
     ).filter(F.length("term") > 0)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfc = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
@@ -4102,8 +4104,8 @@ def segment_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     t = d.select(
         (F.col("doc_id") % 2).alias("seg"),
-        F.explode(F.split("text", " ")).alias("word"),
-    )
+        F.explode_outer(F.split("text", " ")).alias("word"),
+    ).filter(F.col("word").isNotNull())
     c = t.groupBy("word").agg(
         F.sum(F.when(F.col("seg") == 0, 1).otherwise(0)).alias("a_cnt"),
         F.sum(F.when(F.col("seg") == 1, 1).otherwise(0)).alias("b_cnt"),
@@ -4453,8 +4455,8 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     t = d.select(
-        F.explode(F.split("text", " ")).alias("token"), "doc_id"
-    ).distinct()
+        F.explode_outer(F.split("text", " ")).alias("token"), "doc_id"
+    ).filter(F.col("token").isNotNull()).distinct()
     return t.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"),
         F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("postings"),
@@ -6084,7 +6086,7 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("term")
     ).filter(F.length("term") > 0)
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
@@ -8659,7 +8661,7 @@ def timeseries_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     t = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     total = t.agg(F.count(F.lit(1)).alias("__total"))
     lm = (
