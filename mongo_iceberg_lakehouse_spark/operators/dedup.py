@@ -212,7 +212,7 @@ def _pair_value_join(
         sides = cand.select(
             "id_a",
             "id_b",
-            F.explode(
+            F.explode_outer(  # outer: always 2 elements; skip inferred filter
                 F.array(
                     F.struct(F.col("id_a").alias("id"), F.lit("a").alias("side")),
                     F.struct(F.col("id_b").alias("id"), F.lit("b").alias("side")),

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .events import read_events_stream
+from .events import read_events_stream, state_partitions
 
 
 def deduped_events_stream(
@@ -39,14 +39,15 @@ def run_streaming_dedup_available_now(
     for q in spark.streams.active:
         if q.name == query_name:
             q.stop()
-    q = (
-        deduped_events_stream(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with state_partitions(spark):
+        q = (
+            deduped_events_stream(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.table(query_name)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .events import read_events_stream
+from .events import read_events_stream, state_partitions
 
 
 def view_click_join(
@@ -131,15 +131,16 @@ def run_view_click_join_available_now(
     joined = view_click_join(
         read_events_stream(spark, sf_dir), attribution_window
     )
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.table(query_name)
 
 
@@ -174,13 +175,14 @@ def run_stream_static_segment_counts(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with state_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.table(query_name)

@@ -40,6 +40,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from .events import state_partitions
+
 from ..operators.dedup import (
     band_hashes,
     hashed_shingles,
@@ -213,17 +215,18 @@ def run_incremental_neardup_available_now(
             shingle_n=shingle_n, jaccard_threshold=jaccard_threshold,
         ).write.mode("append").parquet(out_dir)
 
-    q = (
-        spark.readStream.schema(BATCH_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(in_dir)
-        .writeStream.foreachBatch(process)
-        .queryName(query_name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with state_partitions(spark):
+        q = (
+            spark.readStream.schema(BATCH_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(process)
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     return spark.read.parquet(out_dir)

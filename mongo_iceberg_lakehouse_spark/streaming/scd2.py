@@ -39,6 +39,8 @@ from pyspark.sql.types import LongType, StringType, StructType, TimestampType
 
 from ..operators.relational import scd2_from_changelog
 
+from .events import state_partitions
+
 
 def _latest_dim(store_dir: str) -> str | None:
     ptr = os.path.join(store_dir, "LATEST")
@@ -143,19 +145,20 @@ def run_scd2_stream_available_now(
             batch_id=batch_id,
         )
 
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(in_dir)
-        .writeStream.foreachBatch(process)
-        .queryName(query_name)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with state_partitions(spark):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(process)
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     latest = _latest_dim(store_dir)
     assert latest is not None, "stream produced no batches"
     return spark.read.parquet(latest)

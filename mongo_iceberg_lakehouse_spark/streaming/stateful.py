@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .events import read_events_stream
+from .events import read_events_stream, state_partitions
 
 OUTPUT_SCHEMA = (
     "user_id bigint, n_events bigint, total_value double, last_type string"
@@ -80,15 +80,16 @@ def run_user_profiles_available_now(
         if q.name == query_name:
             q.stop()
     stream = user_profiles(read_events_stream(spark, sf_dir))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    with state_partitions(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
     from pyspark.sql import functions as F
     from pyspark.sql import Window
 
