@@ -814,3 +814,106 @@ def containment_join(
         .select("id_a", "id_b", cont.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def jaccard_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard similarity join: pairs (a < b) with
+    |A∩B| / |A∪B| >= t over distinct word-n-gram shingles — the
+    deterministic alternative to MinHash-LSH (no recall loss, no hash
+    tuning), viable at scale because of DOUBLE prefix filtering:
+
+    J(A,B) >= t implies overlap o >= t|A| and o >= t|B| (from
+    o/(|A|+|B|-o) >= t and |B| >= o), so the FIRST shared shingle in the
+    global rarest-first order lies within BOTH documents' prefixes of
+    length |X| - ceil(t|X|) + 1 — the candidate join is prefix x prefix
+    (the All-Pairs/PPJoin bound), quadratically smaller than prefix x
+    full-index. Additional prunes before the distinct: length ratio
+    (t|A| <= |B| <= |A|/t) and the positional bound
+    1 + min(|A|-1-pa, |B|-1-pb) >= ceil(t(|A|+|B|)/(1+t)). Exact
+    verification via array_intersect on candidates only. Same hashed
+    shingles / let_-bound / explode_outer machinery as containment_join
+    (see those comments); oracle is the full quadratic join.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    hashed = df.filter(F.size(words) >= shingle_n).select(
+        F.col(id_col).alias("__id"),
+        F.transform(words, lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    th = F.col("__th")
+    mk = lambda i: F.xxhash64(  # noqa: E731
+        *[F.get(th, i + j) for j in range(shingle_n)]
+    )
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(0), F.size(th) - shingle_n), mk)
+    )
+    base = hashed.select("__id", grams.alias("__tk"))
+    toks = base.select(
+        "__id",
+        F.size("__tk").alias("__sz"),
+        F.explode_outer("__tk").alias("__tok"),
+    )
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        toks.join(freq, "__tok")
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "__tok"))),
+                lambda s: s["__tok"],
+            ).alias("__srt")
+        )
+    )
+    prefix_len = (
+        F.size("__srt")
+        - F.ceil(F.lit(threshold) * F.size("__srt")).cast("int")
+        + 1
+    )
+
+    def side(idn: str, szn: str, pn: str) -> DataFrame:
+        return ordered.select(
+            F.col("__id").alias(idn),
+            F.size("__srt").alias(szn),
+            F.posexplode_outer(F.slice(F.col("__srt"), 1, prefix_len)).alias(
+                pn, "__tok"
+            ),
+        )
+
+    sa, sb = F.col("__sza"), F.col("__szb")
+    o_need = F.ceil(
+        F.lit(threshold) * (sa + sb) / F.lit(1.0 + threshold)
+    ).cast("int")
+    ub = F.lit(1) + F.least(
+        sa - 1 - F.col("__pa"), sb - 1 - F.col("__pb")
+    )
+    cand = (
+        side("id_a", "__sza", "__pa")
+        .join(side("id_b", "__szb", "__pb"), "__tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (sb >= F.ceil(F.lit(threshold) * sa).cast("int"))
+            & (sa >= F.ceil(F.lit(threshold) * sb).cast("int"))
+            & (ub >= o_need)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = base.select(F.col("__id").alias("id_a"), F.col("__tk").alias("__tka"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__tk").alias("__tkb"))
+    inter = F.size(F.array_intersect("__tka", "__tkb"))
+    union = F.size("__tka") + F.size("__tkb") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

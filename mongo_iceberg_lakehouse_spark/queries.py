@@ -8750,6 +8750,39 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_join(d, "doc_id", "text", threshold=0.7, shingle_n=3)
 
 
+@register(
+    "dedup_jaccard_exact_pairs",
+    """
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+    t AS (SELECT doc_id,
+                 list_distinct([array_to_string(ws[i:i+2], ' ')
+                   for i in generate_series(1, greatest(len(ws)-2, 0))]) AS tk
+          FROM w WHERE len(ws) >= 3),
+    j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.tk, b.tk)) * 1.0 /
+                 (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))
+                   AS jaccard
+          FROM t a, t b WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+    """,
+    doc="EXACT Jaccard similarity join (pairs a < b, trigram-shingle "
+    "jaccard >= 0.8) via DOUBLE prefix filtering: J >= t forces overlap "
+    ">= t|A| AND >= t|B|, so the first shared shingle in the global "
+    "rarest-first order lies in BOTH prefixes — candidates are prefix x "
+    "prefix (All-Pairs/PPJoin), plus length-ratio and positional-bound "
+    "prunes. The deterministic complement to dedup_minhash_lsh: zero "
+    "recall loss, so the quadratic oracle checks candidate completeness "
+    "and the verify arithmetic. operators/dedup.py::jaccard_join.",
+)
+def dedup_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_join
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_join(d, "doc_id", "text", threshold=0.8, shingle_n=3)
+
+
 # The driver's correctness gate walks queries() IN ORDER under a budget
 # (round 1 graded exactly the first 49 registered entries before cutting
 # off). Emit a curated order: one fast representative of every operator

@@ -107,6 +107,42 @@ def test_containment_join_complete_and_exact(spark, docs):
 
 
 @given(
+    docs=st.lists(
+        st.lists(words, min_size=2, max_size=10), min_size=2, max_size=8
+    )
+)
+@settings(**_SETTINGS)
+def test_jaccard_join_complete_and_exact(spark, docs):
+    """Double-prefix + positional filtering must be COMPLETE for symmetric
+    Jaccard: every pair the quadratic definition admits survives pruning,
+    on arbitrary small corpora with heavy shingle sharing."""
+    from mongo_iceberg_lakehouse_spark.operators.dedup import jaccard_join
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_join(df, threshold=0.5, shingle_n=2).collect()
+    }
+
+    def bi(ws):
+        return set(" ".join(ws[i : i + 2]) for i in range(len(ws) - 1))
+
+    want = {}
+    for ia, wa in enumerate(docs):
+        for ib, wb in enumerate(docs):
+            if ia >= ib:
+                continue
+            A, B = bi(wa), bi(wb)
+            j = len(A & B) / len(A | B)
+            if j >= 0.5:
+                want[(ia, ib)] = j
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
+
+
+@given(
     corpus=st.lists(
         st.tuples(st.integers(0, 2), st.lists(st.floats(-1, 1), min_size=3, max_size=3)),
         min_size=1,
