@@ -26,6 +26,7 @@ QUERIES = [
     "ann_topk_blocked",
     "embedding_neardup_blocked",
     "dedup_containment_pairs",
+    "dedup_jaccard_exact_pairs",
 ]
 
 SCALES = [
