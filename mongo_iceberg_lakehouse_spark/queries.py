@@ -1178,10 +1178,20 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    None,
+    """
+    WITH f AS (
+      SELECT doc_id,
+             greatest(CAST(strlen(text) // 100 AS INTEGER) - 1, 0) AS lastf
+      FROM documents
+    )
+    SELECT doc_id, CAST(unnest(range(0, lastf + 1, 2)) AS INTEGER) AS frame_no
+    FROM f
+    """,
     doc="Frame-sampling fan-out plumbing for video-style payloads "
     "(explode of per-payload frame indexes, payload dropped post-fanout). "
-    "Rows-only check.",
+    "Frame count derives from the UTF-8 payload byte length (1 per 100 "
+    "bytes, every 2nd sampled), so the fan-out is exactly SQL-expressible "
+    "and fully oracle-checked.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import frame_sample_plan
