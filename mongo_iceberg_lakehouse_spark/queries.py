@@ -5933,16 +5933,18 @@ def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT user_id, event_id, n,
-             sum(value - mu) OVER (PARTITION BY user_id
-               ORDER BY tts, event_id ROWS UNBOUNDED PRECEDING) AS cusum
+             sum(CAST(round((value - mu) * 1e6, 0) AS BIGINT))
+               OVER (PARTITION BY user_id
+               ORDER BY tts, event_id ROWS UNBOUNDED PRECEDING) AS cusum_u
       FROM d
     )
-    SELECT user_id, event_id AS cp_event_id, abs(cusum) AS max_abs_cusum,
+    SELECT user_id, event_id AS cp_event_id,
+           abs(cusum_u) / 1e6 AS max_abs_cusum,
            CAST(n AS BIGINT) AS n_events
     FROM (
-      SELECT user_id, event_id, cusum, n,
+      SELECT user_id, event_id, cusum_u, n,
              row_number() OVER (PARTITION BY user_id
-               ORDER BY abs(cusum) DESC, event_id) AS r
+               ORDER BY abs(cusum_u) DESC, event_id) AS r
       FROM c
     ) WHERE r = 1 AND n >= 20
     """,
@@ -5953,7 +5955,12 @@ def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the argmax all ride the SAME user_id partitioning (one shuffle, "
     "three window passes); users under 20 events are dropped as "
     "too-short series. Ties in |cusum| break on event_id so the "
-    "reported changepoint is deterministic.",
+    "reported changepoint is deterministic. Deviations are quantized to "
+    "integer micro-units BEFORE the running sum (the repo's float-grid "
+    "discipline): the deviations are off the decimal grid, and DuckDB's "
+    "segment-tree window aggregation adds them in a different order than "
+    "Spark's sequential frame scan — at sf0.1 one user's cusum sat on a "
+    ".6g boundary and flipped. Integer addition is order-independent.",
 )
 def changepoint_cusum_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
@@ -5972,14 +5979,15 @@ def changepoint_cusum_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = w_u.orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    dev_u = F.round((F.col("value") - F.col("mu")) * 1e6, 0).cast("long")
     c = d.select(
         "user_id",
         "event_id",
         "n",
-        F.sum(F.col("value") - F.col("mu")).over(w_cum).alias("cusum"),
+        F.sum(dev_u).over(w_cum).alias("cusum_u"),
     )
     r = F.row_number().over(
-        w_u.orderBy(F.abs(F.col("cusum")).desc(), F.col("event_id"))
+        w_u.orderBy(F.abs(F.col("cusum_u")).desc(), F.col("event_id"))
     )
     return (
         c.withColumn("r", r)
@@ -5987,7 +5995,7 @@ def changepoint_cusum_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("event_id").alias("cp_event_id"),
-            F.abs(F.col("cusum")).alias("max_abs_cusum"),
+            (F.abs(F.col("cusum_u")) / F.lit(1e6)).alias("max_abs_cusum"),
             F.col("n").cast("long").alias("n_events"),
         )
     )
