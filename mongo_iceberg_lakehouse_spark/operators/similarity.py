@@ -828,3 +828,117 @@ def maxsim_multivector(
         F.sum("__best").alias("maxsim_score"),
         F.count(F.lit(1)).alias("n_query_vecs"),
     )
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the corpus embeddings, then drop
+    near-duplicates WITHIN each cluster — the clustering turns the all-pairs
+    cosine problem into per-cluster quadratic work, the same trick the paper
+    uses to run on LAION-scale corpora.
+
+    Spark-first formulation, exact and engine-portable:
+
+    - Vectors are int8-quantized first (``quantize_int8``), so every dot
+      product and norm is an exact 64-bit integer — no float-sum ordering
+      anywhere, which is what makes the oracle byte-stable.
+    - Centroids are content-addressed: the ``k`` vectors with the smallest
+      ``md5(id)`` (a deterministic, layout-independent sample — the same
+      idiom as operators/sampling.py). TakeOrderedAndProject, then broadcast.
+      At 100 TB you would raise ``k`` so ``n/k`` stays bounded (the paper
+      uses ~100k clusters for 5B docs) or swap in ``kmeans_centroids``;
+      either way the join shape below is unchanged.
+    - Assignment is argmax cosine vs the broadcast centroids: cos is compared
+      via the sign bucket + ``q^2/|c|^2`` (monotone in cos for fixed vector
+      norm; single IEEE division of exact integers, so both engines order
+      identically), ties to the lowest centroid id.
+    - In-cluster near-dup pairs: equi-join on cluster id, ``id_a < id_b``,
+      ``cos >= num/den`` decided in EXACT integer arithmetic:
+      ``d >= 0 AND d^2 * den^2 >= num^2 * |a|^2 * |b|^2`` (all BIGINT;
+      64-dim int8 keeps every term < 2^50).
+    - Survivor rule: a vector is dropped iff some SMALLER id in its cluster
+      is a near-dup — deterministic greedy-by-id, one anti-joinable set.
+
+    Scale posture: one broadcast pass for assignment (narrow map), one
+    shuffle on cluster id for the pair join. Per-cluster work is
+    ``(n/k)^2`` — pick ``k ~ n / 10k`` to bound it; no stage is all-pairs.
+
+    Returns (id, cluster_id, keep).
+    """
+    z = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
+    z = z.select(
+        F.col(id_col).alias("__id"),
+        F.col("codes").alias("__codes"),
+        int_dot("codes", "codes").cast("bigint").alias("__n2"),
+    )
+    cent = (
+        z.orderBy(F.md5(F.col("__id").cast("string")).asc(), F.col("__id").asc())
+        .limit(k)
+        .select(
+            F.col("__id").alias("__cid"),
+            F.col("__codes").alias("__ccodes"),
+            F.col("__n2").alias("__cn2"),
+        )
+    )
+    scored = (
+        z.join(F.broadcast(cent))
+        .withColumn("__q", int_dot("__codes", "__ccodes").cast("bigint"))
+        .withColumn(
+            "__score",
+            F.when(
+                F.col("__q") >= 0,
+                (F.col("__q") * F.col("__q")).cast("double") / F.col("__cn2"),
+            ).otherwise(
+                -(F.col("__q") * F.col("__q")).cast("double") / F.col("__cn2")
+            ),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__score").desc(), F.col("__cid").asc()
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__id", "__cid", "__codes", "__n2")
+    )
+    a = assigned.select(
+        "__cid",
+        F.col("__id").alias("__a_id"),
+        F.col("__codes").alias("__a_codes"),
+        F.col("__n2").alias("__a_n2"),
+    )
+    b = assigned.select(
+        "__cid",
+        F.col("__id").alias("__b_id"),
+        F.col("__codes").alias("__b_codes"),
+        F.col("__n2").alias("__b_n2"),
+    )
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    dropped = (
+        a.join(b, on="__cid")
+        .filter(F.col("__a_id") < F.col("__b_id"))
+        .withColumn("__d", int_dot("__a_codes", "__b_codes").cast("bigint"))
+        .filter(
+            (F.col("__d") >= 0)
+            & (
+                F.col("__d") * F.col("__d") * F.lit(den2)
+                >= F.lit(num2) * F.col("__a_n2") * F.col("__b_n2")
+            )
+        )
+        .select(F.col("__b_id").alias("__id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    out = assigned.join(dropped, on="__id", how="left")
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("__cid").alias("cluster_id"),
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("keep"),
+    )

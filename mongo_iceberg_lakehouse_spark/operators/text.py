@@ -340,3 +340,81 @@ def bm25_scores(
         .agg(F.sum(contrib).alias("bm25"))
         .select(F.col("__id").alias(id_col), "bm25")
     )
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+    min_words: int = 40,
+    max_words: int = 120,
+    min_mwl_micros: int = 3_800_000,
+    max_mwl_micros: int = 10_000_000,
+    min_distinct_stopwords: int = 2,
+    max_dup_frac_micros: int = 500_000,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1), the
+    standard pre-training corpus filter set, re-expressed as one JVM-side
+    projection:
+
+    - word-count band (``min_words..max_words``),
+    - mean word length band,
+    - at least ``min_distinct_stopwords`` DISTINCT stopwords present (the
+      "natural language" check),
+    - duplicate-word fraction cap (``1 - distinct/total``, the repetition
+      check — the paper's duplicate-line fraction collapsed to word level
+      for single-line documents).
+
+    All ratios are emitted as integer micro-units (``floor(1e6*a/b + 0.5)``
+    of exact integer numerators), the repo's knife-edge discipline: no
+    float-sum ordering can flip a flag between engines. Zero shuffles —
+    a narrow map over the corpus, so it scales embarrassingly.
+
+    Returns (id, n_words, mean_word_len_micros, distinct_stop_cnt,
+    dup_frac_micros, wc_ok, mwl_ok, stop_ok, rep_ok, passes_gopher).
+    """
+    d = df.withColumn("__ws", tokens(F.col(text_col)))
+    d = d.withColumn("__n", F.size("__ws"))
+    d = d.withColumn(
+        "__chars",
+        F.aggregate(
+            F.transform("__ws", F.length),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ),
+    )
+    d = d.withColumn("__distinct", F.size(F.array_distinct("__ws")))
+    stoplist = F.array(*[F.lit(s) for s in stopwords])
+    d = d.withColumn(
+        "__stop_distinct",
+        F.size(F.filter(stoplist, lambda s: F.array_contains(F.col("__ws"), s))),
+    )
+    n = F.col("__n")
+    mwl = F.when(n == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor((F.lit(1_000_000) * F.col("__chars")) / n + F.lit(0.5))
+    )
+    dup = F.when(n == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor((F.lit(1_000_000) * (n - F.col("__distinct")).cast("bigint")) / n + F.lit(0.5))
+    )
+    d = d.withColumn("mean_word_len_micros", mwl).withColumn(
+        "dup_frac_micros", dup
+    )
+    wc_ok = (n >= min_words) & (n <= max_words)
+    mwl_ok = (F.col("mean_word_len_micros") >= min_mwl_micros) & (
+        F.col("mean_word_len_micros") <= max_mwl_micros
+    )
+    stop_ok = F.col("__stop_distinct") >= min_distinct_stopwords
+    rep_ok = F.col("dup_frac_micros") <= max_dup_frac_micros
+    return d.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        "mean_word_len_micros",
+        F.col("__stop_distinct").alias("distinct_stop_cnt"),
+        "dup_frac_micros",
+        wc_ok.alias("wc_ok"),
+        mwl_ok.alias("mwl_ok"),
+        stop_ok.alias("stop_ok"),
+        rep_ok.alias("rep_ok"),
+        (wc_ok & mwl_ok & stop_ok & rep_ok).alias("passes_gopher"),
+    )

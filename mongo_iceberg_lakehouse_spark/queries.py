@@ -8801,6 +8801,182 @@ def dedup_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_join(d, "doc_id", "text", threshold=0.8, shingle_n=3)
 
 
+@register(
+    "quality_gopher_rules",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(ws) AS INT) AS n_words,
+             CAST(list_sum(list_transform(ws, t -> strlen(t))) AS BIGINT)
+               AS chars,
+             CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
+             CAST(len(list_filter(['the','a','of','and','to','in','is'],
+                  s -> list_contains(ws, s))) AS INT) AS distinct_stop_cnt
+      FROM w
+    ), g AS (
+      SELECT doc_id, n_words, distinct_stop_cnt,
+             CASE WHEN n_words = 0 THEN 0
+                  ELSE CAST(floor((1000000 * chars) / n_words + 0.5)
+                            AS BIGINT) END AS mean_word_len_micros,
+             CASE WHEN n_words = 0 THEN 0
+                  ELSE CAST(floor(
+                    (1000000 * CAST(n_words - n_distinct AS BIGINT))
+                    / n_words + 0.5) AS BIGINT) END AS dup_frac_micros
+      FROM f
+    )
+    SELECT doc_id, n_words, mean_word_len_micros, distinct_stop_cnt,
+           dup_frac_micros,
+           (n_words >= 40 AND n_words <= 120) AS wc_ok,
+           (mean_word_len_micros >= 3800000
+            AND mean_word_len_micros <= 10000000) AS mwl_ok,
+           (distinct_stop_cnt >= 2) AS stop_ok,
+           (dup_frac_micros <= 500000) AS rep_ok,
+           ((n_words >= 40 AND n_words <= 120)
+            AND mean_word_len_micros >= 3800000
+            AND mean_word_len_micros <= 10000000
+            AND distinct_stop_cnt >= 2
+            AND dup_frac_micros <= 500000) AS passes_gopher
+    FROM g
+    """,
+    doc="Gopher-style corpus quality rules (Rae et al. 2021 A1.1): "
+    "word-count band, mean-word-length band, distinct-stopword minimum, "
+    "duplicate-word-fraction cap + the combined keep decision. Ratios are "
+    "integer micro-units (knife-edge discipline); the whole thing is one "
+    "zero-shuffle JVM projection. operators/text.py::gopher_quality_rules.",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return T.gopher_quality_rules(d)
+
+
+@register(
+    "semdedup_embedding_prune",
+    """
+    WITH z AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x / s + 0.5) AS INT)) AS codes
+      FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS s
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) AS mx
+              FROM embeddings))
+    ), z2 AS (
+      SELECT vec_id, codes,
+             CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT) * c))
+                  AS BIGINT) AS n2
+      FROM z
+    ), cent AS (
+      SELECT vec_id AS cid, codes AS ccodes, n2 AS cn2
+      FROM z2 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ), scored AS (
+      SELECT z2.vec_id, cent.cid, z2.codes, z2.n2, cent.cn2,
+             CAST(list_sum(list_transform(list_zip(z2.codes, cent.ccodes),
+                  p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS q
+      FROM z2 CROSS JOIN cent
+    ), assign AS (
+      SELECT vec_id, cid, codes, n2 FROM (
+        SELECT vec_id, cid, codes, n2,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY (CASE WHEN q >= 0 THEN CAST(q*q AS DOUBLE)/cn2
+                                ELSE -CAST(q*q AS DOUBLE)/cn2 END) DESC, cid
+               ) AS rn
+        FROM scored) WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id AS b_id
+      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE CAST(list_sum(list_transform(list_zip(a.codes, b.codes),
+                 p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) >= 0
+        AND CAST(list_sum(list_transform(list_zip(a.codes, b.codes),
+                 p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT)
+          * CAST(list_sum(list_transform(list_zip(a.codes, b.codes),
+                 p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) * 25
+          >= 4 * a.n2 * b.n2
+    )
+    SELECT assign.vec_id, assign.cid AS cluster_id,
+           (dropped.b_id IS NULL) AS keep
+    FROM assign LEFT JOIN dropped ON assign.vec_id = dropped.b_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): content-addressed centroid pick, "
+    "argmax-cosine cluster assignment vs broadcast centroids, in-cluster "
+    "near-dup prune (cos >= 0.4 over int8 codes, decided in EXACT bigint "
+    "arithmetic — d^2*den^2 >= num^2*|a|^2*|b|^2 — so no float-sum order "
+    "can flip a pair), deterministic keep-smallest-id survivors. The "
+    "cluster equi-join bounds per-cluster work at (n/k)^2. "
+    "operators/similarity.py::semdedup_prune.",
+)
+def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return S.semdedup_prune(e, k=8, threshold_num=2, threshold_den=5)
+
+
+@register(
+    "tokenizer_bpe_pair_counts",
+    """
+    WITH vocab AS (
+      SELECT w, count(*) AS cnt
+      FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS w
+            FROM documents)
+      GROUP BY w
+    ), syms AS (
+      SELECT cnt,
+             list_append(list_transform(range(1, strlen(w) + 1), i -> w[i]),
+                         '</w>') AS s
+      FROM vocab
+    ), pairs AS (
+      SELECT s[i] AS a, s[i+1] AS b, cnt
+      FROM syms, unnest(range(1, len(s))) AS t(i)
+    )
+    SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+    FROM pairs GROUP BY a, b
+    ORDER BY pair_cnt DESC, a, b LIMIT 20
+    """,
+    doc="BPE tokenizer training, round-1 statistics: corpus -> weighted "
+    "vocabulary (the BPE-on-vocab trick — pair stats over 100 TB reduce to "
+    "a groupBy over |vocab| rows) -> adjacent-symbol pair counts -> top-20 "
+    "merge candidates (total order: count desc, pair asc). "
+    "operators/bpe.py::pair_counts.",
+)
+def tokenizer_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = bpe.vocab_counts(d).withColumn(
+        "syms", bpe.initial_symbols("w")
+    )
+    return (
+        bpe.pair_counts(vocab)
+        .orderBy(F.col("pair_cnt").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "tokenizer_bpe_train_merges",
+    None,  # iterative argmax-per-round — not single-statement SQL;
+    # exactness vs a pure-Python reference BPE is pinned in
+    # tests/test_bpe.py.
+    doc="Full BPE merge-loop training (first 6 merges): per round, "
+    "distributed pair counting over the weighted vocab, 1-row argmax "
+    "collect (deterministic ties), greedy leftmost non-overlapping merge "
+    "fold, localCheckpoint lineage truncation. Rows-only here; "
+    "tests/test_bpe.py proves merge-table equality with a reference "
+    "implementation. operators/bpe.py::bpe_train.",
+)
+def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe.bpe_train(spark, d, n_merges=6)
+
+
 # The driver's correctness gate walks queries() IN ORDER under a budget
 # (round 1 graded exactly the first 49 registered entries before cutting
 # off). Emit a curated order: one fast representative of every operator
@@ -8870,6 +9046,9 @@ PRIORITY: list[str] = [
     "rag_context_assembly", "governance_erasure_propagation",
     "dedup_containment_pairs", "wap_audit_publish",
     "dedup_survivors_quality", "catalog_time_travel",
+    # round-3 additions: corpus-curation classics
+    "quality_gopher_rules", "semdedup_embedding_prune",
+    "tokenizer_bpe_pair_counts",
 ]
 
 

@@ -1,0 +1,84 @@
+"""BPE training: the distributed merge loop must reproduce the reference
+algorithm (Sennrich et al. 2016) exactly — same merges, same order, same
+counts — on the real sf0.001 corpus."""
+
+from __future__ import annotations
+
+import collections
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from mongo_iceberg_lakehouse_spark.operators import bpe
+
+from .conftest import SF_SMOKE
+
+END = bpe.END_OF_WORD
+
+
+def _reference_bpe(vocab: dict[str, int], n_merges: int):
+    """Plain-Python BPE on a weighted vocab: per round, count adjacent
+    symbol pairs, take the (count desc, pair asc) argmax, merge greedily
+    left-to-right non-overlapping."""
+    syms = {w: [*w, END] for w in vocab}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: collections.Counter = collections.Counter()
+        for w, cnt in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += cnt
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, cnt))
+        for w in vocab:
+            s, out = syms[w], []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges
+
+
+def _corpus_vocab() -> dict[str, int]:
+    rows = duckdb.sql(
+        f"""
+        SELECT w, count(*) AS cnt FROM (
+          SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                    t -> t <> '')) AS w
+          FROM read_parquet('{SF_SMOKE}/documents.parquet'))
+        GROUP BY w
+        """
+    ).fetchall()
+    return dict(rows)
+
+
+def test_bpe_train_matches_reference(spark):
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_cnt"])
+        for r in bpe.bpe_train(spark, d, n_merges=8).collect()
+    ]
+    want = _reference_bpe(_corpus_vocab(), n_merges=8)
+    assert got == want
+
+
+def test_merge_pair_greedy_nonoverlapping(spark):
+    # "aaa" under merge (a, a) -> ["aa", "a"]: leftmost-first, the freshly
+    # merged token does not re-pair with the next symbol in the same pass.
+    row = (
+        spark.range(1)
+        .select(
+            bpe.merge_pair(
+                F.array(F.lit("a"), F.lit("a"), F.lit("a")), "a", "a"
+            ).alias("m")
+        )
+        .collect()[0]
+    )
+    assert row["m"] == ["aa", "a"]
