@@ -139,3 +139,62 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_cnt bigint"
     )
+
+
+def apply_merges(
+    vocab: DataFrame,
+    merges: list[tuple[str, str]],
+    syms_col: str = "syms",
+) -> DataFrame:
+    """Apply a trained merge table to vocab symbol arrays, in rank order
+    (the ORDER is the tokenizer: each merge folds over the output of the
+    previous one — a chain of ``n_merges`` JVM folds, still one narrow
+    projection, no shuffle)."""
+    out = vocab
+    for a, b in merges:
+        out = out.withColumn(syms_col, merge_pair(syms_col, a, b))
+    return out
+
+
+def encode_token_stats(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> DataFrame:
+    """Train BPE, then ENCODE the corpus with it — the token-budget view a
+    training pipeline actually needs (how many subword tokens is this
+    corpus under tokenizer T?).
+
+    Scale shape: encoding happens once per DISTINCT word (the weighted
+    vocab), then the per-word subtoken count joins back to the corpus via
+    one word-keyed equi-join — the corpus-sized side only ever carries
+    (doc_id, word) pairs, never symbol arrays. Returns per-source totals:
+    (source, docs, words, subword_tokens).
+    """
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(spark, df, text_col, n_merges).collect()
+    ]
+    vocab = (
+        vocab_counts(df, text_col)
+        .withColumn("syms", initial_symbols("w"))
+        .select("w", "syms")
+    )
+    encoded = apply_merges(vocab, merges).select(
+        "w", F.size("syms").alias("__n_sub")
+    )
+    ws = tokens(F.col(text_col))
+    corpus = (
+        df.select("source", F.col("doc_id"), F.explode_outer(ws).alias("w"))
+        .filter(F.col("w").isNotNull())
+    )
+    return (
+        corpus.join(encoded, on="w")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("docs"),
+            F.count(F.lit(1)).alias("words"),
+            F.sum("__n_sub").alias("subword_tokens"),
+        )
+    )

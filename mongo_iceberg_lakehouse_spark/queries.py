@@ -8977,6 +8977,25 @@ def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_train(spark, d, n_merges=6)
 
 
+@register(
+    "tokenizer_bpe_encode_stats",
+    None,  # encoding depends on the trained merge table (iterative);
+    # end-to-end equality with a pure-Python train+encode reference is
+    # pinned in tests/test_bpe.py.
+    doc="Train BPE (6 merges) then ENCODE the corpus with it: per-source "
+    "document/word/subword-token totals — the token-budget readout a "
+    "training pipeline plans against. Encoding runs once per DISTINCT "
+    "word (weighted vocab), then joins back to the corpus on the word "
+    "key; the corpus-sized side never carries symbol arrays. "
+    "operators/bpe.py::encode_token_stats.",
+)
+def tokenizer_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe.encode_token_stats(spark, d, n_merges=6)
+
+
 # The driver's correctness gate walks queries() IN ORDER under a budget
 # (round 1 graded exactly the first 49 registered entries before cutting
 # off). Emit a curated order: one fast representative of every operator
