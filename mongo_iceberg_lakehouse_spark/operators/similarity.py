@@ -547,11 +547,20 @@ def lsh_signature(vec_col: Column | str, dim: int, bits: int = 16, seed: int = 4
     from ..functions.expr import let_
 
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    planes_lit = F.array(
-        *[
-            F.array(*[F.lit(w) for w in plane])
+    # One expr parse for the dim x bits literal plane matrix: building it
+    # Column-by-Column was ~1000 py4j round-trips = 0.56 s of driver time
+    # per query build. CAST('<repr>' AS DOUBLE) is bit-exact (Python repr
+    # round-trips; both parsers are correctly rounded — asserted equal at
+    # change time).
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(f"CAST('{w!r}' AS DOUBLE)" for w in plane)
+            + ")"
             for plane in _hyperplanes(dim, bits, seed)
-        ]
+        )
+        + ")"
     )
 
     def body(vd: Column) -> Column:

@@ -27,6 +27,8 @@ QUERIES = [
     "embedding_neardup_blocked",
     "dedup_containment_pairs",
     "dedup_jaccard_exact_pairs",
+    "semdedup_embedding_prune",
+    "tokenizer_bpe_pair_counts",
 ]
 
 SCALES = [
