@@ -925,3 +925,106 @@ def jaccard_join(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def span_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove cross-document duplicated spans and REBUILD the documents.
+
+    Word-level analog of suffix-array training-set dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    ``span_n``-word window that appears in >= ``min_docs`` distinct
+    documents is scrubbed from every document EXCEPT the canonical one
+    (min id containing the span), and the surviving words are re-joined
+    into text. Unlike doc-level dedup (exact/MinHash) this is sub-document
+    surgery — boilerplate shared by otherwise-distinct docs is deleted
+    while both docs survive.
+
+    Plan shape (all JVM HOFs + two shuffles on bounded keys):
+      1. per-doc span windows with 1-based start positions — sequence +
+         slice inside one let_-bound split (no O(L^2) re-split);
+      2. groupBy(span) -> (distinct-doc count, min doc) — the duplicated-
+         span dictionary; an ordinary shuffle agg, map-side combinable;
+      3. occurrences join the dictionary on the span string (equi-join;
+         at 100 TB the key becomes xxhash64 of the window so the shuffle
+         carries 8-byte keys — string form kept for the SQL oracle),
+         non-canonical hits explode to covered word positions;
+      4. covered positions collect_set back to ONE array row per doc,
+         then an equi-join on id into the source (join strategy left to
+         AQE: the removal table is one row per *touched* doc, usually
+         tiny -> broadcast, but heavily-boilerplated corpora can make it
+         big, so broadcast is not forced); the rebuild itself is a
+         narrow filter-by-index lambda over the original split.
+
+    Docs shorter than ``span_n`` words have no windows and pass through
+    unchanged (explode_outer + null filter, same guard discipline as
+    containment_join).
+    """
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+    def _spans(w):
+        n_sp = F.greatest(F.size(w) - (span_n - 1), F.lit(0))
+        return F.when(
+            n_sp == 0,
+            F.array().cast("array<struct<s:int,span:string>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_sp),
+                lambda i: F.struct(
+                    i.cast("int").alias("s"),
+                    F.array_join(F.slice(w, i, span_n), " ").alias("span"),
+                ),
+            )
+        )
+
+    occ = (
+        df.select(F.col(id_col).alias("__id"), let_(ws, _spans).alias("__sp"))
+        .select("__id", F.explode_outer("__sp").alias("__o"))
+        .filter(F.col("__o").isNotNull())
+        .select("__id", F.col("__o.s").alias("__s"), F.col("__o.span").alias("__span"))
+    )
+    dup = (
+        occ.groupBy("__span")
+        .agg(
+            F.countDistinct("__id").alias("__nd"),
+            F.min("__id").alias("__canon"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select("__span", "__canon")
+    )
+    removed = (
+        occ.join(dup, "__span")
+        .filter(F.col("__id") != F.col("__canon"))
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("__s"), F.col("__s") + (span_n - 1))
+            ).alias("__p"),
+        )
+        .groupBy("__id")
+        .agg(F.collect_set("__p").alias("__rm"))
+    )
+    # untouched docs re-join the filtered words too (not the raw text), so
+    # whitespace is normalized identically on every path / engine
+    kept = F.when(
+        F.col("__rm").isNull(), F.array_join(ws, " ")
+    ).otherwise(
+        F.array_join(
+            F.filter(ws, lambda w, i: ~F.array_contains(F.col("__rm"), i + 1)),
+            " ",
+        )
+    )
+    return (
+        df.join(removed, df[id_col] == removed["__id"], "left")
+        .select(
+            F.col(id_col),
+            F.size(ws).alias("n_words"),
+            F.coalesce(F.size("__rm"), F.lit(0)).alias("n_removed"),
+            kept.alias("kept_text"),
+        )
+    )

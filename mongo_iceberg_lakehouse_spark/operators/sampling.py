@@ -150,3 +150,107 @@ def take_to_budget(
         .where(F.col("__cum") - F.col(size_col) < F.col("budget"))
         .drop("__cum", "budget")
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_filter: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling") over hashed n-gram
+    features.
+
+    Each document's weight is the log-likelihood ratio of its hashed
+    unigram+bigram features under the *target* distribution (rows matching
+    ``target_filter`` — e.g. a trusted domain) vs the *raw* corpus
+    distribution, Laplace-smoothed. Docs whose feature mix looks like the
+    target float up; selection is then top-k / thresholding downstream.
+
+    Engine-portable and order-independent by construction:
+      - the feature hash is md5-prefix mod ``n_buckets`` (any engine's md5
+        reproduces the bucketing bit-for-bit — same trick as
+        hash_split_column);
+      - per-bucket log-ratios are quantized to integer MICRO-UNITS once
+        (a ``n_buckets``-row table), and each doc's weight is
+        sum(count x micro-ratio) in BIGINT — exact integer arithmetic, so
+        partial-agg combine order can never move a .6g digit (the repo's
+        knife-edge discipline).
+
+    Plan: one explode pass builds (doc, bucket) counts (shuffle on the
+    8-byte bucketed key, map-side combinable); the bucket dictionary is
+    two tiny aggregates (n_buckets rows) broadcast back; the weight is one
+    more groupBy(doc). Nothing driver-side, nothing all-pairs; at 100 TB
+    every shuffle key is bounded (bucket ids) or the doc id.
+    """
+    ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+
+    def _feats(w):
+        bigrams = F.when(
+            F.size(w) < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.array_join(F.slice(w, i, 2), " "),
+            )
+        )
+        return F.concat(w, bigrams)
+
+    from ..functions.expr import let_
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("__feat")), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    occ = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            target_filter.alias("__tgt"),
+            F.explode_outer(let_(ws, _feats)).alias("__feat"),
+        )
+        .filter(F.col("__feat").isNotNull())
+        .select("__id", "__tgt", bucket.alias("__b"))
+    )
+    counts = occ.groupBy("__id", "__tgt", "__b").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    # bucket dictionary: raw = all docs, target = filtered subset
+    bstats = counts.groupBy("__b").agg(
+        F.sum("__cnt").alias("__raw"),
+        F.sum(F.when(F.col("__tgt"), F.col("__cnt")).otherwise(F.lit(0))).alias(
+            "__tgt_cnt"
+        ),
+    )
+    totals = bstats.agg(
+        F.sum("__raw").alias("__tot_raw"), F.sum("__tgt_cnt").alias("__tot_tgt")
+    )
+    ratio_micro = F.floor(
+        (
+            F.log(
+                (F.col("__tgt_cnt") + 1).cast("double")
+                / (F.col("__tot_tgt") + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("__raw") + 1).cast("double")
+                / (F.col("__tot_raw") + n_buckets).cast("double")
+            )
+        )
+        * 1e6
+    ).cast("long")
+    ratios = bstats.crossJoin(F.broadcast(totals)).select(
+        "__b", ratio_micro.alias("__lr_micro")
+    )
+    return (
+        counts.join(F.broadcast(ratios), "__b")
+        .groupBy("__id")
+        .agg(
+            F.sum(F.col("__cnt") * F.col("__lr_micro")).alias("weight_micro"),
+            F.sum("__cnt").alias("n_features"),
+        )
+        .select(
+            F.col("__id").alias(id_col), "weight_micro", "n_features"
+        )
+    )

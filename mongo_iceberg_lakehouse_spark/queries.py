@@ -8996,6 +8996,103 @@ def tokenizer_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.encode_token_stats(spark, d, n_merges=6)
 
 
+@register(
+    "dedup_span_scrub",
+    """
+    WITH w AS (SELECT doc_id, text,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+    g AS (SELECT doc_id, i AS s, array_to_string(ws[i:i+4], ' ') AS span
+          FROM w, LATERAL (SELECT unnest(generate_series(
+                             1, greatest(len(ws) - 4, 0))) AS i) ii),
+    st AS (SELECT span, min(doc_id) AS canon
+           FROM g GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+    rem AS (SELECT DISTINCT g.doc_id, p
+            FROM g JOIN st USING (span),
+                 LATERAL (SELECT unnest(generate_series(g.s, g.s + 4)) AS p) pp
+            WHERE g.doc_id <> st.canon),
+    pos AS (SELECT doc_id, i AS p, ws[i] AS word
+            FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) ii),
+    rebuilt AS (SELECT pos.doc_id,
+                       string_agg(word, ' ' ORDER BY pos.p) AS kept_text
+                FROM pos LEFT JOIN rem
+                  ON pos.doc_id = rem.doc_id AND pos.p = rem.p
+                WHERE rem.p IS NULL GROUP BY pos.doc_id),
+    nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+             FROM rem GROUP BY doc_id)
+    SELECT w.doc_id, CAST(len(ws) AS INT) AS n_words,
+           CAST(coalesce(nrem.n_removed, 0) AS INT) AS n_removed,
+           coalesce(rebuilt.kept_text, '') AS kept_text
+    FROM w LEFT JOIN rebuilt ON w.doc_id = rebuilt.doc_id
+           LEFT JOIN nrem ON w.doc_id = nrem.doc_id
+    """,
+    doc="Sub-document duplicate-SPAN removal with document rebuild (word-"
+    "level ExactSubstr dedup, Lee et al. 2022): every 5-word window "
+    "appearing in >= 2 distinct docs is scrubbed from all but its "
+    "canonical (min-id) doc and the survivors re-joined into text — "
+    "boilerplate dies, both documents live. Unlike text_dup_ngram_spans "
+    "(which only MINES the spans) this edits the corpus. Span dictionary "
+    "= one shuffle agg on the window string (xxhash64 of the window at "
+    "100 TB); rebuild = filter-by-index HOF over the original split, the "
+    "corpus never re-shuffles. operators/dedup.py::span_scrub.",
+)
+def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import span_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    return span_scrub(d, span_n=5, min_docs=2)
+
+
+@register(
+    "dsir_importance_weights",
+    """
+    WITH w AS (SELECT doc_id, lang = 'en' AS tgt,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+    feats AS (SELECT doc_id, tgt,
+                     unnest(list_concat(ws,
+                       [array_to_string(ws[i:i+1], ' ')
+                        for i in generate_series(1, greatest(len(ws)-1, 0))]))
+                       AS f
+              FROM w),
+    occ AS (SELECT doc_id, tgt,
+                   CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 256 AS b
+            FROM feats),
+    counts AS (SELECT doc_id, tgt, b, count(*) AS cnt
+               FROM occ GROUP BY doc_id, tgt, b),
+    bstats AS (SELECT b, sum(cnt) AS raw,
+                      sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS tgt_cnt
+               FROM counts GROUP BY b),
+    totals AS (SELECT sum(raw) AS tot_raw, sum(tgt_cnt) AS tot_tgt
+               FROM bstats),
+    ratios AS (SELECT b,
+                      CAST(floor((ln((tgt_cnt + 1) / (tot_tgt + 256.0))
+                                - ln((raw + 1) / (tot_raw + 256.0))) * 1e6)
+                           AS BIGINT) AS lr_micro
+               FROM bstats CROSS JOIN totals)
+    SELECT doc_id, CAST(sum(cnt * lr_micro) AS BIGINT) AS weight_micro,
+           CAST(sum(cnt) AS BIGINT) AS n_features
+    FROM counts JOIN ratios USING (b)
+    GROUP BY doc_id
+    """,
+    doc="DSIR data selection (Xie et al. 2023): per-doc importance weight "
+    "= log-likelihood ratio of its hashed unigram+bigram features under "
+    "the target distribution (lang='en' as the trusted-domain proxy) vs "
+    "the raw corpus, Laplace-smoothed over 256 md5 buckets. Portable by "
+    "construction: md5 bucketing reproduces on any engine, per-bucket "
+    "log-ratios are floor-quantized to integer micro-units ONCE (256-row "
+    "dict) and doc weights are exact BIGINT dot products — combine order "
+    "cannot move a digit. One explode pass -> bucket counts (map-side "
+    "combinable), tiny broadcast dict, one groupBy(doc). "
+    "operators/sampling.py::dsir_importance.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import dsir_importance
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance(d, target_filter=F.col("lang") == "en")
+
+
 # The driver's correctness gate walks queries() IN ORDER under a budget
 # (round 1 graded exactly the first 49 registered entries before cutting
 # off). Emit a curated order: one fast representative of every operator

@@ -1,0 +1,106 @@
+"""Unit semantics for the round-3 curation additions: span_scrub (sub-
+document duplicate-span removal with rebuild) and dsir_importance (hashed
+n-gram importance resampling). The registry queries over the synthetic
+corpus are oracle-checked in test_oracle_parity; these pin the hand-
+checkable edge semantics on tiny frames.
+"""
+
+from pyspark.sql import functions as F
+
+from mongo_iceberg_lakehouse_spark.operators.dedup import span_scrub
+from mongo_iceberg_lakehouse_spark.operators.sampling import dsir_importance
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_span_scrub_canonical_doc_keeps_span(spark):
+    # "a b c d e" is shared; doc 1 (min id) is canonical and keeps it,
+    # doc 2 loses exactly the 5 covered positions (2..6).
+    out = span_scrub(
+        _docs(
+            spark,
+            [
+                (1, "a b c d e x"),
+                (2, "z a b c d e"),
+                (3, "q w e r t y"),
+            ],
+        ),
+        span_n=5,
+        min_docs=2,
+    )
+    got = {r["doc_id"]: (r["n_removed"], r["kept_text"]) for r in out.collect()}
+    assert got[1] == (0, "a b c d e x")
+    assert got[2] == (5, "z")
+    assert got[3] == (0, "q w e r t y")
+
+
+def test_span_scrub_short_doc_passes_through(spark):
+    out = span_scrub(
+        _docs(spark, [(1, "a b"), (2, "a b")]), span_n=5, min_docs=2
+    )
+    got = {r["doc_id"]: r["kept_text"] for r in out.collect()}
+    # under span_n words => no windows => untouched, even though identical
+    assert got == {1: "a b", 2: "a b"}
+
+
+def test_span_scrub_full_removal_yields_empty_text(spark):
+    out = span_scrub(
+        _docs(spark, [(1, "a b c d e"), (2, "a b c d e")]),
+        span_n=5,
+        min_docs=2,
+    )
+    got = {r["doc_id"]: (r["n_removed"], r["kept_text"]) for r in out.collect()}
+    assert got[1] == (0, "a b c d e")
+    assert got[2] == (5, "")
+
+
+def test_span_scrub_overlapping_spans_union_positions(spark):
+    # doc 2 shares a 6-word run => two overlapping 5-windows; removed
+    # positions are the union (6), not 10.
+    out = span_scrub(
+        _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f")]),
+        span_n=5,
+        min_docs=2,
+    )
+    got = {r["doc_id"]: r["n_removed"] for r in out.collect()}
+    assert got == {1: 0, 2: 6}
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    rows = [
+        # target (tgt=True) docs speak "good"
+        (1, "good good better good", True),
+        (2, "good better good good", True),
+        # raw-only docs speak "bad"
+        (3, "bad worse bad bad", False),
+        (4, "bad bad worse bad", False),
+        # probes: one good-ish, one bad-ish, same length
+        (5, "good better good good", False),
+        (6, "bad worse bad bad", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, tgt boolean")
+    out = dsir_importance(df, target_filter=F.col("tgt"))
+    got = {r["doc_id"]: r["weight_micro"] for r in out.collect()}
+    assert got[5] > got[6]
+    # n_features = unigrams + bigrams = 4 + 3
+    nf = {r["doc_id"]: r["n_features"] for r in out.collect()}
+    assert set(nf.values()) == {7}
+
+
+def test_dsir_weight_is_exact_integer_dot_product(spark):
+    # partition-layout independence: identical inputs, different
+    # parallelism => bit-identical BIGINT weights (the knife-edge guard)
+    rows = [(i, "alpha beta gamma delta " * 3, i % 2 == 0) for i in range(20)]
+    df1 = spark.createDataFrame(rows, "doc_id bigint, text string, t boolean")
+    df2 = df1.repartition(13)
+    w1 = {
+        r["doc_id"]: r["weight_micro"]
+        for r in dsir_importance(df1, F.col("t")).collect()
+    }
+    w2 = {
+        r["doc_id"]: r["weight_micro"]
+        for r in dsir_importance(df2, F.col("t")).collect()
+    }
+    assert w1 == w2
