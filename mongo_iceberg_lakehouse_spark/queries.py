@@ -8872,8 +8872,13 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS n2
       FROM z
     ), cent AS (
-      SELECT vec_id AS cid, codes AS ccodes, n2 AS cn2
-      FROM z2 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+      SELECT cid, ccodes, cn2 FROM (
+        SELECT vec_id AS cid, codes AS ccodes, n2 AS cn2,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS crn
+        FROM z2) CROSS JOIN
+        (SELECT CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT) AS kk FROM z2)
+      WHERE crn <= kk
     ), scored AS (
       SELECT z2.vec_id, cent.cid, z2.codes, z2.n2, cent.cn2,
              CAST(list_sum(list_transform(list_zip(z2.codes, cent.ccodes),
@@ -8908,12 +8913,20 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-dup prune (cos >= 0.4 over int8 codes, decided in EXACT bigint "
     "arithmetic — d^2*den^2 >= num^2*|a|^2*|b|^2 — so no float-sum order "
     "can flip a pair), deterministic keep-smallest-id survivors. The "
-    "cluster equi-join bounds per-cluster work at (n/k)^2. "
-    "operators/similarity.py::semdedup_prune.",
+    "cluster equi-join bounds per-cluster work at (n/k)^2 and k SCALES "
+    "with the corpus — k = ceil(sqrt(n/2)), the n*k assignment vs "
+    "n^2/2k pair-join cost balance point, on both engines (sf1 was "
+    "17.8x/decade at fixed k=8; the paper uses "
+    "~100k clusters for 5B docs for the same reason). sqrt of an exact "
+    "integer ratio is correctly rounded IEEE on both sides, so the ceil "
+    "agrees. operators/similarity.py::semdedup_prune.",
 )
 def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     e = _t(spark, sf_dir, "embeddings")
-    return S.semdedup_prune(e, k=8, threshold_num=2, threshold_den=5)
+    k = max(1, math.ceil(math.sqrt(e.count() / 2.0)))
+    return S.semdedup_prune(e, k=k, threshold_num=2, threshold_den=5)
 
 
 @register(
@@ -9091,6 +9104,41 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return dsir_importance(d, target_filter=F.col("lang") == "en")
+
+
+@register(
+    "embedding_random_projection",
+    """
+    WITH signs AS (
+      SELECT k, i, CASE WHEN substr(md5(k || '_' || i), 1, 1) < '8'
+                        THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(generate_series(0, 15)) AS k),
+           (SELECT unnest(generate_series(0, 63)) AS i)),
+    terms AS (
+      SELECT vec_id, k,
+             CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e6) AS BIGINT)
+               * s AS term
+      FROM embeddings CROSS JOIN signs)
+    SELECT vec_id, CAST(k AS INT) AS k,
+           CAST(sum(term) AS BIGINT) AS proj_micro
+    FROM terms GROUP BY vec_id, k
+    """,
+    doc="Johnson-Lindenstrauss dim reduction (Achlioptas +-1 signs): "
+    "64-dim embeddings projected to 16 dims against a deterministic "
+    "md5-derived sign matrix, ahead of ANN/clustering. Inputs floor-"
+    "quantized to integer micro-units once, each coordinate an exact "
+    "BIGINT signed sum (no float accumulation, no combine-order risk). "
+    "Spark plan is a pure narrow map: one-parse literal sign matrix, "
+    "zip_with/aggregate dot products in codegen, posexplode to long "
+    "form — zero shuffle, zero driver state (the oracle's join+groupBy "
+    "shape is DuckDB-side only). "
+    "operators/similarity.py::random_projection.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import random_projection
+
+    e = _t(spark, sf_dir, "embeddings")
+    return random_projection(e, in_dim=64, out_dim=16)
 
 
 # The driver's correctness gate walks queries() IN ORDER under a budget

@@ -29,6 +29,8 @@ QUERIES = [
     "dedup_jaccard_exact_pairs",
     "semdedup_embedding_prune",
     "tokenizer_bpe_pair_counts",
+    "dedup_span_scrub",
+    "dsir_importance_weights",
 ]
 
 SCALES = [
