@@ -846,6 +846,7 @@ def semdedup_prune(
     threshold_den: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    checkpoint_assignment: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the corpus embeddings, then drop
     near-duplicates WITHIN each cluster — the clustering turns the all-pairs
@@ -930,6 +931,13 @@ def semdedup_prune(
         F.col("__best.__codes").alias("__codes"),
         F.col("__best.__n2").alias("__n2"),
     )
+    # `assigned` feeds three consumers (both pair-join sides + the final
+    # keep join); without a cut Catalyst re-executes the full n x k
+    # assignment three times per action (measured: 3x the dot-product
+    # cost at sf1). Lazy local checkpoint = compute once, serve all
+    # three subtrees — same bounded-state story as the graph operators.
+    if checkpoint_assignment:
+        assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(
         "__cid",
         F.col("__id").alias("__a_id"),

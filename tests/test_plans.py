@@ -117,3 +117,50 @@ def test_join_strategy_hints_steer_physical_plan(spark):
     # results identical regardless of strategy
     n = j_bc.count()
     assert j_shj.count() == n and j_smj.count() == n
+
+
+def test_random_projection_is_pure_narrow_map(spark):
+    # JL projection must not shuffle: literal sign matrix + posexplode,
+    # no Exchange, no join anywhere in the plan
+    plan = _plan(spark, "embedding_random_projection", mode="simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_span_scrub_no_cartesian_and_pruned_scan(spark):
+    plan = _plan(spark, "dedup_span_scrub")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # only doc_id + text are read from the documents scan
+    readschema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in readschema and "source" not in readschema
+
+
+def test_dsir_bucket_dict_is_broadcast(spark):
+    # the 256-row log-ratio dictionary joins the doc-bucket counts as a
+    # broadcast, never a shuffle join
+    plan = _plan(spark, "dsir_importance_weights", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_assignment_has_no_window_sort(spark):
+    # argmax assignment is a max_by partial agg, not a row_number window:
+    # no Window operator may appear anywhere (the assignment subtree sits
+    # behind a lazy localCheckpoint, so probe the operator pre-cut)
+    from mongo_iceberg_lakehouse_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    plan = (
+        semdedup_prune(e, k=4, checkpoint_assignment=False)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    )
+    assert "Window" not in plan
+    assert "max_by" in plan
