@@ -741,6 +741,13 @@ def containment_join(
         )
     )
     base = hashed.select("__id", grams.alias("__tk"))
+    # base feeds three consumers (toks below + both verify sides) and
+    # Spark does NOT dedupe multi-consumer subtrees (0 ReusedExchange in
+    # the executed plan — PERF_NOTES §7), so the shingle pipeline
+    # executes per consumer. A localCheckpoint cut was A/B-measured
+    # SLOWER here (7.8 vs 7.0 s at sf1): the recompute is a narrow
+    # codegen map over the scan, cheaper than storing + rereading the
+    # gram arrays. Contrast span_scrub, where the cut wins.
     # explode_outer, NOT explode: plain explode makes InferFiltersFromGenerate
     # add "size(__tk) > 0 AND isnotnull(__tk)", which alias-substitutes the
     # ENTIRE gram pipeline into a Filter below the projection — the array is
@@ -770,10 +777,9 @@ def containment_join(
         - F.ceil(F.lit(threshold) * F.size("__srt")).cast("int")
         + 1
     )
-    # Both candidate sides come from `ordered` (identical subtree -> the
-    # sort/groupBy exchange is computed once and reused) and carry the
-    # token's POSITION in the doc's rarest-first order, enabling the
-    # PPJoin positional bound below.
+    # Both candidate sides come from `ordered` and carry the token's
+    # POSITION in the doc's rarest-first order, enabling the PPJoin
+    # positional bound below.
     probe = ordered.select(
         F.col("__id").alias("id_a"),
         F.size("__srt").alias("__sza"),
@@ -864,6 +870,9 @@ def jaccard_join(
         F.transform(F.sequence(F.lit(0), F.size(th) - shingle_n), mk)
     )
     base = hashed.select("__id", grams.alias("__tk"))
+    # (multi-consumer subtree, but a localCheckpoint cut measured slower
+    # here — see the containment_join comment; recompute is the cheaper
+    # side of the PERF_NOTES §7 trade for shingle pipelines)
     toks = base.select(
         "__id",
         F.size("__tk").alias("__sz"),
@@ -982,9 +991,15 @@ def span_scrub(
             )
         )
 
+    # the span-array build is consumed twice (dup dictionary + removal
+    # join) and Spark re-executes multi-consumer subtrees (PERF_NOTES
+    # §7) — cut BEFORE the explode so the stored rows are one-per-doc,
+    # and the (cheap) explode replays per consumer
+    spanned = df.select(
+        F.col(id_col).alias("__id"), let_(ws, _spans).alias("__sp")
+    ).localCheckpoint(eager=False)
     occ = (
-        df.select(F.col(id_col).alias("__id"), let_(ws, _spans).alias("__sp"))
-        .select("__id", F.explode_outer("__sp").alias("__o"))
+        spanned.select("__id", F.explode_outer("__sp").alias("__o"))
         .filter(F.col("__o").isNotNull())
         .select("__id", F.col("__o.s").alias("__s"), F.col("__o.span").alias("__span"))
     )
