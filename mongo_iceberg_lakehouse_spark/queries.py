@@ -9149,59 +9149,74 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mutation/governance — so a budget-capped run still grades the full
 # breadth; everything else follows in registration order.
 PRIORITY: list[str] = [
+    # --- first 50: one or two FULL-ORACLE representatives of EVERY
+    # operator family, so a driver run budget-capped at 50 still grades
+    # the complete breadth — reference parity, each join shape, agg /
+    # window / set / scalar classes, TPC-H, dedup (exact + sub-document
+    # + exact-similarity-join + embedding), ANN / dim-reduction /
+    # SemDeDup, text quality + retrieval + curation (Gopher, DSIR, BPE),
+    # multimodal, streaming, lakehouse mutation, splits / mixing.
+    # (Round 2 cut exactly at entry 50, which under the old ordering was
+    # all relational parity and no LLM-pipeline surface at all.)
     # reference parity
     "gold_sales_report", "bronze_verify_count", "silver_struct_evolution",
     "window_dedup_latest", "topk_orders", "filter_scan_pushdown",
-    # join family
+    # join shapes
     "join_customer_orders", "join_broadcast_region_revenue",
-    "join_left_semi", "join_left_anti", "join_outer_counts",
-    "join_theta_pairs", "asof_join_purchase_view", "join_interval_events",
-    "join_lateral_topk_orders", "join_null_safe_eq",
-    "join_salted_lineitem_orders",
-    # aggregation family
-    "agg_rollup", "agg_cube", "agg_stats_percentile", "agg_approx",
-    "agg_distinct_customers", "sql_grouping_sets",
+    "join_left_semi", "join_left_anti", "join_theta_pairs",
+    "asof_join_purchase_view",
+    # aggregation
+    "agg_rollup", "agg_stats_percentile", "agg_approx",
     # SQL semantics
-    "sql_correlated_subquery", "sql_group_by_all",
-    "sql_not_in_null_semantics",
-    # scalar functions
-    "scalar_datetime", "scalar_string_funcs", "scalar_json_extract",
-    "scalar_math_funcs", "scalar_try_cast", "scalar_date_arith",
-    "explode_word_counts", "case_when_buckets",
-    # reshape + set ops
-    "pivot_event_values", "unpivot_lineitem_measures",
-    "set_intersect_custkeys", "set_except_custkeys", "union_by_name_drift",
-    # window family
-    "window_running_sum", "window_lag_lead", "window_rank_family",
-    "window_first_last_nth", "window_range_frame", "session_window_counts",
-    "sessionize_events",
-    # TPC-H flagships (full suite follows later)
+    "sql_grouping_sets", "sql_correlated_subquery",
+    # scalars + reshape + set ops
+    "scalar_datetime", "scalar_json_extract", "explode_word_counts",
+    "pivot_event_values", "union_by_name_drift",
+    # windows + sessions
+    "window_running_sum", "window_rank_family", "sessionize_events",
+    # TPC-H flagships
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue", "tpch_q5_local_supplier_volume",
-    "tpch_q9_product_profit", "tpch_q18_large_orders",
-    # dedup family
-    "dedup_exact_text", "dedup_exact_hash", "dedup_minhash_lsh",
-    "embedding_neardup_blocked",
-    # similarity / retrieval
-    "ann_cosine_topk", "ann_topk_blocked", "ann_maxsim_multivector",
-    "embedding_dim_stats",
-    # text analysis
-    "text_quality_scores", "text_token_stats", "text_bm25_topk",
-    "rank_fusion_rrf", "text_dup_ngram_spans", "text_lang_id",
+    "tpch_q6_forecast_revenue",
+    # dedup: exact, sub-document scrub, exact similarity join, embedding
+    "dedup_exact_hash", "dedup_containment_pairs", "dedup_span_scrub",
+    "dedup_jaccard_exact_pairs", "embedding_neardup_blocked",
+    # similarity / retrieval / dim reduction / semantic dedup
+    "ann_topk_blocked", "ann_maxsim_multivector",
+    "embedding_random_projection", "semdedup_embedding_prune",
+    # text quality + retrieval + curation classics
+    "text_quality_scores", "text_bm25_topk", "quality_gopher_rules",
+    "dsir_importance_weights", "tokenizer_bpe_pair_counts",
     # multimodal
     "multimodal_png_decode", "multimodal_wav_decode",
-    "multimodal_frame_sample",
     # streaming
-    "streaming_window_counts", "streaming_view_click_join",
-    "streaming_segment_counts", "streaming_dedup_events",
-    "streaming_scd2_orders",
-    # lakehouse mutation / maintenance
+    "streaming_window_counts", "streaming_scd2_orders",
+    # lakehouse mutation
     "scd2_customer_priority", "merge_on_read_orders",
+    # splits / mixing
+    "split_train_val_test", "mix_temperature_quota",
+    # --- end of the 50-budget window; remaining families' siblings ---
+    "join_outer_counts", "join_interval_events", "join_lateral_topk_orders",
+    "join_null_safe_eq", "join_salted_lineitem_orders",
+    "agg_cube", "agg_distinct_customers",
+    "sql_group_by_all", "sql_not_in_null_semantics",
+    "scalar_string_funcs", "scalar_math_funcs", "scalar_try_cast",
+    "scalar_date_arith", "case_when_buckets",
+    "unpivot_lineitem_measures", "set_intersect_custkeys",
+    "set_except_custkeys",
+    "window_lag_lead", "window_first_last_nth", "window_range_frame",
+    "session_window_counts",
+    "tpch_q5_local_supplier_volume", "tpch_q9_product_profit",
+    "tpch_q18_large_orders",
+    "dedup_exact_text", "dedup_minhash_lsh",
+    "ann_cosine_topk", "embedding_dim_stats",
+    "text_token_stats", "rank_fusion_rrf", "text_dup_ngram_spans",
+    "text_lang_id",
+    "multimodal_frame_sample",
+    "streaming_view_click_join", "streaming_segment_counts",
+    "streaming_dedup_events",
     "snapshot_diff_orders", "incremental_gold_orders",
-    # governance / spatial / sampling / mixing
     "governance_pseudonymized_rollup", "spatial_radius_pairs",
-    "split_train_val_test", "sample_stratified_events",
-    "mix_temperature_quota", "markov_event_transitions",
+    "sample_stratified_events", "markov_event_transitions",
     # round-2 additions: finance/ops analytics, retrieval pipeline,
     # governance workflows, heavier dedup/lakehouse ops at the tail
     "cohort_ltv_curve", "bitmap_week_overlap", "timeseries_decay_score",
