@@ -881,6 +881,15 @@ def semdedup_prune(
 
     Returns (id, cluster_id, keep).
     """
+    # CPU-bound assignment (n x k integer dot products): spread across all
+    # cores even when the source is one small parquet split — without this
+    # the whole stage runs on the file's 1-2 input partitions while the
+    # rest of the machine idles (profiled 28 s -> ~3 s at the sf1 decade;
+    # same idiom as minhash_lsh_pairs / containment_join). At real scale
+    # the source has many splits and this is a near-no-op redistribution.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < par:
+        embeddings = embeddings.repartition(par)
     z = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
     z = z.select(
         F.col(id_col).alias("__id"),
