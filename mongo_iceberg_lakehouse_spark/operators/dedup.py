@@ -974,6 +974,11 @@ def span_scrub(
     unchanged (explode_outer + null filter, same guard discipline as
     containment_join).
     """
+    # CPU-bound span building: spread across cores even when the source is
+    # one input split (same idiom as minhash_lsh_pairs / containment_join)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
 
     def _spans(w):

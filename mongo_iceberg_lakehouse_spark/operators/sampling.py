@@ -185,6 +185,11 @@ def dsir_importance(
     more groupBy(doc). Nothing driver-side, nothing all-pairs; at 100 TB
     every shuffle key is bounded (bucket ids) or the doc id.
     """
+    # CPU-bound feature hashing: spread across cores even when the source
+    # is one input split (same idiom as the dedup operators)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
 
     def _feats(w):
