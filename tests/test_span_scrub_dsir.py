@@ -104,3 +104,114 @@ def test_dsir_weight_is_exact_integer_dot_product(spark):
         for r in dsir_importance(df2, F.col("t")).collect()
     }
     assert w1 == w2
+
+
+# --- property tests vs brute-force Python references ---------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# tiny vocabulary makes shared spans likely; variable doc lengths cover
+# the under-span_n, exact-span_n, and long-doc branches
+_word = st.sampled_from(["a", "b", "c", "d"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+def _ref_span_scrub(docs, span_n=3, min_docs=2):
+    """Brute-force reference: dict of all spans -> (distinct docs, min id),
+    remove covered positions in non-canonical docs, rebuild."""
+    words = {i: [w for w in t.split(" ") if w] for i, t in docs}
+    spans = {}
+    for i, ws in words.items():
+        for s in range(len(ws) - span_n + 1):
+            spans.setdefault(" ".join(ws[s : s + span_n]), set()).add(i)
+    dup = {
+        g: min(ids) for g, ids in spans.items() if len(ids) >= min_docs
+    }
+    out = {}
+    for i, ws in words.items():
+        removed = set()
+        for s in range(len(ws) - span_n + 1):
+            g = " ".join(ws[s : s + span_n])
+            if g in dup and dup[g] != i:
+                removed.update(range(s, s + span_n))
+        kept = [w for p, w in enumerate(ws) if p not in removed]
+        out[i] = (len(ws), len(removed), " ".join(kept))
+    return out
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_span_scrub_matches_reference(spark, texts):
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_removed"], r["kept_text"])
+        for r in span_scrub(df, span_n=3, min_docs=2).collect()
+    }
+    assert got == _ref_span_scrub(docs)
+
+
+def _ref_dsir(docs, n_buckets=16):
+    """Brute-force DSIR reference mirroring the operator's md5 bucketing
+    and integer micro-unit quantization."""
+    import hashlib
+    import math
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % n_buckets
+
+    feats = {}
+    for i, t, tgt in docs:
+        ws = [w for w in t.split(" ") if w]
+        fs = ws + [" ".join(ws[j : j + 2]) for j in range(len(ws) - 1)]
+        feats[i] = (tgt, [bucket(f) for f in fs])
+    raw = [0] * n_buckets
+    tgt_cnt = [0] * n_buckets
+    for tgt, bs in feats.values():
+        for b in bs:
+            raw[b] += 1
+            if tgt:
+                tgt_cnt[b] += 1
+    tot_raw, tot_tgt = sum(raw), sum(tgt_cnt)
+    lr = [
+        math.floor(
+            (
+                math.log((tgt_cnt[b] + 1) / (tot_tgt + n_buckets))
+                - math.log((raw[b] + 1) / (tot_raw + n_buckets))
+            )
+            * 1e6
+        )
+        for b in range(n_buckets)
+    ]
+    return {
+        i: (sum(lr[b] for b in bs), len(bs))
+        for i, (tgt, bs) in feats.items()
+        if bs
+    }
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.lists(_word, min_size=1, max_size=8), st.booleans()),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_dsir_matches_reference(spark, rows):
+    docs = [(i, " ".join(ws), tgt) for i, (ws, tgt) in enumerate(rows)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string, tgt boolean")
+    got = {
+        r["doc_id"]: (r["weight_micro"], r["n_features"])
+        for r in dsir_importance(
+            df, target_filter=F.col("tgt"), n_buckets=16
+        ).collect()
+    }
+    assert got == _ref_dsir(docs, n_buckets=16)
