@@ -8854,6 +8854,70 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_quality_funnel",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(ws) AS INT) AS n_words,
+             CAST(list_sum(list_transform(ws, t -> strlen(t))) AS BIGINT)
+               AS chars,
+             CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
+             CAST(len(list_filter(['the','a','of','and','to','in','is'],
+                  s -> list_contains(ws, s))) AS INT) AS distinct_stop_cnt
+      FROM w
+    ), g AS (
+      SELECT doc_id, n_words, distinct_stop_cnt,
+             CASE WHEN n_words = 0 THEN 0
+                  ELSE CAST(floor((1000000 * chars) / n_words + 0.5)
+                            AS BIGINT) END AS mwl,
+             CASE WHEN n_words = 0 THEN 0
+                  ELSE CAST(floor(
+                    (1000000 * CAST(n_words - n_distinct AS BIGINT))
+                    / n_words + 0.5) AS BIGINT) END AS dup
+      FROM f
+    ), r AS (
+      SELECT n_words,
+             (n_words >= 40 AND n_words <= 120) AS wc_ok,
+             (mwl >= 3800000 AND mwl <= 10000000) AS mwl_ok,
+             (distinct_stop_cnt >= 2) AS stop_ok,
+             (dup <= 500000) AS rep_ok
+      FROM g
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN wc_ok AND mwl_ok AND stop_ok AND rep_ok
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN NOT wc_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_wordcount,
+           CAST(sum(CASE WHEN NOT mwl_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_mwl,
+           CAST(sum(CASE WHEN NOT stop_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_stopwords,
+           CAST(sum(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fail_repetition,
+           CAST(sum(CASE WHEN wc_ok AND mwl_ok AND stop_ok AND rep_ok
+                         THEN n_words ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM r
+    """,
+    doc="Ingest-time corpus curation: the Gopher quality rules (a stateless "
+    "zero-shuffle projection) run UNCHANGED on a document STREAM; each "
+    "micro-batch of landing files is scored on arrival and the keep/drop "
+    "funnel (which rule kills how many docs, tokens surviving) rolls up "
+    "in complete mode — bounded 1-row state, no watermark, no corpus "
+    "re-scan. availableNow + memory sink => batch-equivalent; oracle is "
+    "the plain batch aggregate. "
+    "streaming/curation.py::run_stream_quality_funnel.",
+)
+def streaming_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.curation import run_stream_quality_funnel
+
+    return run_stream_quality_funnel(spark, sf_dir)
+
+
+@register(
     "semdedup_embedding_prune",
     """
     WITH z AS (

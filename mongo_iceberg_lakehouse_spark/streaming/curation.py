@@ -1,0 +1,79 @@
+"""Streaming corpus curation: quality-filter documents as they land.
+
+The batch curation operators (SURVEY.md §2.11) compose with Structured
+Streaming wherever they are stateless projections — the Gopher quality
+rules are exactly that (one zero-shuffle JVM projection per document), so
+the same operator runs unchanged on a document STREAM: each micro-batch of
+landing files is scored and the keep/drop funnel rolls up continuously.
+This is the ingest-time shape of a 100 TB curation pipeline: score at
+arrival, never re-scan the corpus for a filter decision.
+
+Harness (same as the other streaming entry points): availableNow over the
+parquet fixture + memory sink => batch-equivalent, so the plain batch
+aggregate is the SQL oracle. The global aggregate runs in complete mode —
+a bounded 1-row state, no watermark needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import gopher_quality_rules
+from .events import state_partitions
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents fixture (schema probed via the
+    batch reader — streaming requires a declared schema)."""
+    from ..session import tune
+
+    tune(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def quality_funnel(docs: DataFrame) -> DataFrame:
+    """One-row curation funnel from the Gopher rule columns: how many docs
+    pass, and which rule kills the rest. Works identically on a static or
+    streaming frame (stateless projection + global agg)."""
+    scored = gopher_quality_rules(docs)
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        cnt(F.col("passes_gopher")).alias("n_pass"),
+        cnt(~F.col("wc_ok")).alias("n_fail_wordcount"),
+        cnt(~F.col("mwl_ok")).alias("n_fail_mwl"),
+        cnt(~F.col("stop_ok")).alias("n_fail_stopwords"),
+        cnt(~F.col("rep_ok")).alias("n_fail_repetition"),
+        F.sum(
+            F.when(F.col("passes_gopher"), F.col("n_words")).otherwise(0)
+        ).cast("long").alias("tokens_kept"),
+    )
+
+
+def run_stream_quality_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_quality_funnel",
+) -> DataFrame:
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    docs = read_documents_stream(spark, sf_dir)
+    funnel = quality_funnel(docs)
+    with state_partitions(spark):
+        q = (
+            funnel.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    return spark.table(query_name)
