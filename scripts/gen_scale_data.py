@@ -102,13 +102,48 @@ def gen_embeddings(out_dir: str, rng: np.random.Generator) -> int:
     return combined.num_rows
 
 
+def gen_events(out_dir: str, rng: np.random.Generator) -> int:
+    """9x new events: resampled rows with fresh ids and +-30 min timestamp
+    jitter — event density per (user, window) grows 10x while the type mix,
+    per-user fan-out, and the view->purchase temporal structure (as-of /
+    sessionization semantics) stay distributionally intact. The ts column
+    keeps its source physical type (TIMESTAMP(NANOS) in driver fixtures)
+    by jittering the int64 representation directly."""
+    t = pq.read_table(f"{SRC}/events.parquet")
+    n = t.num_rows
+    n_new = 9 * n
+    idx = rng.integers(0, n, n_new)
+    ts_type = t.schema.field("ts").type
+    ts_i64 = t["ts"].cast(pa.int64()).to_numpy()
+    unit = {"ns": 10**9, "us": 10**6, "ms": 10**3, "s": 1}[ts_type.unit]
+    jitter = rng.integers(-1800, 1801, n_new) * unit
+    next_id = int(t["event_id"].to_numpy().max()) + 1
+    new = pa.table(
+        {
+            "event_id": pa.array(
+                range(next_id, next_id + n_new), t.schema.field("event_id").type
+            ),
+            "ts": pa.array(ts_i64[idx] + jitter, pa.int64()).cast(ts_type),
+            "user_id": t["user_id"].take(pa.array(idx)),
+            "event_type": t["event_type"].take(pa.array(idx)),
+            "value": t["value"].take(pa.array(idx)),
+            "props": t["props"].take(pa.array(idx)),
+        },
+        schema=t.schema,
+    )
+    combined = pa.concat_tables([t, new])
+    pq.write_table(combined, f"{out_dir}/events.parquet", row_group_size=16384)
+    return combined.num_rows
+
+
 def main() -> int:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(7)
     nd = gen_documents(out_dir, rng)
     ne = gen_embeddings(out_dir, rng)
-    print(f"wrote {out_dir}: documents={nd} embeddings={ne}")
+    nv = gen_events(out_dir, rng)
+    print(f"wrote {out_dir}: documents={nd} embeddings={ne} events={nv}")
     return 0
 
 

@@ -31,6 +31,12 @@ QUERIES = [
     "tokenizer_bpe_pair_counts",
     "dedup_span_scrub",
     "dsir_importance_weights",
+    # events decade (gen_scale_data.gen_events): sessionization, as-of,
+    # streaming windows, sliding top-k — the stateful/temporal families
+    "sessionize_events",
+    "asof_join_purchase_view",
+    "streaming_window_counts",
+    "trending_topk_sliding",
 ]
 
 SCALES = [
