@@ -41,6 +41,7 @@ def as_of_join(
     left_time: str,
     right_time: str,
     direction: str = "backward",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the latest right row with
     right_time <= left_time (backward) or earliest >= (forward), per key.
@@ -49,6 +50,14 @@ def as_of_join(
     a range cross join: both sides shuffle once on the key, the window scans
     each key's timeline once — O(n log n) per key, no quadratic candidate set,
     which is what survives at 100 TB.
+
+    ``right_tiebreak``: column that breaks ties among right rows sharing the
+    same timestamp — the max wins for backward, the min for forward. Without
+    it the pick among exact-duplicate timestamps is partition-order
+    UNDETERMINED (harmless only if right times are unique per key; the sf1
+    events decade produced real ts collisions and the driver oracle diverged
+    run-to-run). Pass the right side's id column whenever duplicates are
+    possible.
     """
     lcols, rcols = set(left.columns), set(right.columns)
     rpayload = [c for c in right.columns if c not in (on, right_time)]
@@ -71,16 +80,33 @@ def as_of_join(
         *[F.col(c).alias(f"__r_{c}") for c in rpayload],
     )
     merged = l2.unionByName(r2)
+    # among right rows at one timestamp the LAST in window order wins
+    # (last ignorenulls): tiebreak asc => max wins (backward), desc =>
+    # min wins (forward). Left rows carry NULL tiebreak and are already
+    # separated by __is_left, so the extra key never reorders them.
+    tb = (
+        [F.col(f"__r_{right_tiebreak}")]
+        if right_tiebreak is not None
+        else []
+    )
     if direction == "backward":
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .orderBy(
+                F.col("__t").asc(),
+                F.col("__is_left").asc(),
+                *[c.asc_nulls_first() for c in tb],
+            )
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     elif direction == "forward":
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+            .orderBy(
+                F.col("__t").desc(),
+                F.col("__is_left").asc(),
+                *[c.desc_nulls_first() for c in tb],
+            )
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:

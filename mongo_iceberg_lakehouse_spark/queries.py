@@ -1119,19 +1119,29 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "asof_join_purchase_view",
     """
-    SELECT p.event_id, p.user_id,
-           v.event_id AS view_event_id, v.value AS view_value
-    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
-          FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN
-         (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
-          FROM events WHERE event_type = 'view') v
-      ON p.user_id = v.user_id AND p.ts >= v.ts
+    WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+          FROM events WHERE event_type = 'view'),
+    m AS (
+      SELECT p.event_id, p.user_id,
+             v.event_id AS view_event_id, v.value AS view_value,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts)
+    SELECT event_id, user_id, view_event_id, view_value FROM m WHERE rn = 1
+    UNION ALL
+    SELECT p.event_id, p.user_id, NULL, NULL
+    FROM p WHERE NOT EXISTS (SELECT 1 FROM v
+                             WHERE v.user_id = p.user_id AND v.ts <= p.ts)
     """,
     doc="As-of join (custom operator Spark lacks, SURVEY §2.3): each purchase "
-    "matched to the user's latest view at-or-before it. Implemented as "
-    "union+window merge (one shuffle per side, no range cross join); the "
-    "oracle uses DuckDB's native ASOF JOIN.",
+    "matched to the user's latest view at-or-before it, ties on the exact "
+    "timestamp broken to the max view id (DuckDB's native ASOF leaves the "
+    "tie pick unspecified, so the oracle is the explicit window "
+    "formulation — the sf1 events decade produced real ts collisions and "
+    "exposed the ambiguity). Implemented as union+window merge (one "
+    "shuffle per side, no range cross join).",
 )
 def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -1146,7 +1156,7 @@ def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = R.as_of_join(
         purchases, views, on="user_id", left_time="ts", right_time="ts",
-        direction="backward",
+        direction="backward", right_tiebreak="view_event_id",
     )
     return out.select("event_id", "user_id", "view_event_id", "view_value")
 
@@ -2137,7 +2147,8 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_window_counts",
     """
     SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
-           event_type, count(*) AS cnt, sum(value) AS total_value
+           event_type, count(*) AS cnt,
+           sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) / 1e6 AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -5345,28 +5356,42 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT user_id, event_id, value,
-             avg(value) OVER (PARTITION BY user_id
-               ORDER BY CAST(ts AS TIMESTAMP), event_id
-               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS mu,
-             stddev_samp(value) OVER (PARTITION BY user_id
-               ORDER BY CAST(ts AS TIMESTAMP), event_id
-               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sd,
-             count(value) OVER (PARTITION BY user_id
-               ORDER BY CAST(ts AS TIMESTAMP), event_id
-               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS nprev
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vm,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER win AS s,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                 * CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER win AS q,
+             count(*) OVER win AS n
       FROM events
+      WINDOW win AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ), g AS (
+      SELECT user_id, event_id, value,
+             vm * n - s AS d, q * n - s * s AS varnum, n
+      FROM w
     )
-    SELECT user_id, event_id, value, (value - mu) / sd AS z
-    FROM w WHERE nprev >= 5 AND abs((value - mu) / sd) > 3.0
+    SELECT user_id, event_id, value,
+           CAST(d AS DOUBLE) * sqrt(CAST(n - 1 AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(varnum AS DOUBLE))) AS z
+    FROM g
+    WHERE n >= 5 AND varnum > 0
+      AND CAST(d AS HUGEINT) * d * (n - 1) > 9 * n * CAST(varnum AS HUGEINT)
     """,
     doc="Rolling z-score anomaly detection: each event scored against the "
-    "trailing 20 observations of ITS OWN user (mean/stddev over a "
-    "preceding-rows frame, current row excluded so the anomaly can't "
-    "mask itself), flagged at |z|>3 with a 5-observation warm-up. All "
-    "three rolling stats share ONE (user_id; ts, event_id) window sort — "
-    "a single shuffle; zero-variance windows yield NULL z and drop out "
-    "identically in both engines. The streaming-ready shape of "
-    "fleet-wide telemetry anomaly scoring.",
+    "trailing 20 observations of ITS OWN user (current row excluded so "
+    "the anomaly can't mask itself), flagged at |z|>3 with a "
+    "5-observation warm-up, one (user_id; ts, event_id) window sort. "
+    "The |z|>3 DECISION is exact integer arithmetic over centi-unit "
+    "(the value column's own 2-decimal grid — 1e6 scale overflowed "
+    "int64 in the s^2 term) "
+    "window sums — (v*n - s)^2 * (n-1) > 9 * n * (q*n - s^2) in "
+    "HUGEINT/DECIMAL — because engine-internal rolling mean/stddev "
+    "accumulation orders differ and duplicate-heavy windows (real at "
+    "sf1) make borderline z hypersensitive (5-row flips) while exactly "
+    "zero variance threw DIVIDE_BY_ZERO under ANSI. varnum > 0 is the "
+    "exact zero-variance guard; the reported z derives from the same "
+    "exact integers via correctly-rounded casts, so it is bit-identical "
+    "too.",
 )
 def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
@@ -5375,17 +5400,33 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-20, -1)
     )
+    vm = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     scored = e.select(
         "user_id",
         "event_id",
         "value",
-        F.avg("value").over(w).alias("mu"),
-        F.stddev_samp("value").over(w).alias("sd"),
-        F.count("value").over(w).alias("nprev"),
+        vm.alias("vm"),
+        F.sum(vm).over(w).alias("s"),
+        F.sum(vm * vm).over(w).alias("q"),
+        F.count(F.lit(1)).over(w).alias("n"),
     )
-    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    # exact-integer threshold decision (see the oracle doc): d and varnum
+    # are exact BIGINTs of micro-unit sums; the comparison lifts to
+    # DECIMAL(38,0) because d^2*(n-1) can exceed int64
+    d = F.col("vm") * F.col("n") - F.col("s")
+    varnum = F.col("q") * F.col("n") - F.col("s") * F.col("s")
+    lhs = d.cast("decimal(38,0)") * d * (F.col("n") - 1)
+    rhs = (
+        F.lit(9).cast("decimal(38,0)") * F.col("n") * varnum
+    )
+    z = d.cast("double") * F.sqrt(
+        (F.col("n") - 1).cast("double")
+        / (F.col("n").cast("double") * varnum.cast("double"))
+    )
     return (
-        scored.filter((F.col("nprev") >= 5) & (F.abs(z) > 3.0))
+        scored.filter(
+            (F.col("n") >= 5) & (varnum > 0) & (lhs > rhs)
+        )
         .select("user_id", "event_id", "value", z.alias("z"))
     )
 
@@ -7214,7 +7255,8 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH obs AS (
       SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-             avg(value) AS v
+             CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1e6) AS v
       FROM events GROUP BY 1, 2
     ),
     spine AS (
@@ -7265,9 +7307,21 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def timeseries_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
+    # per-day mean as (exact micro-unit BIGINT sum) / (cnt * 1e6): a raw
+    # avg(value) differs between engines in its last ulp at sf1 volume
+    # (combine order), and the downstream linear interpolation amplifies
+    # that into a .6g flip (sf1 gate catch). The bigint sum is order-free
+    # and the single division is correctly rounded on identical inputs,
+    # so v — and every interpolated blend of v — is bit-identical.
+    vmicro = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
     obs = e.groupBy(
         "user_id", F.col("ts").cast("date").alias("day")
-    ).agg(F.avg("value").alias("v"))
+    ).agg(
+        (
+            F.sum(vmicro).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1e6))
+        ).alias("v")
+    )
     spine = (
         obs.groupBy("user_id")
         .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))

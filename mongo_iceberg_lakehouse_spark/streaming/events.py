@@ -90,11 +90,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def windowed_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
-    """Watermarked tumbling-window counts + value sums per event_type."""
+    """Watermarked tumbling-window counts + value sums per event_type.
+
+    The value sum is an exact BIGINT of half-up micro-units (divided back
+    once at the end): a raw double sum over ~14k events/window sits off
+    the float grid and the sf1 gate caught its .6g rendering flipping
+    with combine order (10014.4 vs 10014.3) — the knife-edge discipline,
+    applied identically in the SQL oracle."""
+    vmicro = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(vmicro) / F.lit(1e6)).alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",

@@ -1,0 +1,107 @@
+"""Correctness one decade up: run every oracle query that only touches the
+synthesized sf1 tables (documents / embeddings / events) against DuckDB at
+/root/repo/.scale/sf1.
+
+The sf0.01 driver gate proves semantics; the sf0.1 sweep already caught one
+scale-revealed knife edge (CUSUM ordered float sums). This pushes the same
+hash-compare one more decade: 50k docs / 20k embeddings / 1M events.
+Oracles that are deliberately quadratic (full all-pairs verification of a
+pruned engine plan) are guarded by a watchdog that interrupts DuckDB after
+``--timeout`` seconds and records SKIP(oracle-timeout) — the ENGINE side of
+those queries is still executed and counted.
+
+Usage: python scripts/sf1_gate.py [sf_dir] [--timeout N]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import threading
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from mongo_iceberg_lakehouse_spark.queries import REGISTRY  # noqa: E402
+from mongo_iceberg_lakehouse_spark.session import get_spark  # noqa: E402
+from tests.compare import compare_spark_duckdb  # noqa: E402
+
+SF1_TABLES = ("documents", "embeddings", "events")
+ALL_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def sf1_eligible(name: str) -> bool:
+    import inspect
+
+    q = REGISTRY[name]
+    if q.oracle is None:
+        return False
+    text = q.oracle + inspect.getsource(q.fn)
+    for t in ALL_TABLES:
+        if t in SF1_TABLES:
+            continue
+        if re.search(rf"\b{t}\b", text):
+            return False
+    return True
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
+    timeout = 120
+    if "--timeout" in sys.argv:
+        timeout = int(sys.argv[sys.argv.index("--timeout") + 1])
+    names = sorted(n for n in REGISTRY if sf1_eligible(n))
+    print(f"# {len(names)} sf1-eligible oracle queries", flush=True)
+    spark = get_spark(app_name="sf1-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in SF1_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    fails = skips = 0
+    for name in names:
+        q = REGISTRY[name]
+        df = q.fn(spark, sf_dir)
+        timed_out = [False]
+
+        def watchdog():
+            timed_out[0] = True
+            con.interrupt()
+
+        timer = threading.Timer(timeout, watchdog)
+        timer.start()
+        t0 = time.time()
+        try:
+            ok, msg = compare_spark_duckdb(df, con, q.oracle)
+        except Exception as exc:  # noqa: BLE001
+            if timed_out[0]:
+                # engine side still ran inside compare; count oracle skip
+                skips += 1
+                print(f"SKIP {name}: oracle-timeout >{timeout}s", flush=True)
+                timer.cancel()
+                continue
+            ok, msg = False, f"error: {str(exc)[:200]}"
+        finally:
+            timer.cancel()
+        status = "OK" if ok else "FAIL"
+        if not ok:
+            fails += 1
+        print(f"{status} {name}: {msg} [{time.time()-t0:.1f}s]", flush=True)
+    print(
+        f"\n{fails} failures, {skips} oracle-timeouts / {len(names)} "
+        f"sf1-eligible queries at {sf_dir}",
+        flush=True,
+    )
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
