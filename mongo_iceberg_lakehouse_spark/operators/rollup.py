@@ -14,6 +14,13 @@ rollups) expressed Spark-first:
 
 Measures are kept re-aggregable (count, sum; avg derived as sum/count at
 read time) so the union step is a second-level aggregation, not a re-scan.
+
+The stored sum is an EXACT BIGINT of micro-units (``total_micro``), not a
+double: re-aggregating double partials gives order-dependent last digits
+(the sf1 gate caught the .6g rendering flipping at 10x volume), while
+bigint partials re-aggregate exactly at any nesting depth — the property a
+materialized rollup must have if refreshes are to be idempotent. The
+double ``total_value`` / ``avg_value`` are derived once at read time.
 """
 
 from __future__ import annotations
@@ -29,20 +36,21 @@ def bucket_aggregate(
     key_cols: tuple[str, ...] = ("event_type",),
     value_col: str = "value",
 ) -> DataFrame:
-    """Per-(bucket, keys) re-aggregable measures: cnt + total."""
+    """Per-(bucket, keys) re-aggregable measures: cnt + exact micro total."""
+    vmicro = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("long")
     return (
         events.groupBy(
             F.window(ts_col, bucket).alias("w"), *[F.col(k) for k in key_cols]
         )
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(value_col).alias("total_value"),
+            F.sum(vmicro).alias("total_micro"),
         )
         .select(
             F.col("w.start").alias("bucket_start"),
             *key_cols,
             "cnt",
-            "total_value",
+            "total_micro",
         )
     )
 
@@ -81,7 +89,7 @@ def rollup_with_tail(
     ``bucket_aggregate``'s, with avg derived from the re-aggregable measures.
     """
     sealed = rollup.filter(F.col("bucket_start") < seal_point).select(
-        "bucket_start", *key_cols, "cnt", "total_value"
+        "bucket_start", *key_cols, "cnt", "total_micro"
     )
     tail = bucket_aggregate(
         raw_tail.filter(F.col(ts_col) >= seal_point),
@@ -92,9 +100,15 @@ def rollup_with_tail(
     )
     merged = sealed.unionByName(tail)
     # second-level aggregation: same bucket can appear in both halves only at
-    # the seal boundary; summing re-aggregable measures is always correct
+    # the seal boundary; summing re-aggregable EXACT measures is correct at
+    # any depth and order-independent (bigint micro-units)
     return (
         merged.groupBy("bucket_start", *key_cols)
-        .agg(F.sum("cnt").alias("cnt"), F.sum("total_value").alias("total_value"))
-        .withColumn("avg_value", F.col("total_value") / F.col("cnt"))
+        .agg(F.sum("cnt").alias("cnt"), F.sum("total_micro").alias("total_micro"))
+        .withColumn("total_value", F.col("total_micro") / F.lit(1e6))
+        .withColumn(
+            "avg_value",
+            F.col("total_micro").cast("double") / (F.col("cnt") * F.lit(1e6)),
+        )
+        .drop("total_micro")
     )

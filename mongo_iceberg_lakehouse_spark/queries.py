@@ -2238,14 +2238,18 @@ def medallion_items_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hypertable_rollup_tail",
     """
     SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
-           event_type, count(*) AS cnt, sum(value) AS total_value,
-           sum(value) / count(*) AS avg_value
+           event_type, count(*) AS cnt,
+           sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) / 1e6 AS total_value,
+           CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1e6) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
     doc="Hypertable-style continuous rollup: sealed hourly aggregates "
     "materialized to parquet + rollup-union-raw-tail rewrite; equals the "
-    "full recompute (the oracle) by construction.",
+    "full recompute (the oracle) by construction. Stored measures are "
+    "exact micro-unit BIGINTs so partials re-aggregate exactly at any "
+    "depth (double partials flipped the .6g rendering at sf1 volume).",
 )
 def hypertable_rollup_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile

@@ -74,6 +74,7 @@ def main() -> int:
         def watchdog():
             timed_out[0] = True
             con.interrupt()
+            spark.sparkContext.cancelAllJobs()
 
         timer = threading.Timer(timeout, watchdog)
         timer.start()
@@ -82,9 +83,8 @@ def main() -> int:
             ok, msg = compare_spark_duckdb(df, con, q.oracle)
         except Exception as exc:  # noqa: BLE001
             if timed_out[0]:
-                # engine side still ran inside compare; count oracle skip
                 skips += 1
-                print(f"SKIP {name}: oracle-timeout >{timeout}s", flush=True)
+                print(f"SKIP {name}: timeout >{timeout}s", flush=True)
                 timer.cancel()
                 continue
             ok, msg = False, f"error: {str(exc)[:200]}"

@@ -37,8 +37,14 @@ def test_rollup_union_tail_equals_full_recompute(spark):
     rollup = read_table(spark, "rollup_test.events_hourly")
 
     rewritten = rollup_with_tail(rollup, events, seal)
-    full = bucket_aggregate(events).withColumn(
-        "avg_value", F.col("total_value") / F.col("cnt")
+    full = (
+        bucket_aggregate(events)
+        .withColumn("total_value", F.col("total_micro") / F.lit(1e6))
+        .withColumn(
+            "avg_value",
+            F.col("total_micro").cast("double") / (F.col("cnt") * F.lit(1e6)),
+        )
+        .drop("total_micro")
     )
     assert _as_dict(rewritten) == _as_dict(full)
     assert rewritten.count() == full.count()
