@@ -59,14 +59,28 @@ def as_of_join(
     run-to-run). Pass the right side's id column whenever duplicates are
     possible.
     """
-    lcols, rcols = set(left.columns), set(right.columns)
+    lcols = set(left.columns)
     rpayload = [c for c in right.columns if c not in (on, right_time)]
+    # The right payload travels as ONE struct column so the window's
+    # last(ignorenulls) picks the whole winning row atomically — filling
+    # each payload column independently would let a NULL field of the
+    # winning row backfill from an OLDER right row, silently stitching a
+    # row that never existed (the struct itself is non-NULL even when
+    # every field inside it is NULL, so ignorenulls only skips rows, not
+    # fields).
+    rrow_type = (
+        "struct<"
+        + ",".join(
+            f"{c}:{right.schema[c].dataType.simpleString()}" for c in rpayload
+        )
+        + ">"
+    )
     l2 = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in rpayload],
+        F.lit(None).cast(rrow_type).alias("__rrow"),
     )
     r2 = right.select(
         F.col(on).alias("__k"),
@@ -77,7 +91,7 @@ def as_of_join(
             "struct<" + ",".join(f"{c}:{left.schema[c].dataType.simpleString()}" for c in left.columns) + ">"
         )
         .alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in rpayload],
+        F.struct(*[F.col(c) for c in rpayload]).alias("__rrow"),
     )
     merged = l2.unionByName(r2)
     # among right rows at one timestamp the LAST in window order wins
@@ -85,7 +99,7 @@ def as_of_join(
     # min wins (forward). Left rows carry NULL tiebreak and are already
     # separated by __is_left, so the extra key never reorders them.
     tb = (
-        [F.col(f"__r_{right_tiebreak}")]
+        [F.col(f"__rrow.{right_tiebreak}")]
         if right_tiebreak is not None
         else []
     )
@@ -116,14 +130,14 @@ def as_of_join(
         "__t",
         "__is_left",
         "__lrow",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in rpayload
-        ],
+        F.last(F.col("__rrow"), ignorenulls=True).over(w).alias("__rrow"),
     ).filter(F.col("__is_left") == 1)
     return filled.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__r_{c}").alias(c if c not in lcols else f"right_{c}") for c in rpayload],
+        *[
+            F.col(f"__rrow.{c}").alias(c if c not in lcols else f"right_{c}")
+            for c in rpayload
+        ],
     )
 
 

@@ -169,7 +169,7 @@ def dsir_importance(
     distribution, Laplace-smoothed. Docs whose feature mix looks like the
     target float up; selection is then top-k / thresholding downstream.
 
-    Engine-portable and order-independent by construction:
+    Order-independent, and engine-portable up to one caveat:
       - the feature hash is md5-prefix mod ``n_buckets`` (any engine's md5
         reproduces the bucketing bit-for-bit — same trick as
         hash_split_column);
@@ -178,6 +178,15 @@ def dsir_importance(
         sum(count x micro-ratio) in BIGINT — exact integer arithmetic, so
         partial-agg combine order can never move a .6g digit (the repo's
         knife-edge discipline).
+      - CAVEAT: the quantization itself evaluates floor(1e6 * (log a -
+        log b)). IEEE-754 ``log`` is not required to be correctly rounded,
+        so two engines' libm may disagree by an ulp; a bucket ratio
+        landing *within an ulp of a micro-unit boundary* could then flip
+        one dictionary entry between engines. Downstream arithmetic is
+        exact either way; cross-engine bit-stability holds only while no
+        bucket sits on such a knife edge (the repo's knife_edge_sweep
+        checks the shipped fixtures; guaranteed bit-stability would need a
+        log-free formulation, e.g. comparing scaled integer ratios).
 
     Plan: one explode pass builds (doc, bucket) counts (shuffle on the
     8-byte bucketed key, map-side combinable); the bucket dictionary is

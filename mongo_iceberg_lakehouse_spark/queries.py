@@ -23,6 +23,7 @@ reference operator IDs (e.g. A1-A3 = the gold aggregation).
 
 from __future__ import annotations
 
+from collections import Counter
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -8869,7 +8870,7 @@ def dedup_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), f AS (
       SELECT doc_id,
              CAST(len(ws) AS INT) AS n_words,
-             CAST(list_sum(list_transform(ws, t -> strlen(t))) AS BIGINT)
+             CAST(list_sum(list_transform(ws, t -> length(t))) AS BIGINT)
                AS chars,
              CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
              CAST(len(list_filter(['the','a','of','and','to','in','is'],
@@ -8921,7 +8922,7 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), f AS (
       SELECT doc_id,
              CAST(len(ws) AS INT) AS n_words,
-             CAST(list_sum(list_transform(ws, t -> strlen(t))) AS BIGINT)
+             CAST(list_sum(list_transform(ws, t -> length(t))) AS BIGINT)
                AS chars,
              CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
              CAST(len(list_filter(['the','a','of','and','to','in','is'],
@@ -9062,7 +9063,7 @@ def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY w
     ), syms AS (
       SELECT cnt,
-             list_append(list_transform(range(1, strlen(w) + 1), i -> w[i]),
+             list_append(list_transform(range(1, length(w) + 1), i -> w[i]),
                          '</w>') AS s
       FROM vocab
     ), pairs AS (
@@ -9345,17 +9346,16 @@ PRIORITY: list[str] = [
     "seasonal_baseline_bands", "concurrency_by_hour",
     "text_unigram_cross_entropy", "embedding_covariance_matrix",
     "rag_context_assembly", "governance_erasure_propagation",
-    "dedup_containment_pairs", "wap_audit_publish",
+    "wap_audit_publish",
     "dedup_survivors_quality", "catalog_time_travel",
-    # round-3 additions: corpus-curation classics
-    "quality_gopher_rules", "semdedup_embedding_prune",
-    "tokenizer_bpe_pair_counts",
 ]
 
 
 def _ordered_names() -> list[str]:
     missing = [n for n in PRIORITY if n not in REGISTRY]
     assert not missing, f"PRIORITY names not registered: {missing}"
+    dupes = [n for n, c in Counter(PRIORITY).items() if c > 1]
+    assert not dupes, f"PRIORITY contains duplicates: {dupes}"
     rest = [n for n in REGISTRY if n not in set(PRIORITY)]
     return [*PRIORITY, *rest]
 

@@ -1,4 +1,4 @@
-"""Regression tests for the round-2 advisor findings (ADVICE.md):
+"""Regression tests for the round-2/round-3 advisor findings (ADVICE.md):
 
 1. containment_join crashed on any document shorter than shingle_n words
    (sequence(1, 0) -> [1, 0] -> slice(ws, 0, n) throws).
@@ -9,6 +9,13 @@
    table with path-already-exists.
 4. dedup_survivors(_by_quality) with id_col='id' dropped the caller's own
    id column (drop-by-name removes all occurrences after a join).
+5. as_of_join filled each right payload column independently with
+   last(ignorenulls): a NULL field in the winning right row silently
+   backfilled from an OLDER right row, stitching together a row that
+   never existed.
+6. PRIORITY held duplicate names (round-3 tail re-added first-50
+   entries), so _ordered_names() disagreed in length with the dict
+   consumers that silently deduped.
 """
 
 from __future__ import annotations
@@ -101,6 +108,48 @@ def test_dedup_survivors_id_col_named_id(spark):
     out = dedup_survivors(df, pairs, id_col="id")
     assert "id" in out.columns
     assert {r["id"] for r in out.collect()} == {1, 9}
+
+
+def test_asof_join_picks_winning_right_row_atomically(spark):
+    # The winning (latest <= left_time, max-tiebreak) right row has v=NULL.
+    # The whole row must be attached as-is: v must come out NULL, NOT be
+    # backfilled from the older right row whose v=10.
+    from mongo_iceberg_lakehouse_spark.operators.relational import as_of_join
+
+    left = spark.createDataFrame([(1, 100)], "k int, lt int")
+    right = spark.createDataFrame(
+        [(1, 50, 1, 10), (1, 60, 2, None)],
+        "k int, rt int, rid int, v int",
+    )
+    out = as_of_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        right_tiebreak="rid",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["rid"] == 2 and out[0]["v"] is None
+
+    # tie on rt itself: tiebreak max (rid=4) wins and its NULL field holds
+    right2 = spark.createDataFrame(
+        [(1, 60, 3, 30), (1, 60, 4, None)],
+        "k int, rt int, rid int, v int",
+    )
+    out2 = as_of_join(
+        left, right2, on="k", left_time="lt", right_time="rt",
+        right_tiebreak="rid",
+    ).collect()
+    assert out2[0]["rid"] == 4 and out2[0]["v"] is None
+
+
+def test_priority_has_no_duplicates():
+    from mongo_iceberg_lakehouse_spark.queries import (
+        PRIORITY,
+        _ordered_names,
+        queries,
+    )
+
+    assert len(PRIORITY) == len(set(PRIORITY))
+    names = _ordered_names()
+    assert len(names) == len(set(names)) == len(queries())
 
 
 def test_dedup_survivors_by_quality_id_col_named_id(spark):
