@@ -3,23 +3,30 @@
 Charter extension (SURVEY.md §2.11): image/audio/video travel through the
 lake as ``binary`` columns with a metadata struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched pandas functions over
-``mapInPandas``. The image/audio codec libraries are not available in this
-container, so the decode step is STUBBED (``NotImplementedError`` behind
-``decode_payload``) with a deterministic fake used by tests — the Spark-side
-plumbing (schema, batch iteration, partitioning) is real.
+``mapInPandas``. PNG and WAV are decoded for REAL — stdlib-only codecs
+(``zlib`` inflate + PNG scanline de-filtering, RIFF walk + PCM
+``struct.unpack``), no PIL/ffmpeg needed; ``decode_payload`` dispatches on
+modality and raises ``ValueError`` only for formats that genuinely need an
+external library (JPEG, MP3, ...).
 
 Scale notes: binary payloads dominate row size, so (1) feature extraction is
 ``mapInPandas`` — one Arrow batch in, one out, no shuffle; (2) select away the
 payload column as early as possible after feature extraction so downstream
 stages move only features; (3) partition count should target
-~128 MB of payload per task (`spark.sql.files.maxPartitionBytes`).
+~128 MB of payload per task (`spark.sql.files.maxPartitionBytes`). Within a
+single image the filter chain is sequential by spec (each scanline's
+reconstruction reads the previous one); parallelism comes from rows per Arrow
+batch and batches per task, which is how any codec-backed pipeline scales.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -50,16 +57,20 @@ def attach_payload(
 
 
 def decode_payload(payload: bytes, modality: str) -> Any:
-    """Decode a binary payload into a media object.
+    """Decode a binary payload into a media object (stdlib codecs only).
 
-    STUB: real decoding needs PIL/ffmpeg/soundfile, which are not in this
-    container. The Spark plumbing calls this only behind
-    ``extract_features(..., use_codec=True)``.
+    ``png`` -> ``(width, height, channels, pixels ndarray[h, w, ch])``;
+    ``wav`` -> ``(sample_rate, channels, bits, samples ndarray[frames, ch])``;
+    ``text`` -> ``str``. Formats needing an external library (JPEG, MP3,
+    video) raise ``ValueError`` — a data error to quarantine, not a stub.
     """
-    raise NotImplementedError(
-        f"no codec available for modality={modality!r} in this environment; "
-        "install PIL/ffmpeg/soundfile and implement decode_payload"
-    )
+    if modality == "png":
+        return png_decode(payload)
+    if modality == "wav":
+        return wav_decode(payload)
+    if modality == "text":
+        return payload.decode("utf-8")
+    raise ValueError(f"unsupported payload modality: {modality!r}")
 
 
 def _fake_features(payload: bytes) -> tuple[int, int, str]:
@@ -234,6 +245,305 @@ def decode_wav_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=WAV_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Full PNG codec (stdlib zlib): encode + decode with all 5 scanline filters
+# ---------------------------------------------------------------------------
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Encode an ``[h, w, ch]`` uint8 array as a spec-valid PNG (8-bit,
+    color type 2 for ch=3 / 0 for ch=1), applying the given per-scanline
+    filter types (default: row % 5, exercising every filter). Real CRCs,
+    real zlib IDAT — external decoders can open the result."""
+    h, w, ch = pixels.shape
+    assert ch in (1, 3)
+    bpp = ch
+    stride = w * ch
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 0, 0, 0, 0)
+    raw = pixels.astype(np.int32).reshape(h, stride)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = (filters[r] if filters is not None else r % 5)
+        line = raw[r]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), line[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        if f == 0:
+            filt = line
+        elif f == 1:
+            filt = line - left
+        elif f == 2:
+            filt = line - prev
+        elif f == 3:
+            filt = line - (left + prev) // 2
+        else:
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c))
+                 for a, b, c in zip(left, prev, upleft)),
+                dtype=np.int32, count=stride,
+            )
+            filt = line - pred
+        out.append(f)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = line
+    idat = zlib.compress(bytes(out), 6)
+    # split IDAT across chunks to exercise the decoder's chunk concat
+    parts = [idat[i:i + 256] for i in range(0, len(idat), 256)] or [b""]
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + b"".join(_png_chunk(b"IDAT", p) for p in parts)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a PNG (8-bit gray or truecolor, non-interlaced) to
+    ``(width, height, channels, pixels[h, w, ch])`` with stdlib zlib:
+    chunk walk (CRC-verified), IDAT concat, inflate, and scanline
+    reconstruction for all five filter types."""
+    if b[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos:pos + 4])
+        tag = b[pos + 4:pos + 8]
+        body = b[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(">I", b[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("no IHDR chunk")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant depth={depth} color={color} "
+            f"interlace={interlace}"
+        )
+    ch = 3 if color == 2 else 1
+    bpp, stride = ch, w * ch
+    data = zlib.decompress(bytes(idat))
+    if len(data) != h * (stride + 1):
+        raise ValueError("IDAT length mismatch")
+    pixels = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = data[r * (stride + 1)]
+        line = np.frombuffer(
+            data, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            recon = line
+        elif f == 2:
+            recon = (line + prev) % 256
+        elif f in (1, 3, 4):
+            # left-dependent: sequential along the scanline by spec
+            recon = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(recon[i - bpp]) if i >= bpp else 0
+                bb = int(prev[i])
+                cc = int(prev[i - bpp]) if i >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + bb) // 2
+                else:
+                    pred = _paeth(a, bb, cc)
+                recon[i] = (int(line[i]) + pred) % 256
+        else:
+            raise ValueError(f"bad filter type {f}")
+        pixels[r] = recon
+        prev = recon
+    return w, h, ch, pixels.reshape(h, w, ch).astype(np.uint8)
+
+
+PNG_PIXEL_SCHEMA = (
+    "doc_id bigint, width int, height int, n_pixels bigint, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, is_png boolean"
+)
+
+
+def synth_png_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a COMPLETE valid PNG per row (real zlib IDAT, real CRCs,
+    every scanline filter type in rotation) inside Arrow-batched
+    ``mapInPandas``. Pixels are a pure function of the id —
+    ``px(r, c, ch) = (id*31 + r*7 + c*3 + ch*11) % 256``, dims
+    ``(4 + id%13) x (4 + (id*7)%11)`` — so an SQL oracle can reconstruct
+    every per-channel statistic arithmetically without parsing bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                w, h = 4 + i % 13, 4 + (i * 7) % 11
+                r = np.arange(h).reshape(h, 1, 1) * 7
+                c = np.arange(w).reshape(1, w, 1) * 3
+                k = np.arange(3).reshape(1, 1, 3) * 11
+                px = ((i * 31 + r + c + k) % 256).astype(np.uint8)
+                rows.append((i, png_encode(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(id_col).mapInPandas(
+        batches, schema="doc_id bigint, payload binary"
+    )
+
+
+def decode_png_pixels(df: DataFrame) -> DataFrame:
+    """REAL pixel decode: inflate IDAT, reconstruct every scanline (all 5
+    filter types), emit exact integer per-channel pixel sums. BIGINT sums
+    keep the oracle comparison knife-edge-free; payload is dropped here so
+    downstream moves only stats."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    w, h, ch, px = png_decode(bytes(payload))
+                    p = px.astype(np.int64)
+                    sums = [int(p[:, :, min(k, ch - 1)].sum()) for k in range(3)]
+                    rows.append(
+                        (int(doc_id), w, h, w * h, *sums, True)
+                    )
+                except ValueError:
+                    rows.append(
+                        (int(doc_id), None, None, None, None, None, None, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b", "is_png",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=PNG_PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Full WAV PCM codec: synth + sample-level decode
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLE_SCHEMA = (
+    "doc_id bigint, sample_rate int, channels int, n_frames bigint, "
+    "sum_samples bigint, min_sample int, max_sample int, is_wav boolean"
+)
+
+
+def synth_wav_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a complete 16-bit PCM WAV per row in Arrow-batched
+    ``mapInPandas``. Samples are a pure function of the id —
+    ``s(i, ch) = (id*13 + i*7 + ch*5) % 65536 - 32768`` over
+    ``32 + id%97`` frames, ``1 + id%2`` channels, rate
+    ``8000 + (id%8)*4000`` — so the SQL oracle reconstructs the sample
+    statistics arithmetically."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                i = int(doc_id)
+                n, nch = 32 + i % 97, 1 + i % 2
+                rate = 8000 + (i % 8) * 4000
+                fr = np.arange(n).reshape(n, 1) * 7
+                k = np.arange(nch).reshape(1, nch) * 5
+                samples = ((i * 13 + fr + k) % 65536 - 32768).astype("<i2")
+                data = samples.tobytes()
+                block = nch * 2
+                hdr = (
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack(
+                        "<IHHIIHH", 16, 1, nch, rate, rate * block, block, 16
+                    )
+                    + b"data" + struct.pack("<I", len(data))
+                )
+                rows.append((i, hdr + data))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return df.select(id_col).mapInPandas(
+        batches, schema="doc_id bigint, payload binary"
+    )
+
+
+def wav_decode(b: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a PCM WAV to ``(rate, channels, bits, samples[frames, ch])``.
+    Walks RIFF sub-chunks generically (fmt then data, tolerating extras)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        tag, length = b[pos:pos + 4], struct.unpack("<I", b[pos + 4:pos + 8])[0]
+        body = b[pos + 8:pos + 8 + length]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length % 2)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, nch, rate, _br, _ba, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: fmt={audio_fmt} bits={bits}")
+    samples = np.frombuffer(data, dtype="<i2")
+    return rate, nch, bits, samples.reshape(-1, nch)
+
+
+def decode_wav_samples(df: DataFrame) -> DataFrame:
+    """REAL sample-level audio decode: RIFF walk + PCM unpack, exact
+    BIGINT sample statistics out, payload dropped."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rate, nch, _bits, s = wav_decode(bytes(payload))
+                    rows.append((
+                        int(doc_id), rate, nch, s.shape[0],
+                        int(s.astype(np.int64).sum()),
+                        int(s.min()), int(s.max()), True,
+                    ))
+                except ValueError:
+                    rows.append(
+                        (int(doc_id), None, None, None, None, None, None, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_frames",
+                    "sum_samples", "min_sample", "max_sample", "is_wav",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=WAV_SAMPLE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:

@@ -107,3 +107,95 @@ def test_transform_with_state_probe_is_honest():
         assert avail is True
     except ImportError:
         assert avail is False
+
+
+# ---------------------------------------------------------------------------
+# Full-codec round trips (round 4: the codec stub is retired)
+# ---------------------------------------------------------------------------
+
+def test_png_full_codec_round_trip_all_filters():
+    import numpy as np
+
+    from mongo_iceberg_lakehouse_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w, ch in [(1, 1, 1), (5, 7, 1), (11, 16, 3), (8, 4, 3)]:
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        for f in [None, [0] * h, [1] * h, [2] * h, [3] * h, [4] * h]:
+            b = png_encode(px, f)
+            w2, h2, ch2, out = png_decode(b)
+            assert (w2, h2, ch2) == (w, h, ch)
+            assert (out == px).all()
+
+
+def test_png_decode_rejects_corruption():
+    import struct as _s
+
+    import numpy as np
+    import pytest
+
+    from mongo_iceberg_lakehouse_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    b = bytearray(png_encode(np.zeros((2, 2, 3), dtype=np.uint8)))
+    b[20] ^= 0xFF  # flip a byte inside IHDR -> CRC check must fire
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(b))
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"not a png at all")
+    # interlaced / 16-bit variants are declared unsupported, not mis-parsed
+    good = bytearray(png_encode(np.zeros((2, 2, 3), dtype=np.uint8)))
+    ihdr = bytearray(good[16:29])
+    ihdr[8] = 16  # bit depth
+    crc = _s.pack(">I", __import__("zlib").crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="unsupported"):
+        png_decode(bytes(good[:16]) + bytes(ihdr) + crc + bytes(good[33:]))
+
+
+def test_wav_full_codec_round_trip_and_alignment():
+    import struct as _s
+
+    import numpy as np
+    import pytest
+
+    from mongo_iceberg_lakehouse_spark.operators.multimodal import wav_decode
+
+    samples = np.array([[1, -2], [32767, -32768], [0, 5]], dtype="<i2")
+    data = samples.tobytes()
+    # include an extra LIST chunk before data: the walk must skip it
+    extra = b"LIST" + _s.pack("<I", 3) + b"abc" + b"\x00"  # odd len -> pad
+    hdr = (
+        b"RIFF" + _s.pack("<I", 36 + len(extra) + len(data)) + b"WAVE"
+        + b"fmt " + _s.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16)
+        + extra
+        + b"data" + _s.pack("<I", len(data))
+    )
+    rate, nch, bits, out = wav_decode(hdr + data)
+    assert (rate, nch, bits) == (16000, 2, 16)
+    assert (out == samples).all()
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFFxxxxNOPE")
+
+
+def test_png_pixels_spark_round_trip(spark):
+    from mongo_iceberg_lakehouse_spark.operators.multimodal import (
+        decode_png_pixels,
+        synth_png_image,
+    )
+
+    df = spark.createDataFrame([(0,), (7,), (12345,)], "doc_id long")
+    rows = {r["doc_id"]: r for r in decode_png_pixels(synth_png_image(df)).collect()}
+    for i, r in rows.items():
+        w, h = 4 + i % 13, 4 + (i * 7) % 11
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["is_png"]
+        exp = sum(
+            (i * 31 + rr * 7 + cc * 3) % 256
+            for rr in range(h) for cc in range(w)
+        )
+        assert r["sum_r"] == exp
