@@ -44,6 +44,18 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "scd2_customer_priority",
     "ann_topk_int8",
+    # round-4 additions: the LLM-pipeline tail (VERDICT r3 #3) + the
+    # emission-bounded near-dup production path. Totals are NOT comparable
+    # with BENCH_r03 and earlier without subtracting these 8 queries — see
+    # the baseline note in BASELINE.md.
+    "dedup_span_scrub",
+    "dsir_importance_weights",
+    "semdedup_embedding_prune",
+    "dedup_jaccard_exact_pairs",
+    "tokenizer_bpe_pair_counts",
+    "quality_gopher_rules",
+    "embedding_neardup_topk",
+    "multimodal_png_pixels",
 ]
 
 

@@ -235,6 +235,106 @@ def cosine_neardup_blocked(
     return pairs.mapInPandas(batches, schema="id_a bigint, id_b bigint, sim double")
 
 
+def cosine_neardup_topk(
+    embeddings: DataFrame,
+    threshold: float,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int | None = None,
+    target_rows_per_block: int = 4096,
+) -> DataFrame:
+    """Emission-bounded near-duplicate search: each doc's top-``k`` most
+    similar neighbors with cosine >= threshold, as
+    ``(doc_id, neighbor_id, sim_micro, rank)``.
+
+    The production variant of ``cosine_neardup_blocked``: that operator
+    emits EVERY qualifying pair, which is output-quadratic per duplicate
+    cluster (at sf1 a 0.4-threshold corpus already produced 262k pairs;
+    at 100 TB a hot cluster alone would emit billions). Here output is
+    <= n*k rows regardless of cluster shape — for dedup-style "find my
+    nearest near-duplicates" consumers, per-doc top-k is the semantics
+    they actually want. Use all-pairs emission only when the downstream
+    genuinely consumes the full pair graph (e.g. connected-components
+    clustering at moderate duplicate rates).
+
+    Mechanics: same hash-blocked block-nested-loop BLAS (each block pair
+    is one task's float64 matmul — exact, not approximate), but each task
+    emits only its LOCAL top-k per doc (every (doc, neighbor) pair lives
+    in exactly one task, so the union of local top-k's contains the global
+    top-k); one groupBy(doc) rank merges partials. Shuffle volume is
+    O(n * k * num_blocks) candidate rows instead of the full pair set.
+    For sub-quadratic COMPUTE at extreme n, feed LSH/IVF candidates
+    instead of all block pairs; the local-topk + merge shape is unchanged.
+
+    Determinism / oracle exactness: ranking compares floor(sim * 1e6)
+    micro-units with neighbor_id as tiebreak, so engine-vs-oracle rank
+    agreement does not depend on sub-micro float noise (knife-edge
+    discipline; only a sim within an ulp of a micro boundary could flip,
+    which the fixture sweep checks).
+    """
+    import numpy as np
+
+    if num_blocks is None:
+        n = embeddings.count()
+        num_blocks = max(2, min(1024, math.ceil(n / target_rows_per_block)))
+    thr_micro = int(math.floor(threshold * 1e6))
+
+    blocked = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)).alias("block"),
+    )
+    grouped = blocked.groupBy("block").agg(
+        F.collect_list(F.struct("id", "vec")).alias("rows")
+    )
+    a = grouped.select(F.col("block").alias("ba"), F.col("rows").alias("rows_a"))
+    b = grouped.select(F.col("block").alias("bb"), F.col("rows").alias("rows_b"))
+    pairs = a.join(b, F.col("ba") <= F.col("bb"))
+
+    def _local_topk(ids_l, ids_r, sm, out):
+        # per left row: candidates >= threshold, excluding self, ordered
+        # by (sim_micro desc, neighbor_id asc), first k
+        for i in range(sm.shape[0]):
+            row = sm[i]
+            cand = np.nonzero((row >= thr_micro) & (ids_r != ids_l[i]))[0]
+            if len(cand) == 0:
+                continue
+            order = cand[np.lexsort((ids_r[cand], -row[cand]))][:k]
+            for j in order:
+                out.append((int(ids_l[i]), int(ids_r[j]), int(row[j])))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[tuple[int, int, int]] = []
+            for _, row in pdf.iterrows():
+                ra, rb = row["rows_a"], row["rows_b"]
+                ia = np.array([r["id"] for r in ra], dtype=np.int64)
+                ib = np.array([r["id"] for r in rb], dtype=np.int64)
+                A = np.array([list(r["vec"]) for r in ra], dtype=np.float64)
+                B = np.array([list(r["vec"]) for r in rb], dtype=np.float64)
+                An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+                Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
+                sm = np.floor((An @ Bn.T) * 1e6).astype(np.int64)
+                _local_topk(ia, ib, sm, out)
+                if row["ba"] != row["bb"]:
+                    _local_topk(ib, ia, sm.T, out)
+            yield pd.DataFrame(
+                out, columns=["doc_id", "neighbor_id", "sim_micro"]
+            )
+
+    cand = pairs.mapInPandas(
+        batches, schema="doc_id bigint, neighbor_id bigint, sim_micro bigint"
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("sim_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def quantize_int8(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -27,7 +27,7 @@ from collections import Counter
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.vectors import cosine_similarity
@@ -2111,6 +2111,39 @@ def ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return S.cosine_neardup_blocked(e, threshold=0.4)
+
+
+@register(
+    "embedding_neardup_topk",
+    """
+    WITH sims AS (
+      SELECT a.vec_id AS doc_id, b.vec_id AS neighbor_id,
+             CAST(floor(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])) * 1e6) AS BIGINT) AS sim_micro
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT doc_id, neighbor_id, sim_micro,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY sim_micro DESC, neighbor_id) AS INT) AS rank
+      FROM sims WHERE sim_micro >= 400000
+    )
+    SELECT doc_id, neighbor_id, sim_micro, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="EMISSION-BOUNDED near-duplicate search — the production path at "
+    "100 TB (VERDICT r3 #4): per-doc top-3 neighbors with cosine >= 0.4, "
+    "output <= n*k rows no matter how hot a duplicate cluster is (the "
+    "all-pairs sibling embedding_neardup_blocked is output-quadratic per "
+    "cluster: 262k pairs at sf1 already). Same exact blocked BLAS "
+    "candidate stage, but each block-pair task emits only its local "
+    "top-k per doc, merged by one rank window; ranking compares "
+    "floor(sim*1e6) micro-units with neighbor-id tiebreak so engine and "
+    "oracle rank identically. operators/similarity.py::cosine_neardup_topk.",
+)
+def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_topk(e, threshold=0.4, k=3)
 
 
 @register(
@@ -9340,6 +9373,207 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return random_projection(e, in_dim=64, out_dim=16)
+
+
+# ---------------------------------------------------------------------------
+# Scale probes: deterministic SAMPLED verification for queries whose full
+# oracle is deliberately quadratic (all-pairs similarity verification).
+# At sf1 (50k docs / 20k embeddings) those oracles cannot finish, and round
+# 3's gate watchdog-SKIPped them — executing the engine without value-checking
+# it. Each probe here value-checks the ENGINE'S FULL-SCALE OUTPUT on a
+# deterministic md5-anchored slice: the oracle computes the complete correct
+# answer for every pair touching an anchor doc (linear in n, not quadratic),
+# and the engine's output is filtered to the same slice. Anchoring is sound
+# for pairwise/per-doc semantics (a pair's membership depends only on its two
+# endpoints; a doc's top-k depends only on that doc vs all). The one
+# transitive-closure query (dedup_survivors_quality) is NOT anchor-sliceable,
+# so its probe runs BOTH engines on the same md5-subset corpus — weaker
+# (engine-on-subset), stated in its note.
+# ---------------------------------------------------------------------------
+
+def _anchor_vec(col: str) -> Column:
+    # 1/16 of vec ids; matches "substr(md5(CAST(vec_id AS VARCHAR)),1,1)='0'"
+    return F.substring(F.md5(F.col(col).cast("string")), 1, 1) == "0"
+
+
+def _anchor_doc(col: str) -> Column:
+    # 1/256 of doc ids (docs are 2.5x more numerous and shingle compares
+    # are costlier than dot products, so the doc anchor is one hex nibble
+    # tighter)
+    return F.substring(F.md5(F.col(col).cast("string")), 1, 2) == "00"
+
+
+_SQL_ANCHOR_VEC = "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'"
+_SQL_ANCHOR_DOC = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) = '00'"
+
+_SHINGLE_OVERLAP_CTE = f"""
+    w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+            AS ws FROM documents),
+    t AS (SELECT doc_id,
+                 list_distinct([array_to_string(ws[i:i+2], ' ')
+                   for i in generate_series(1, greatest(len(ws)-2, 0))]) AS tk
+          FROM w WHERE len(ws) >= 3),
+    anc AS (SELECT doc_id FROM t WHERE {_SQL_ANCHOR_DOC}),
+    ex AS (SELECT doc_id, unnest(tk) AS s FROM t),
+    ov AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS cnt
+           FROM (SELECT e.* FROM ex e JOIN anc USING (doc_id)) a
+           JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2),
+    lens AS (SELECT doc_id, len(tk) AS L FROM t)
+"""
+
+
+def _probe_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = REGISTRY["embedding_neardup_pairs"].fn(spark, sf_dir)
+    return out.filter(_anchor_vec("id_a") | _anchor_vec("id_b"))
+
+
+def _probe_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = REGISTRY["embedding_neardup_blocked"].fn(spark, sf_dir)
+    return out.filter(_anchor_vec("id_a") | _anchor_vec("id_b"))
+
+
+def _probe_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = REGISTRY["embedding_neardup_topk"].fn(spark, sf_dir)
+    return out.filter(_anchor_vec("doc_id"))
+
+
+def _probe_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = REGISTRY["dedup_containment_pairs"].fn(spark, sf_dir)
+    return out.filter(_anchor_doc("id_a") | _anchor_doc("id_b"))
+
+
+def _probe_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = REGISTRY["dedup_jaccard_exact_pairs"].fn(spark, sf_dir)
+    return out.filter(_anchor_doc("id_a") | _anchor_doc("id_b"))
+
+
+def _probe_survivors_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_survivors_by_quality
+
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin("0", "1")
+    )
+    pairs = S.cosine_neardup_blocked(e, threshold=0.4).select("id_a", "id_b")
+    scored = e.select(
+        "vec_id",
+        F.pmod(F.col("vec_id") * 2654435761, F.lit(1000003)).alias("q"),
+    )
+    return dedup_survivors_by_quality(scored, pairs, "q", id_col="vec_id")
+
+
+SCALE_PROBES: dict[str, Q] = {
+    "embedding_neardup_pairs": Q(
+        fn=_probe_neardup_pairs,
+        oracle=f"""
+        WITH anc AS (SELECT * FROM embeddings WHERE {_SQL_ANCHOR_VEC})
+        SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+               greatest(a.vec_id, b.vec_id) AS id_b
+        FROM anc a JOIN embeddings b ON a.vec_id <> b.vec_id
+        AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        doc="anchored slice of the full-scale engine output (1/16 of ids)",
+    ),
+    "embedding_neardup_blocked": Q(
+        fn=_probe_neardup_blocked,
+        oracle=f"""
+        WITH anc AS (SELECT * FROM embeddings WHERE {_SQL_ANCHOR_VEC})
+        SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+               greatest(a.vec_id, b.vec_id) AS id_b,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS sim
+        FROM embeddings b JOIN anc a ON a.vec_id <> b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        doc="anchored slice of the full-scale engine output (1/16 of ids)",
+    ),
+    "embedding_neardup_topk": Q(
+        fn=_probe_neardup_topk,
+        oracle=f"""
+        WITH anc AS (SELECT * FROM embeddings WHERE {_SQL_ANCHOR_VEC}),
+        sims AS (
+          SELECT a.vec_id AS doc_id, b.vec_id AS neighbor_id,
+                 CAST(floor(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])) * 1e6) AS BIGINT)
+                   AS sim_micro
+          FROM anc a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ), ranked AS (
+          SELECT doc_id, neighbor_id, sim_micro,
+                 CAST(row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY sim_micro DESC, neighbor_id) AS INT) AS rank
+          FROM sims WHERE sim_micro >= 400000
+        )
+        SELECT doc_id, neighbor_id, sim_micro, rank
+        FROM ranked WHERE rank <= 3
+        """,
+        doc="per-doc top-k for every anchored doc (sound: a doc's top-k "
+        "depends only on that doc vs the whole corpus)",
+    ),
+    "dedup_containment_pairs": Q(
+        fn=_probe_containment,
+        oracle=f"""
+        WITH {_SHINGLE_OVERLAP_CTE},
+        both_dirs AS (
+          SELECT ida AS id_a, idb AS id_b, cnt * 1.0 / la.L AS containment
+          FROM ov JOIN lens la ON la.doc_id = ida
+          UNION ALL
+          SELECT idb, ida, cnt * 1.0 / lb.L
+          FROM ov JOIN lens lb ON lb.doc_id = idb)
+        SELECT DISTINCT id_a, id_b, containment
+        FROM both_dirs WHERE containment >= 0.7
+        """,
+        doc="anchored slice via exact explode-join overlap counts (lists "
+        "are distinct, so the group-by count IS the intersect size)",
+    ),
+    "dedup_jaccard_exact_pairs": Q(
+        fn=_probe_jaccard,
+        oracle=f"""
+        WITH {_SHINGLE_OVERLAP_CTE}
+        SELECT DISTINCT least(ida, idb) AS id_a, greatest(ida, idb) AS id_b,
+               cnt * 1.0 / (la.L + lb.L - cnt) AS jaccard
+        FROM ov JOIN lens la ON la.doc_id = ida
+                JOIN lens lb ON lb.doc_id = idb
+        WHERE cnt * 1.0 / (la.L + lb.L - cnt) >= 0.8
+        """,
+        doc="anchored slice via exact explode-join overlap counts",
+    ),
+    "dedup_survivors_quality": Q(
+        fn=_probe_survivors_subset,
+        oracle="""
+        WITH RECURSIVE emb AS (
+          SELECT * FROM embeddings
+          WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0', '1')),
+        e0 AS (
+          SELECT a.vec_id AS s, b.vec_id AS d
+          FROM emb a, emb b
+          WHERE a.vec_id < b.vec_id
+            AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) >= 0.4),
+        edges AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+        reach(id, comp) AS (
+          SELECT vec_id, vec_id FROM emb
+          UNION
+          SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id),
+        comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+        scored AS (
+          SELECT c.id AS vec_id, c.component,
+                 (c.id * 2654435761) % 1000003 AS q
+          FROM comp c)
+        SELECT vec_id, q FROM (
+          SELECT vec_id, q, row_number() OVER (
+                   PARTITION BY component ORDER BY q DESC, vec_id) AS rk
+          FROM scored)
+        WHERE rk = 1
+        """,
+        doc="SUBSET run (1/8 corpus), both engines: transitive closure is "
+        "not anchor-sliceable, so this is engine-on-subset — weaker than "
+        "the other probes but still a decade above the driver scale",
+    ),
+}
 
 
 # The driver's correctness gate walks queries() IN ORDER under a budget

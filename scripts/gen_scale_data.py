@@ -136,6 +136,83 @@ def gen_events(out_dir: str, rng: np.random.Generator) -> int:
     return combined.num_rows
 
 
+def gen_tpch(out_dir: str) -> dict[str, int]:
+    """10x the TPC-H-shaped relational tables by KEY-OFFSET BLOCK COPY:
+    block j (j = 0..9) is the original table with every key column shifted
+    by j * (max_key + 1), names regenerated from the new key. This is how
+    dbgen itself scales — entity count grows linearly while every
+    distributional property that drives plan shape is EXACTLY preserved:
+    per-key join fan-out (orders per customer, lineitems per order/part/
+    supplier), value and date histograms (each day/flag/price bucket gets
+    exactly 10x the rows), and referential consistency (an order and its
+    lineitems shift together, so o_orderdate/l_shipdate relationships
+    hold). region/nation stay fixed-size (25/5 rows), as in real TPC-H,
+    so customers-per-nation grows 10x. Deterministic: no RNG at all."""
+    counts: dict[str, int] = {}
+    for t in ("region", "nation"):
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        pq.write_table(tbl, f"{out_dir}/{t}.parquet")
+        counts[t] = tbl.num_rows
+
+    spans: dict[str, int] = {}
+
+    def blocks(name: str, key_shifts: dict[str, str],
+               names_fmt: dict[str, str] | None = None) -> int:
+        tbl = pq.read_table(f"{SRC}/{name}.parquet")
+        out = []
+        for j in range(10):
+            cols = {}
+            for field in tbl.schema.names:
+                col = tbl[field]
+                if field in key_shifts:
+                    span_of = key_shifts[field]
+                    if span_of not in spans:
+                        spans[span_of] = int(
+                            pa.compute.max(tbl[field]).as_py()
+                        ) + 1
+                    shifted = pa.compute.add(
+                        col, j * spans[span_of]
+                    ).cast(tbl.schema.field(field).type)
+                    cols[field] = shifted
+                elif names_fmt and field in names_fmt:
+                    keyfield = names_fmt[field]
+                    keys = pa.compute.add(
+                        tbl[keyfield], j * spans[key_shifts[keyfield]]
+                    ).to_numpy()
+                    prefix = field.split("_")[0]
+                    label = {"c": "Customer", "s": "Supplier"}[prefix]
+                    cols[field] = pa.array(
+                        [f"{label}#{k:09d}" for k in keys], pa.string()
+                    )
+                else:
+                    cols[field] = col
+            out.append(
+                pa.table(cols, schema=tbl.schema)
+                if j else tbl
+            )
+        combined = pa.concat_tables(out)
+        pq.write_table(
+            combined, f"{out_dir}/{name}.parquet", row_group_size=65536
+        )
+        return combined.num_rows
+
+    counts["customer"] = blocks(
+        "customer", {"c_custkey": "c"}, {"c_name": "c_custkey"}
+    )
+    counts["supplier"] = blocks(
+        "supplier", {"s_suppkey": "s"}, {"s_name": "s_suppkey"}
+    )
+    counts["part"] = blocks("part", {"p_partkey": "p"})
+    counts["orders"] = blocks(
+        "orders", {"o_orderkey": "o", "o_custkey": "c"}
+    )
+    counts["lineitem"] = blocks(
+        "lineitem",
+        {"l_orderkey": "o", "l_partkey": "p", "l_suppkey": "s"},
+    )
+    return counts
+
+
 def main() -> int:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
     os.makedirs(out_dir, exist_ok=True)
@@ -143,7 +220,11 @@ def main() -> int:
     nd = gen_documents(out_dir, rng)
     ne = gen_embeddings(out_dir, rng)
     nv = gen_events(out_dir, rng)
-    print(f"wrote {out_dir}: documents={nd} embeddings={ne} events={nv}")
+    nt = gen_tpch(out_dir)
+    print(
+        f"wrote {out_dir}: documents={nd} embeddings={ne} events={nv} "
+        + " ".join(f"{k}={v}" for k, v in nt.items())
+    )
     return 0
 
 

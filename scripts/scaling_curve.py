@@ -25,6 +25,7 @@ QUERIES = [
     "dedup_minhash_lsh",
     "ann_topk_blocked",
     "embedding_neardup_blocked",
+    "embedding_neardup_topk",
     "dedup_containment_pairs",
     "dedup_jaccard_exact_pairs",
     "semdedup_embedding_prune",
@@ -37,6 +38,14 @@ QUERIES = [
     "asof_join_purchase_view",
     "streaming_window_counts",
     "trending_topk_sliding",
+    # relational decade (gen_scale_data.gen_tpch): the TPC-H/window/join/
+    # SCD2 core had never run above sf0.1 before round 4
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q18_large_orders",
+    "window_running_sum",
+    "join_customer_orders",
+    "scd2_customer_priority",
 ]
 
 SCALES = [

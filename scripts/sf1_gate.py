@@ -1,14 +1,17 @@
 """Correctness one decade up: run every oracle query that only touches the
-synthesized sf1 tables (documents / embeddings / events) against DuckDB at
-/root/repo/.scale/sf1.
+synthesized sf1 tables against DuckDB at /root/repo/.scale/sf1.
 
 The sf0.01 driver gate proves semantics; the sf0.1 sweep already caught one
 scale-revealed knife edge (CUSUM ordered float sums). This pushes the same
-hash-compare one more decade: 50k docs / 20k embeddings / 1M events.
-Oracles that are deliberately quadratic (full all-pairs verification of a
-pruned engine plan) are guarded by a watchdog that interrupts DuckDB after
-``--timeout`` seconds and records SKIP(oracle-timeout) — the ENGINE side of
-those queries is still executed and counted.
+hash-compare one more decade: 50k docs / 20k embeddings / 1M events (plus
+the sf1 TPC-H decade once scripts/gen_scale_data.py has produced it — the
+gate auto-detects which tables exist in the target dir).
+
+Queries whose full oracle is deliberately quadratic (all-pairs similarity
+verification) run their SCALE PROBE instead (queries.SCALE_PROBES): the
+engine's full-scale output is value-checked on a deterministic md5-anchored
+slice whose oracle is linear in n — zero SKIPs by design. The watchdog
+remains as a backstop for anything unexpectedly slow.
 
 Usage: python scripts/sf1_gate.py [sf_dir] [--timeout N]
 """
@@ -24,18 +27,28 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-from mongo_iceberg_lakehouse_spark.queries import REGISTRY  # noqa: E402
+from mongo_iceberg_lakehouse_spark.queries import (  # noqa: E402
+    REGISTRY,
+    SCALE_PROBES,
+)
 from mongo_iceberg_lakehouse_spark.session import get_spark  # noqa: E402
 from tests.compare import compare_spark_duckdb  # noqa: E402
 
-SF1_TABLES = ("documents", "embeddings", "events")
 ALL_TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
 ).split()
 
 
-def sf1_eligible(name: str) -> bool:
+def gate_tables(sf_dir: str) -> list[str]:
+    import os
+
+    return [
+        t for t in ALL_TABLES if os.path.exists(f"{sf_dir}/{t}.parquet")
+    ]
+
+
+def sf1_eligible(name: str, present: list[str]) -> bool:
     import inspect
 
     q = REGISTRY[name]
@@ -43,7 +56,7 @@ def sf1_eligible(name: str) -> bool:
         return False
     text = q.oracle + inspect.getsource(q.fn)
     for t in ALL_TABLES:
-        if t in SF1_TABLES:
+        if t in present:
             continue
         if re.search(rf"\b{t}\b", text):
             return False
@@ -52,22 +65,26 @@ def sf1_eligible(name: str) -> bool:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
-    timeout = 120
+    timeout = 300
     if "--timeout" in sys.argv:
         timeout = int(sys.argv[sys.argv.index("--timeout") + 1])
-    names = sorted(n for n in REGISTRY if sf1_eligible(n))
-    print(f"# {len(names)} sf1-eligible oracle queries", flush=True)
+    present = gate_tables(sf_dir)
+    names = sorted(n for n in REGISTRY if sf1_eligible(n, present))
+    print(
+        f"# {len(names)} sf1-eligible oracle queries over {present}",
+        flush=True,
+    )
     spark = get_spark(app_name="sf1-gate")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    for t in SF1_TABLES:
+    for t in present:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     fails = skips = 0
     for name in names:
-        q = REGISTRY[name]
+        q = SCALE_PROBES.get(name, REGISTRY[name])
         df = q.fn(spark, sf_dir)
         timed_out = [False]
 
@@ -91,6 +108,8 @@ def main() -> int:
         finally:
             timer.cancel()
         status = "OK" if ok else "FAIL"
+        if name in SCALE_PROBES:
+            status += "(probe)"
         if not ok:
             fails += 1
         print(f"{status} {name}: {msg} [{time.time()-t0:.1f}s]", flush=True)
