@@ -89,6 +89,13 @@ def cosine_neardup_pairs(
         F.col(vec_col).alias("__v"),
         l2_norm(vec_col).alias("__n"),
     )
+    # The theta join plans as BroadcastNestedLoopJoin: its task count is the
+    # STREAM side's partition count, and a small parquet corpus arrives as
+    # 1-2 input splits — leaving 30 of 32 cores idle on an O(n^2) compute.
+    # Spread the stream side across the session's parallelism first.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if normed.rdd.getNumPartitions() < par:
+        normed = normed.repartition(par)
     a = normed.select(
         F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
         F.col("__n").alias("__na"),

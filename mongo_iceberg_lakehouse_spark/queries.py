@@ -9614,7 +9614,7 @@ PRIORITY: list[str] = [
     "tpch_q6_forecast_revenue",
     # dedup: exact, sub-document scrub, exact similarity join, embedding
     "dedup_exact_hash", "dedup_containment_pairs", "dedup_span_scrub",
-    "dedup_jaccard_exact_pairs", "embedding_neardup_blocked",
+    "dedup_jaccard_exact_pairs", "embedding_neardup_topk",
     # similarity / retrieval / dim reduction / semantic dedup
     "ann_topk_blocked", "ann_maxsim_multivector",
     "embedding_random_projection", "semdedup_embedding_prune",
@@ -9622,7 +9622,7 @@ PRIORITY: list[str] = [
     "text_quality_scores", "text_bm25_topk", "quality_gopher_rules",
     "dsir_importance_weights", "tokenizer_bpe_pair_counts",
     # multimodal
-    "multimodal_png_decode", "multimodal_wav_decode",
+    "multimodal_png_pixels", "multimodal_wav_samples",
     # streaming
     "streaming_window_counts", "streaming_scd2_orders",
     # lakehouse mutation

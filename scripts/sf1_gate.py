@@ -63,18 +63,21 @@ def sf1_eligible(name: str, present: list[str]) -> bool:
     return True
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
-    timeout = 300
-    if "--timeout" in sys.argv:
-        timeout = int(sys.argv[sys.argv.index("--timeout") + 1])
+def run_gate(
+    sf_dir: str, timeout: int = 300, spark=None
+) -> tuple[int, int, int]:
+    """Run the gate; returns (fails, skips, total). Importable so the
+    pytest -m scale wrapper (tests/test_scale_gates.py) shares this exact
+    code path with the CLI."""
     present = gate_tables(sf_dir)
     names = sorted(n for n in REGISTRY if sf1_eligible(n, present))
     print(
         f"# {len(names)} sf1-eligible oracle queries over {present}",
         flush=True,
     )
-    spark = get_spark(app_name="sf1-gate")
+    own_spark = spark is None
+    if own_spark:
+        spark = get_spark(app_name="sf1-gate")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in present:
@@ -118,7 +121,17 @@ def main() -> int:
         f"sf1-eligible queries at {sf_dir}",
         flush=True,
     )
-    spark.stop()
+    if own_spark:
+        spark.stop()
+    return fails, skips, len(names)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
+    timeout = 300
+    if "--timeout" in sys.argv:
+        timeout = int(sys.argv[sys.argv.index("--timeout") + 1])
+    fails, _skips, _total = run_gate(sf_dir, timeout)
     return 1 if fails else 0
 
 
