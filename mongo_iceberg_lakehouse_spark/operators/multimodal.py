@@ -448,6 +448,52 @@ def decode_png_pixels(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=PNG_PIXEL_SCHEMA)
 
 
+def resize_nearest(px: np.ndarray, factor: int) -> np.ndarray:
+    """Nearest-neighbor downsample by an integer factor: output pixel
+    (r, c) = input pixel (r*factor, c*factor). Deterministic and exactly
+    reconstructable by an SQL oracle when the input pixels are a known
+    function of position."""
+    return px[::factor, ::factor, :]
+
+
+def resize_png_pixels(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Full image TRANSFORM round trip: decode PNG -> nearest-neighbor
+    resize -> RE-ENCODE as PNG (fresh zlib IDAT + filters) -> decode the
+    re-encoded bytes -> exact integer pixel stats of the result. Exercises
+    the complete decode/transform/encode path a thumbnailing pipeline
+    runs; schema matches decode_png_pixels so the same oracle idiom
+    applies to the subsampled grid."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    _w, _h, _ch, px = png_decode(bytes(payload))
+                    small = resize_nearest(px, factor)
+                    # re-encode + re-decode: a defect in either codec
+                    # direction corrupts the stats
+                    w2, h2, ch2, out = png_decode(png_encode(small))
+                    p = out.astype(np.int64)
+                    sums = [
+                        int(p[:, :, min(k, ch2 - 1)].sum()) for k in range(3)
+                    ]
+                    rows.append((int(doc_id), w2, h2, w2 * h2, *sums, True))
+                except ValueError:
+                    rows.append(
+                        (int(doc_id), None, None, None, None, None, None, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b", "is_png",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=PNG_PIXEL_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Full WAV PCM codec: synth + sample-level decode
 # ---------------------------------------------------------------------------
@@ -544,6 +590,42 @@ def decode_wav_samples(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=WAV_SAMPLE_SCHEMA)
+
+
+WAV_FEATURE_SCHEMA = (
+    "doc_id bigint, win_no int, n_in_win int, "
+    "sum_win bigint, sumsq_win bigint"
+)
+
+
+def wav_window_features(df: DataFrame, win: int = 16) -> DataFrame:
+    """Audio FEATURE EXTRACTION: decode PCM, then per fixed-size frame
+    window emit exact BIGINT energy statistics (sum and sum-of-squares of
+    all samples across channels — the integer core of an RMS/energy
+    contour, left unnormalized so the oracle comparison is exact). One
+    output row per (doc, window): the fan-out shape of any spectral
+    feature pipeline, with the payload dropped at decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, _nch, _bits, s = wav_decode(bytes(payload))
+                s64 = s.astype(np.int64)
+                for w0 in range(0, s.shape[0], win):
+                    blk = s64[w0:w0 + win]
+                    rows.append((
+                        int(doc_id), w0 // win, blk.shape[0],
+                        int(blk.sum()), int((blk * blk).sum()),
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "win_no", "n_in_win", "sum_win", "sumsq_win",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=WAV_FEATURE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:

@@ -2147,6 +2147,25 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_neardup_topk_ivf",
+    None,
+    doc="SUB-QUADRATIC emission-bounded near-dup (the 100 TB production "
+    "path): per-doc approximate top-3 neighbors through an IVF coarse "
+    "quantizer — each doc homes in 1 list and probes its 4 nearest, so "
+    "compute is ~n*n_probe*(n/n_centroids) dot products instead of n^2 "
+    "and output stays <= n*k. Approximate by construction, so rows-only "
+    "here; recall vs the exact variant is pinned by "
+    "tests/test_ann_quality.py. "
+    "operators/similarity.py::cosine_neardup_topk_ivf.",
+)
+def embedding_neardup_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return S.cosine_neardup_topk_ivf(
+        e, threshold=0.4, k=3, n_centroids=32, n_probe=4
+    )
+
+
+@register(
     "embedding_neardup_pairs",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -7635,6 +7654,85 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return decode_png_pixels(synth_png_image(d))
+
+
+@register(
+    "multimodal_wav_features",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 2 AS INT) AS channels,
+             CAST(32 + doc_id % 97 AS BIGINT) AS n_frames
+      FROM documents
+    ), cells AS (
+      SELECT doc_id, CAST(i // 16 AS INT) AS win_no,
+             (doc_id * 13 + i * 7 + ch * 5) % 65536 - 32768 AS s
+      FROM d,
+           unnest(generate_series(0, n_frames - 1)) AS ti(i),
+           unnest(generate_series(0, channels - 1)) AS tc(ch)
+    )
+    SELECT doc_id, win_no,
+           CAST(count(*) / (SELECT channels FROM d dd
+                            WHERE dd.doc_id = cells.doc_id) AS INT)
+             AS n_in_win,
+           CAST(sum(s) AS BIGINT) AS sum_win,
+           CAST(sum(s * s) AS BIGINT) AS sumsq_win
+    FROM cells GROUP BY doc_id, win_no
+    """,
+    doc="Audio feature extraction: PCM decode + per-16-frame-window exact "
+    "BIGINT energy stats (sum, sum-of-squares across channels) — the "
+    "integer core of an RMS/energy contour, one row per (doc, window). "
+    "The oracle regenerates every sample arithmetically. "
+    "operators/multimodal.py::wav_window_features.",
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import synth_wav_audio, wav_window_features
+
+    d = _t(spark, sf_dir, "documents")
+    return wav_window_features(synth_wav_audio(d), win=16)
+
+
+@register(
+    "multimodal_png_resize",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS w0,
+             CAST(4 + (doc_id * 7) % 11 AS INT) AS h0
+      FROM documents
+    ), dims AS (
+      SELECT doc_id, w0, h0,
+             CAST(ceil(w0 / 2.0) AS INT) AS width,
+             CAST(ceil(h0 / 2.0) AS INT) AS height
+      FROM d
+    ), cells AS (
+      SELECT doc_id, width, height, r * 2 AS r, c * 2 AS c
+      FROM dims,
+           unnest(generate_series(0, height - 1)) AS tr(r),
+           unnest(generate_series(0, width - 1)) AS tc(c)
+    )
+    SELECT doc_id, width, height,
+           CAST(width AS BIGINT) * height AS n_pixels,
+           CAST(sum((doc_id * 31 + r * 7 + c * 3) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 31 + r * 7 + c * 3 + 11) % 256) AS BIGINT)
+             AS sum_g,
+           CAST(sum((doc_id * 31 + r * 7 + c * 3 + 22) % 256) AS BIGINT)
+             AS sum_b,
+           TRUE AS is_png
+    FROM cells GROUP BY doc_id, width, height
+    """,
+    doc="Image TRANSFORM round trip (thumbnailing): decode the synthesized "
+    "PNG, nearest-neighbor downsample 2x, RE-ENCODE as a fresh PNG, decode "
+    "again, emit exact per-channel BIGINT pixel sums. The oracle "
+    "reconstructs the subsampled grid arithmetically (output pixel (r,c) = "
+    "source pixel (2r,2c)), so a defect in decode, resize, OR re-encode "
+    "mismatches. operators/multimodal.py::resize_png_pixels.",
+)
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import resize_png_pixels, synth_png_image
+
+    d = _t(spark, sf_dir, "documents")
+    return resize_png_pixels(synth_png_image(d), factor=2)
 
 
 @register(

@@ -110,3 +110,31 @@ def test_pq_rank_positions_exactly_ordered(spark, emb):
         by_q.setdefault(r.query_id, []).append(r.sim)
     for q_id, s in by_q.items():
         assert s == sorted(s, reverse=True), f"query {q_id} ranks not sim-ordered"
+
+
+def test_neardup_topk_ivf_recall_vs_exact(spark, emb):
+    """The sub-quadratic IVF near-dup's per-doc neighbor sets against the
+    exact blocked variant: every returned neighbor must be a true
+    >=threshold neighbor (precision 1.0 by construction — sims are exact
+    within probed lists), and aggregate recall of (doc, neighbor) pairs
+    must clear a sanity floor."""
+    from mongo_iceberg_lakehouse_spark.operators.similarity import (
+        cosine_neardup_topk,
+        cosine_neardup_topk_ivf,
+    )
+
+    exact = {
+        (r["doc_id"], r["neighbor_id"])
+        for r in cosine_neardup_topk(emb, threshold=0.4, k=3).collect()
+    }
+    approx_rows = cosine_neardup_topk_ivf(
+        emb, threshold=0.4, k=3, n_centroids=8, n_probe=3
+    ).collect()
+    approx = {(r["doc_id"], r["neighbor_id"]) for r in approx_rows}
+    # every emitted sim is exactly computed, so any (doc, neighbor) the
+    # IVF returns that exact top-k lacks must still be a real >=0.4
+    # neighbor (just below the doc's exact top-3); spot-check threshold
+    assert all(r["sim_micro"] >= 400000 for r in approx_rows)
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.5, f"IVF near-dup recall {recall} below floor"

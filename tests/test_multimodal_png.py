@@ -199,3 +199,45 @@ def test_png_pixels_spark_round_trip(spark):
             for rr in range(h) for cc in range(w)
         )
         assert r["sum_r"] == exp
+
+
+def test_resize_nearest_and_round_trip():
+    import numpy as np
+
+    from mongo_iceberg_lakehouse_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+        resize_nearest,
+    )
+
+    px = np.arange(7 * 9 * 3, dtype=np.uint8).reshape(7, 9, 3)
+    small = resize_nearest(px, 2)
+    assert small.shape == (4, 5, 3)
+    assert (small == px[::2, ::2, :]).all()
+    w, h, ch, out = png_decode(png_encode(small))
+    assert (out == small).all()
+
+
+def test_wav_window_features_spark(spark):
+    from mongo_iceberg_lakehouse_spark.operators.multimodal import (
+        synth_wav_audio,
+        wav_window_features,
+    )
+
+    df = spark.createDataFrame([(5,)], "doc_id long")
+    rows = sorted(
+        wav_window_features(synth_wav_audio(df), win=16).collect(),
+        key=lambda r: r["win_no"],
+    )
+    i = 5
+    n, nch = 32 + i % 97, 1 + i % 2  # 37 frames, 2 channels
+    assert [r["n_in_win"] for r in rows] == [16, 16, 5]
+    samples = [
+        (i * 13 + fr * 7 + ch * 5) % 65536 - 32768
+        for fr in range(n) for ch in range(nch)
+    ]
+    byfr = [samples[f * nch:(f + 1) * nch] for f in range(n)]
+    for r in rows:
+        blk = [s for f in byfr[r["win_no"] * 16:(r["win_no"] + 1) * 16] for s in f]
+        assert r["sum_win"] == sum(blk)
+        assert r["sumsq_win"] == sum(s * s for s in blk)
