@@ -9555,6 +9555,21 @@ def _probe_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(_anchor_doc("id_a") | _anchor_doc("id_b"))
 
 
+def _anchor_key(col: str) -> Column:
+    # 1/256 of integer keys (customer-scale tables)
+    return F.substring(F.md5(F.col(col).cast("string")), 1, 2) == "00"
+
+
+def _probe_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = REGISTRY["fuzzy_name_pairs_ed1"].fn(spark, sf_dir)
+    return out.filter(_anchor_key("a_id") | _anchor_key("b_id"))
+
+
+def _probe_spatial_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = REGISTRY["spatial_radius_pairs"].fn(spark, sf_dir)
+    return out.filter(_anchor_key("id_a") | _anchor_key("id_b"))
+
+
 def _probe_survivors_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import dedup_survivors_by_quality
 
@@ -9647,6 +9662,40 @@ SCALE_PROBES: dict[str, Q] = {
         WHERE cnt * 1.0 / (la.L + lb.L - cnt) >= 0.8
         """,
         doc="anchored slice via exact explode-join overlap counts",
+    ),
+    "fuzzy_name_pairs_ed1": Q(
+        fn=_probe_fuzzy_names,
+        oracle="""
+        WITH anc AS (SELECT * FROM customer
+                     WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2)
+                           = '00')
+        SELECT DISTINCT least(a.c_custkey, b.c_custkey) AS a_id,
+               greatest(a.c_custkey, b.c_custkey) AS b_id
+        FROM anc a JOIN customer b
+          ON a.c_custkey <> b.c_custkey
+         AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        doc="anchored slice (1/256 of custkeys) of the full-scale engine "
+        "output; oracle is anchors x all instead of the n^2 cross join",
+    ),
+    "spatial_radius_pairs": Q(
+        fn=_probe_spatial_radius,
+        oracle="""
+        WITH p AS (
+          SELECT c_custkey AS id, c_custkey % 1000 AS x,
+                 (c_custkey * 37) % 1000 AS y
+          FROM customer),
+        anc AS (SELECT * FROM p
+                WHERE substr(md5(CAST(id AS VARCHAR)), 1, 2) = '00')
+        SELECT DISTINCT least(a.id, b.id) AS id_a,
+               greatest(a.id, b.id) AS id_b,
+               (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                 AS dist2
+        FROM anc a JOIN p b ON a.id <> b.id
+        WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25
+        """,
+        doc="anchored slice of the full-scale engine output (dist2 is "
+        "symmetric integer arithmetic, identical from either direction)",
     ),
     "dedup_survivors_quality": Q(
         fn=_probe_survivors_subset,
