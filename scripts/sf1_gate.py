@@ -127,10 +127,13 @@ def run_gate(
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
     timeout = 300
-    if "--timeout" in sys.argv:
-        timeout = int(sys.argv[sys.argv.index("--timeout") + 1])
+    args = sys.argv[1:]
+    if "--timeout" in args:
+        i = args.index("--timeout")
+        timeout = int(args[i + 1])
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/repo/.scale/sf1"
     fails, _skips, _total = run_gate(sf_dir, timeout)
     return 1 if fails else 0
 

@@ -22,14 +22,36 @@ SF1_DIR = "/root/repo/.scale/sf1"
 
 
 @pytest.mark.scale
-def test_knife_edge_sweep_driver_scales():
-    from knife_edge_sweep import FLOAT_SIG, sweep
+def test_knife_edge_stress_sf001(spark):
+    """The two-layer flake detector one decade above the fast-suite guard
+    (tests/test_float_stability.py runs it at sf0.001): boundary-sitting
+    oracle floats are only a defect if ALSO order-dependent, so every
+    sweep candidate is stressed under three shuffle-partition settings
+    and compared at .17g against DuckDB."""
+    import duckdb
 
-    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
-        flagged = sweep(sf_dir)
-        assert not flagged, [
-            f"{n}.{c} = {v!r} ({format(v, FLOAT_SIG)})" for n, c, v in flagged
-        ]
+    from knife_edge_sweep import sweep
+
+    from scripts import float_stress
+
+    sf_dir = "/root/testdata/sf0.01"
+    flagged = sorted({n for n, _, _ in sweep(sf_dir) if not n.startswith("<")})
+    con = duckdb.connect()
+    from mongo_iceberg_lakehouse_spark.sources.tables import FIXTURE_TABLES
+
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    float_stress.SF_DIR = sf_dir
+    bad = []
+    for name in flagged:
+        verdict, msg = float_stress.stress(spark, con, name)
+        if verdict != "SAFE":
+            bad.append((name, verdict, msg))
+    con.close()
+    assert not bad, f"order-dependent boundary floats at sf0.01: {bad}"
 
 
 @pytest.mark.scale
