@@ -297,10 +297,16 @@ def png_encode(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
         elif f == 3:
             filt = line - (left + prev) // 2
         else:
-            pred = np.fromiter(
-                (_paeth(int(a), int(b), int(c))
-                 for a, b, c in zip(left, prev, upleft)),
-                dtype=np.int32, count=stride,
+            # Paeth, vectorized: the encoder only reads RAW bytes of the
+            # current/previous rows, so the whole predictor is elementwise
+            p = left + prev - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, upleft),
             )
             filt = line - pred
         out.append(f)
@@ -363,19 +369,22 @@ def png_decode(b: bytes) -> tuple[int, int, int, np.ndarray]:
             recon = line
         elif f == 2:
             recon = (line + prev) % 256
-        elif f in (1, 3, 4):
-            # left-dependent: sequential along the scanline by spec
+        elif f == 1:
+            # Sub depends only on the left pixel (stride bpp): each of the
+            # bpp interleaved byte chains is an independent running sum
+            recon = (
+                np.cumsum(line.reshape(-1, bpp), axis=0) % 256
+            ).reshape(stride)
+        elif f in (3, 4):
+            # Average/Paeth read the RECONSTRUCTED left byte — sequential
+            # along the scanline by spec (the filter chain is why per-image
+            # decode parallelism is rows-per-batch, not bytes)
             recon = np.zeros(stride, dtype=np.int32)
             for i in range(stride):
                 a = int(recon[i - bpp]) if i >= bpp else 0
                 bb = int(prev[i])
                 cc = int(prev[i - bpp]) if i >= bpp else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + bb) // 2
-                else:
-                    pred = _paeth(a, bb, cc)
+                pred = (a + bb) // 2 if f == 3 else _paeth(a, bb, cc)
                 recon[i] = (int(line[i]) + pred) % 256
         else:
             raise ValueError(f"bad filter type {f}")
