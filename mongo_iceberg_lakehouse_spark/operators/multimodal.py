@@ -38,6 +38,17 @@ FEATURE_SCHEMA = (
 )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a CPU-bound codec stage to the session parallelism: a
+    small parquet source arrives as 1-2 input splits, which would pin the
+    whole Python codec pipeline to 1-2 cores (PERF_NOTES §8 — conditional:
+    only when below parallelism)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def attach_payload(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     modality: str = "text",
@@ -420,7 +431,7 @@ def synth_png_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((i, png_encode(px)))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         batches, schema="doc_id bigint, payload binary"
     )
 
@@ -543,7 +554,7 @@ def synth_wav_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows.append((i, hdr + data))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return df.select(id_col).mapInPandas(
+    return _spread(df.select(id_col)).mapInPandas(
         batches, schema="doc_id bigint, payload binary"
     )
 
