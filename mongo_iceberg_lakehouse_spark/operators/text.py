@@ -418,3 +418,38 @@ def gopher_quality_rules(
         rep_ok.alias("rep_ok"),
         (wc_ok & mwl_ok & stop_ok & rep_ok).alias("passes_gopher"),
     )
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII detection + redaction (corpus-curation classic): count and
+    replace email addresses and phone numbers, emitting per-doc counts,
+    the redacted length, and an md5 of the redacted text so a downstream
+    oracle can verify the REPLACEMENT bytes, not just the counts.
+
+    Pure JVM narrow projection — regexp_count / regexp_replace inside
+    whole-stage codegen, zero shuffle, zero Python. The patterns stay in
+    the (character-class, \\d, {n}) regex subset where Java's engine and
+    RE2 (DuckDB) agree, so the oracle is exact. At 100 TB this is a
+    map-only pass: it scales with scan bandwidth and nothing else.
+    """
+    email, phone = F.lit(PII_EMAIL_RE), F.lit(PII_PHONE_RE)
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), email, F.lit("<EMAIL>")),
+        phone,
+        F.lit("<PHONE>"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), email).alias("n_emails"),
+        F.regexp_count(F.col(text_col), phone).alias("n_phones"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

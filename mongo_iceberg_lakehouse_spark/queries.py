@@ -7666,6 +7666,77 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pii_redaction",
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact u' || doc_id || '@example.org'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' or b' || doc_id || '@test.io' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' call 555-'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '\d{3}[-.]\d{3}[-.]\d{4}'))
+             AS INT) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'), '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g')) AS INT)
+             AS redacted_len,
+           md5(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'), '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g'))
+             AS redacted_md5
+    FROM planted
+    """,
+    doc="PII detection + redaction over documents with deterministically "
+    "PLANTED emails/phones (pure functions of doc_id, so the oracle "
+    "rebuilds the same corpus): per-doc counts, redacted length, and an "
+    "md5 of the redacted text — the replacement BYTES are verified, not "
+    "just the counts. Zero-shuffle JVM codegen projection (regexp_count/"
+    "regexp_replace); patterns stay in the Java-regex/RE2-agreeing "
+    "subset. operators/text.py::pii_scrub.",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" or b"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@test.io"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return T.pii_scrub(planted)
+
+
+@register(
     "multimodal_wav_features",
     """
     WITH d AS (

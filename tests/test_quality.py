@@ -75,3 +75,25 @@ def test_checks_compile_to_single_scan(spark):
     )
     plan = rep._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Range (0, 100") == 1
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from mongo_iceberg_lakehouse_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_1@ex-ample.co.uk or x@y.io and 555-123-4567"),
+            (2, "no pii here at all"),
+            (3, "dots 555.000.1111 work too"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"]) == (2, 1)
+    assert (rows[2]["n_emails"], rows[2]["n_phones"]) == (0, 0)
+    assert rows[3]["n_phones"] == 1
+    # replacement bytes verified via length: "no pii here at all" unchanged
+    assert rows[2]["redacted_len"] == len("no pii here at all")
+    assert rows[1]["redacted_len"] == len(
+        "mail <EMAIL> or <EMAIL> and <PHONE>"
+    )
