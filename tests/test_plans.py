@@ -164,3 +164,33 @@ def test_semdedup_assignment_has_no_window_sort(spark):
     )
     assert "Window" not in plan
     assert "max_by" in plan
+
+
+def test_neardup_topk_partial_topk_before_shuffle(spark):
+    # Spark 4 plans the row_number<=k filter as WindowGroupLimit both
+    # BEFORE and after the doc_id exchange: each task pre-prunes its
+    # candidates to k per doc, so the rank-merge shuffle carries at most
+    # k rows per (doc, task) — the local-topk + merge design realized by
+    # the optimizer itself.
+    plan = _plan(spark, "embedding_neardup_topk", mode="simple")
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_redaction_is_zero_shuffle(spark):
+    # PII scrub must stay a map-only codegen projection: no Exchange, no
+    # Python evaluation anywhere in the plan.
+    plan = _plan(spark, "text_pii_redaction", mode="simple")
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
+    # the '*' prefix marks whole-stage-codegen'd nodes in formatted plans
+    assert "* Project" in _plan(spark, "text_pii_redaction")
+
+
+def test_codec_stage_spread_across_cores(spark):
+    # The Python codec pipelines must not inherit the source file's 1-2
+    # input splits (PERF_NOTES §8): a round-robin repartition sits below
+    # the synth mapInPandas.
+    plan = _plan(spark, "multimodal_png_pixels", mode="simple")
+    assert "Exchange RoundRobinPartitioning" in plan
+    assert plan.count("MapInPandas") == 2  # synth + decode, nothing more
