@@ -453,3 +453,35 @@ def pii_scrub(
         F.length(redacted).alias("redacted_len"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+def plant_synthetic_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministically append synthetic PII (emails always, a second
+    email on even ids, a phone on ids % 3 == 0) — pure functions of the
+    id, so an SQL oracle rebuilds the identical corpus. Test fixture for
+    the scrub pass; stateless, so it composes with streaming frames."""
+    planted = F.concat(
+        F.col(text_col),
+        F.lit(" contact u"),
+        F.col(id_col).cast("string"),
+        F.lit("@example.org"),
+        F.when(
+            F.col(id_col) % 2 == 0,
+            F.concat(
+                F.lit(" or b"), F.col(id_col).cast("string"),
+                F.lit("@test.io"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col(id_col) % 3 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col(id_col) % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col(id_col) % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return df.withColumn(text_col, planted)

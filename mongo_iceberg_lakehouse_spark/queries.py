@@ -7707,33 +7707,7 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    planted = d.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact u"),
-            F.col("doc_id").cast("string"),
-            F.lit("@example.org"),
-            F.when(
-                F.col("doc_id") % 2 == 0,
-                F.concat(
-                    F.lit(" or b"),
-                    F.col("doc_id").cast("string"),
-                    F.lit("@test.io"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                F.col("doc_id") % 3 == 0,
-                F.concat(
-                    F.lit(" call 555-"),
-                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
-                    F.lit("-"),
-                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-                ),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    return T.pii_scrub(planted)
+    return T.pii_scrub(T.plant_synthetic_pii(d.select("doc_id", "text")))
 
 
 @register(
@@ -9199,6 +9173,57 @@ def dedup_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return T.gopher_quality_rules(d)
+
+
+@register(
+    "streaming_pii_funnel",
+    r"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact u' || doc_id || '@example.org'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' or b' || doc_id || '@test.io' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' call 555-'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS text
+      FROM documents
+    ), scrubbed AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS n_emails,
+             len(regexp_extract_all(text, '\d{3}[-.]\d{3}[-.]\d{4}'))
+               AS n_phones,
+             length(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+               'g'), '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g'))
+               AS redacted_len
+      FROM planted
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_emails > 0 OR n_phones > 0 THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+           CAST(sum(n_emails) AS BIGINT) AS total_emails,
+           CAST(sum(n_phones) AS BIGINT) AS total_phones,
+           CAST(sum(redacted_len) AS BIGINT) AS total_redacted_len
+    FROM scrubbed
+    """,
+    doc="Ingest-time PII funnel: the same zero-shuffle scrub projection "
+    "runs unchanged on a document STREAM (availableNow file source, "
+    "complete-mode 1-row state), rolling up docs-with-PII, total hits, "
+    "and redacted bytes at arrival — scrub-at-landing, never re-scan. "
+    "Batch-equivalent by construction, so the plain batch aggregate over "
+    "the planted corpus is a full oracle. "
+    "streaming/curation.py::run_stream_pii_funnel.",
+)
+def streaming_pii_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.curation import run_stream_pii_funnel
+
+    tune(spark)
+    return run_stream_pii_funnel(spark, sf_dir)
 
 
 @register(

@@ -77,3 +77,46 @@ def run_stream_quality_funnel(
         q.awaitTermination()
         q.stop()
     return spark.table(query_name)
+
+
+def pii_funnel(docs: DataFrame) -> DataFrame:
+    """One-row PII rollup from the redaction pass: how many landing docs
+    carried emails/phones, total hits scrubbed, and bytes delta. Stateless
+    projection + bounded global agg — identical on static or streaming
+    frames, the ingest-time shape of a scrub-at-arrival pipeline."""
+    from ..operators.text import pii_scrub, plant_synthetic_pii
+
+    scrubbed = pii_scrub(plant_synthetic_pii(docs.select("doc_id", "text")))
+    return scrubbed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when((F.col("n_emails") > 0) | (F.col("n_phones") > 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_docs_with_pii"),
+        F.sum("n_emails").cast("long").alias("total_emails"),
+        F.sum("n_phones").cast("long").alias("total_phones"),
+        F.sum("redacted_len").cast("long").alias("total_redacted_len"),
+    )
+
+
+def run_stream_pii_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_pii_funnel",
+) -> DataFrame:
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    docs = read_documents_stream(spark, sf_dir)
+    funnel = pii_funnel(docs)
+    with state_partitions(spark):
+        q = (
+            funnel.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    return spark.table(query_name)
