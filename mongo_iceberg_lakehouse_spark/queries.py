@@ -9870,8 +9870,8 @@ PRIORITY: list[str] = [
     # similarity / retrieval / dim reduction / semantic dedup
     "ann_topk_blocked", "ann_maxsim_multivector",
     "embedding_random_projection", "semdedup_embedding_prune",
-    # text quality + retrieval + curation classics
-    "text_quality_scores", "text_bm25_topk", "quality_gopher_rules",
+    # text quality + retrieval + curation classics (+ round-4 PII scrub)
+    "text_pii_redaction", "text_bm25_topk", "quality_gopher_rules",
     "dsir_importance_weights", "tokenizer_bpe_pair_counts",
     # multimodal
     "multimodal_png_pixels", "multimodal_wav_samples",
