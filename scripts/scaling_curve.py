@@ -26,6 +26,7 @@ QUERIES = [
     "ann_topk_blocked",
     "embedding_neardup_blocked",
     "embedding_neardup_topk",
+    "embedding_neardup_topk_ivf",
     "dedup_containment_pairs",
     "dedup_jaccard_exact_pairs",
     "semdedup_embedding_prune",
