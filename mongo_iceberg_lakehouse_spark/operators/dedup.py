@@ -1048,3 +1048,142 @@ def span_scrub(
             kept.alias("kept_text"),
         )
     )
+
+
+def jaccard_cross_best_match(
+    df: DataFrame,
+    eval_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-corpus decontamination join: for every CORPUS document whose
+    exact trigram-shingle Jaccard against some EVAL document (rows where
+    ``eval_pred`` holds) reaches ``threshold``, emit its single best eval
+    match — (doc_id, match_id, jaccard_micros), at most one row per
+    contaminated corpus doc.
+
+    The "did my training set leak the benchmark" pass (GPT-3 appendix C /
+    PaLM-style n-gram decontamination, upgraded from overlap counts to
+    similarity): ``decontaminate_ngram_overlap`` reports shared-gram
+    volume; this reports WHICH eval doc and HOW similar, emission-bounded
+    so output is O(|corpus|) regardless of duplication structure.
+
+    Same double-prefix + positional PPJoin machinery as ``jaccard_join``
+    (see its docstring for the bound derivations), asymmetric: shingle
+    document-frequencies and the rarest-first order are computed over the
+    UNION of both sides (a prefix order computed per side would break the
+    shared-prefix guarantee), prefixes are exploded per side, and the
+    candidate join is corpus-prefix x eval-prefix — no corpus-corpus or
+    eval-eval pairs ever form. At 100 TB: the eval side is tiny (a
+    benchmark suite), so the candidate equi-join on rare shingle hashes is
+    effectively a broadcast-sized probe against the corpus prefix stream;
+    per-pair verification touches only candidates; the final argmax is a
+    map-side-combinable max_by groupBy on the corpus id, not a window sort.
+
+    Jaccard is emitted in exact micro-units — floor(1e6 * inter / union)
+    with inter/union exact BIGINTs, quotient exactly representable and
+    >= 1000 micro-units from any boundary (denominator <= shingle count),
+    so the value and the argmax tiebreak (max jaccard, then min match_id)
+    are engine-portable bit-for-bit.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    hashed = df.filter(F.size(words) >= shingle_n).select(
+        F.col(id_col).alias("__id"),
+        eval_pred.alias("__ev"),
+        F.transform(words, lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    th = F.col("__th")
+    mk = lambda i: F.xxhash64(  # noqa: E731
+        *[F.get(th, i + j) for j in range(shingle_n)]
+    )
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(0), F.size(th) - shingle_n), mk)
+    )
+    base = hashed.select("__id", "__ev", grams.alias("__tk"))
+    toks = base.select(
+        "__id",
+        "__ev",
+        F.size("__tk").alias("__sz"),
+        F.explode_outer("__tk").alias("__tok"),
+    )
+    # document frequency over BOTH sides: the rarest-first prefix order must
+    # be one global order or the shared-prefix-shingle guarantee fails
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        toks.join(freq, "__tok")
+        .groupBy("__id")
+        .agg(
+            F.first("__ev").alias("__ev"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__df", "__tok"))),
+                lambda s: s["__tok"],
+            ).alias("__srt"),
+        )
+    )
+    prefix_len = (
+        F.size("__srt")
+        - F.ceil(F.lit(threshold) * F.size("__srt")).cast("int")
+        + 1
+    )
+
+    def side(ev: bool, idn: str, szn: str, pn: str) -> DataFrame:
+        return ordered.filter(F.col("__ev") == ev).select(
+            F.col("__id").alias(idn),
+            F.size("__srt").alias(szn),
+            F.posexplode_outer(F.slice(F.col("__srt"), 1, prefix_len)).alias(
+                pn, "__tok"
+            ),
+        )
+
+    sa, sb = F.col("__sza"), F.col("__szb")
+    o_need = F.ceil(
+        F.lit(threshold) * (sa + sb) / F.lit(1.0 + threshold)
+    ).cast("int")
+    ub = F.lit(1) + F.least(
+        sa - 1 - F.col("__pa"), sb - 1 - F.col("__pb")
+    )
+    cand = (
+        side(False, "doc_id_c", "__sza", "__pa")
+        .join(side(True, "match_id", "__szb", "__pb"), "__tok")
+        .filter(
+            (sb >= F.ceil(F.lit(threshold) * sa).cast("int"))
+            & (sa >= F.ceil(F.lit(threshold) * sb).cast("int"))
+            & (ub >= o_need)
+        )
+        .select("doc_id_c", "match_id")
+        .distinct()
+    )
+    a = base.filter(~F.col("__ev")).select(
+        F.col("__id").alias("doc_id_c"), F.col("__tk").alias("__tka")
+    )
+    b = base.filter(F.col("__ev")).select(
+        F.col("__id").alias("match_id"), F.col("__tk").alias("__tkb")
+    )
+    inter = F.size(F.array_intersect("__tka", "__tkb")).cast("long")
+    union = (
+        F.size("__tka").cast("long") + F.size("__tkb").cast("long") - inter
+    )
+    jac_micros = F.floor(F.lit(1000000) * inter / union).cast("long")
+    verified = (
+        cand.join(a, "doc_id_c")
+        .join(b, "match_id")
+        .select("doc_id_c", "match_id", jac_micros.alias("jaccard_micros"))
+        .filter(F.col("jaccard_micros") >= int(threshold * 1000000))
+    )
+    best = F.max(
+        F.struct(F.col("jaccard_micros"), (-F.col("match_id")).alias("__nm"))
+    ).alias("__best")
+    return (
+        verified.groupBy("doc_id_c")
+        .agg(best)
+        .select(
+            F.col("doc_id_c").alias("doc_id"),
+            (-F.col("__best.__nm")).alias("match_id"),
+            F.col("__best.jaccard_micros").alias("jaccard_micros"),
+        )
+    )

@@ -9578,6 +9578,172 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(e, in_dim=64, out_dim=16)
 
 
+@register(
+    "dedup_cross_corpus_jaccard",
+    """
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+    t AS (SELECT doc_id, doc_id % 5 = 0 AS ev,
+                 list_distinct([array_to_string(ws[i:i+2], ' ')
+                   for i in generate_series(1, greatest(len(ws)-2, 0))]) AS tk
+          FROM w WHERE len(ws) >= 3),
+    j AS (SELECT c.doc_id AS doc_id, e.doc_id AS match_id,
+                 CAST(floor(1000000 * len(list_intersect(c.tk, e.tk)) /
+                      (len(c.tk) + len(e.tk)
+                       - len(list_intersect(c.tk, e.tk)))) AS BIGINT)
+                   AS jaccard_micros
+          FROM t c, t e WHERE NOT c.ev AND e.ev)
+    SELECT doc_id, match_id, jaccard_micros
+    FROM j WHERE jaccard_micros >= 500000
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY jaccard_micros DESC, match_id) = 1
+    """,
+    doc="Cross-corpus decontamination by EXACT similarity (GPT-3 appx C / "
+    "PaLM upgraded from gram-overlap counts to Jaccard): each corpus doc "
+    "(doc_id % 5 <> 0) whose trigram-shingle Jaccard against some eval "
+    "doc (doc_id % 5 = 0) reaches 0.5 emits its single best eval match "
+    "— emission bounded at one row per contaminated doc. Asymmetric "
+    "double-prefix PPJoin with document frequencies over the UNION of "
+    "both sides (per-side orders would break the shared-prefix bound); "
+    "candidates are corpus-prefix x eval-prefix only; argmax is a "
+    "map-side max_by, not a window sort. Jaccard in exact micro-units "
+    "(BIGINT inter/union, exactly-representable quotient), so value and "
+    "tiebreak are engine-portable. operators/dedup.py::"
+    "jaccard_cross_best_match.",
+)
+def dedup_cross_corpus_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import jaccard_cross_best_match
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_cross_best_match(
+        d, F.col("doc_id") % 5 == 0, "doc_id", "text",
+        threshold=0.5, shingle_n=3,
+    )
+
+
+@register(
+    "text_bigram_perplexity",
+    """
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+    b AS (SELECT doc_id, ws[i] AS prev, ws[i+1] AS cur
+          FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+                           AS i) ii
+          WHERE len(ws) >= 2),
+    bc AS (SELECT prev, cur, count(*) AS c_vw FROM b GROUP BY prev, cur),
+    cc AS (SELECT prev, count(*) AS c_v FROM b GROUP BY prev),
+    v AS (SELECT count(DISTINCT t) AS vsz
+          FROM (SELECT unnest(ws) AS t FROM w)),
+    lm AS (SELECT prev, cur,
+                  CAST(floor(-ln((c_vw + 1.0) / (c_v + vsz)) * 1000000)
+                    AS BIGINT) AS term_micros
+           FROM bc JOIN cc USING (prev), v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(term_micros) AS BIGINT) AS ce_micro_sum
+    FROM b JOIN lm USING (prev, cur)
+    GROUP BY doc_id
+    """,
+    doc="Bigram-LM perplexity scoring (the CCNet quality-filter pattern "
+    "one order up from text_unigram_cross_entropy): an add-one-smoothed "
+    "bigram model p(w|v) = (c(v,w)+1)/(c(v)+V) is fit on the corpus "
+    "itself — two map-side-combinable gram aggregations plus a 1-row "
+    "vocab count — and every document is scored by the sum of -ln p "
+    "over its bigrams. High-entropy docs are gibberish candidates; "
+    "low-entropy docs are boilerplate/templates. Each bigram TYPE's "
+    "-ln p is quantized to integer micro-units ONCE in the LM table "
+    "(p itself is a correctly-rounded quotient of exact ints, so only "
+    "the per-type ln carries the non-portable-libm residual — the dsir "
+    "caveat — not the per-doc sum, which is exact BIGINT arithmetic "
+    "and combine-order-free). The LM join is an ordinary equi-join on "
+    "gram keys (AQE broadcasts it while it fits; at 100 TB the bigram "
+    "table shuffles — still |vocab|^2-bounded, corpus-independent). In "
+    "production the LM table is a pre-fit KenLM dump joined "
+    "identically.",
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    d2 = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 2)
+    # explode_outer: size >= 2 guarantees >= 1 bigram; plain explode would
+    # re-inline the transform into an inferred size()>0 filter
+    pairs = d2.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(
+                "transform(sequence(0, size(ws)-2),"
+                " i -> struct(ws[i] AS prev, ws[i+1] AS cur))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.prev", "p.cur")
+    bc = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_vw"))
+    cc = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("c_v"))
+    vrow = (
+        d2.select(F.explode_outer("ws").alias("t"))
+        .agg(F.count_distinct("t").alias("vsz"))
+    )
+    p = (F.col("c_vw") + F.lit(1.0)) / (F.col("c_v") + F.col("vsz"))
+    lm = (
+        bc.join(cc, ["prev"])
+        .crossJoin(F.broadcast(vrow))
+        .select(
+            "prev", "cur",
+            F.floor(-F.log(p) * 1000000).cast("long").alias("term_micros"),
+        )
+    )
+    return (
+        pairs.join(lm, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("term_micros").cast("long").alias("ce_micro_sum"),
+        )
+    )
+
+
+@register(
+    "train_order_shards",
+    """
+    WITH h AS (SELECT doc_id,
+                      md5('ord:' || CAST(doc_id AS VARCHAR)) AS hx
+               FROM documents)
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 16 AS INT)
+             AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) % 16
+             ORDER BY hx, doc_id) AS INT) AS pos
+    FROM h
+    """,
+    doc="Deterministic global training-order shuffle + shard assignment: "
+    "shard = md5-prefix mod 16, position = rank of the salted md5 within "
+    "the shard. Content-addressed, so the (shard, pos) layout is "
+    "IDENTICAL across runs, cluster sizes, and input partitionings — "
+    "unlike orderBy(rand(seed)), whose output depends on partition "
+    "layout. At 100 TB this is the shard-writer pattern: one hash "
+    "shuffle on shard (no global total order), each shard sorted "
+    "locally within its own task and written independently; shard count "
+    "is chosen so a shard fits a task. The md5 idiom is the same "
+    "engine-portable split used by split_kfold_assignment.",
+)
+def train_order_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("ord:"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(F.col("hx"), 1, 8), 16, 10).cast("bigint") % 16
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return (
+        d.select("doc_id", hx.alias("hx"))
+        .select("doc_id", "hx", shard.alias("shard"))
+        .select(
+            "doc_id", "shard",
+            F.row_number().over(w).alias("pos"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scale probes: deterministic SAMPLED verification for queries whose full
 # oracle is deliberately quadratic (all-pairs similarity verification).
@@ -9649,6 +9815,11 @@ def _probe_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _probe_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = REGISTRY["dedup_jaccard_exact_pairs"].fn(spark, sf_dir)
     return out.filter(_anchor_doc("id_a") | _anchor_doc("id_b"))
+
+
+def _probe_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = REGISTRY["dedup_cross_corpus_jaccard"].fn(spark, sf_dir)
+    return out.filter(_anchor_doc("doc_id"))
 
 
 def _anchor_key(col: str) -> Column:
@@ -9759,6 +9930,39 @@ SCALE_PROBES: dict[str, Q] = {
         """,
         doc="anchored slice via exact explode-join overlap counts",
     ),
+    "dedup_cross_corpus_jaccard": Q(
+        fn=_probe_cross_corpus,
+        oracle=f"""
+        WITH w AS (SELECT doc_id,
+                          list_filter(string_split(text, ' '), x -> x <> '')
+                            AS ws FROM documents),
+        t AS (SELECT doc_id, doc_id % 5 = 0 AS ev,
+                     list_distinct([array_to_string(ws[i:i+2], ' ')
+                       for i in generate_series(1, greatest(len(ws)-2, 0))])
+                       AS tk
+              FROM w WHERE len(ws) >= 3),
+        anc AS (SELECT doc_id FROM t
+                WHERE NOT ev AND {_SQL_ANCHOR_DOC}),
+        exa AS (SELECT doc_id, unnest(tk) AS s FROM t JOIN anc
+                USING (doc_id)),
+        exe AS (SELECT doc_id, unnest(tk) AS s FROM t WHERE ev),
+        ov AS (SELECT a.doc_id AS ida, e.doc_id AS ide, count(*) AS cnt
+               FROM exa a JOIN exe e ON a.s = e.s GROUP BY 1, 2),
+        lens AS (SELECT doc_id, len(tk) AS L FROM t),
+        j AS (SELECT ida AS doc_id, ide AS match_id,
+                     CAST(floor(1000000 * cnt / (la.L + le.L - cnt))
+                       AS BIGINT) AS jaccard_micros
+              FROM ov JOIN lens la ON la.doc_id = ida
+                      JOIN lens le ON le.doc_id = ide)
+        SELECT doc_id, match_id, jaccard_micros FROM j
+        WHERE jaccard_micros >= 500000
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                 ORDER BY jaccard_micros DESC, match_id) = 1
+        """,
+        doc="anchored slice (1/256 of corpus docs) x ALL eval docs via "
+        "exact explode-join overlap counts — sound because a doc's best "
+        "match depends only on that doc vs the whole eval side",
+    ),
     "fuzzy_name_pairs_ed1": Q(
         fn=_probe_fuzzy_names,
         oracle="""
@@ -9864,14 +10068,16 @@ PRIORITY: list[str] = [
     # TPC-H flagships
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
-    # dedup: exact, sub-document scrub, exact similarity join, embedding
+    # dedup: exact, sub-document scrub, exact similarity join (cross-
+    # corpus decontamination form, round 4), embedding
     "dedup_exact_hash", "dedup_containment_pairs", "dedup_span_scrub",
-    "dedup_jaccard_exact_pairs", "embedding_neardup_topk",
+    "dedup_cross_corpus_jaccard", "embedding_neardup_topk",
     # similarity / retrieval / dim reduction / semantic dedup
     "ann_topk_blocked", "ann_maxsim_multivector",
     "embedding_random_projection", "semdedup_embedding_prune",
-    # text quality + retrieval + curation classics (+ round-4 PII scrub)
-    "text_pii_redaction", "text_bm25_topk", "quality_gopher_rules",
+    # text quality + retrieval + curation classics (+ round-4 PII scrub
+    # and bigram-LM perplexity)
+    "text_pii_redaction", "text_bigram_perplexity", "quality_gopher_rules",
     "dsir_importance_weights", "tokenizer_bpe_pair_counts",
     # multimodal
     "multimodal_png_pixels", "multimodal_wav_samples",
@@ -9879,8 +10085,8 @@ PRIORITY: list[str] = [
     "streaming_window_counts", "streaming_scd2_orders",
     # lakehouse mutation
     "scd2_customer_priority", "merge_on_read_orders",
-    # splits / mixing
-    "split_train_val_test", "mix_temperature_quota",
+    # splits / mixing / training order
+    "train_order_shards", "mix_temperature_quota",
     # --- end of the 50-budget window; remaining families' siblings ---
     "join_outer_counts", "join_interval_events", "join_lateral_topk_orders",
     "join_null_safe_eq", "join_salted_lineitem_orders",

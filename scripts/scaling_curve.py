@@ -33,6 +33,8 @@ QUERIES = [
     "tokenizer_bpe_pair_counts",
     "dedup_span_scrub",
     "dsir_importance_weights",
+    "dedup_cross_corpus_jaccard",
+    "text_bigram_perplexity",
     # events decade (gen_scale_data.gen_events): sessionization, as-of,
     # streaming windows, sliding top-k — the stateful/temporal families
     "sessionize_events",
