@@ -45,9 +45,10 @@ HEADLINE = [
     "scd2_customer_priority",
     "ann_topk_int8",
     # round-4 additions: the LLM-pipeline tail (VERDICT r3 #3) + the
-    # emission-bounded near-dup production path. Totals are NOT comparable
-    # with BENCH_r03 and earlier without subtracting these 8 queries — see
-    # the baseline note in BASELINE.md.
+    # emission-bounded near-dup production path + the cross-corpus
+    # decontamination join and bigram-LM scorer. Totals are NOT comparable
+    # with BENCH_r03 and earlier without subtracting these 10 queries —
+    # see the baseline note in BASELINE.md.
     "dedup_span_scrub",
     "dsir_importance_weights",
     "semdedup_embedding_prune",
@@ -56,6 +57,8 @@ HEADLINE = [
     "quality_gopher_rules",
     "embedding_neardup_topk",
     "multimodal_png_pixels",
+    "dedup_cross_corpus_jaccard",
+    "text_bigram_perplexity",
 ]
 
 
