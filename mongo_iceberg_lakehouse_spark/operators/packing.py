@@ -82,3 +82,89 @@ def batch_summary(packed: DataFrame, budget: int) -> DataFrame:
         )
         .withColumn("fill", F.col("n_tokens").cast("double") / F.lit(budget))
     )
+
+
+def chop_pack(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    order_salt: str = "pk:",
+) -> DataFrame:
+    """GPT-style concat-and-chop packing: documents are laid out in one
+    deterministic global token stream and chopped into fixed ``seq_len``
+    windows; each document is assigned the window containing its START
+    offset, with a flag for docs that straddle a window boundary.
+
+    The global offset is a DISTRIBUTED TWO-PASS PREFIX SUM, not a global
+    sort: the content-addressed order key k = md5(salt || id) is split
+    into 16 ordered ranges by its first hex digit (the digit's numeric
+    value follows hex-character lexicographic order, so bucket-major +
+    in-bucket order IS the global k order), pass 1 computes per-bucket
+    local cumsums and the 16-row bucket totals, pass 2 broadcasts the
+    running bucket offsets back. No single-partition window ever sees
+    the corpus — the classic scalable cumsum; at cluster scale widen the
+    prefix to 2-3 hex digits (256/4096 ranges) so each range fits a
+    task. (The bucket MUST be a prefix value, never a mod/hash of it —
+    anything else breaks bucket-major == global order.)
+
+    Everything is exact BIGINT arithmetic (token counts, offsets,
+    integer DIV), so the layout is reproducible bit-for-bit across
+    engines, runs, and partitionings.
+
+    Returns one row per document: id, n_tokens, global_start,
+    window_id (= global_start DIV seq_len), crosses_boundary.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    from pyspark.sql import Window
+
+    k = F.md5(
+        F.concat(F.lit(order_salt), F.col(id_col).cast("string"))
+    )
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        k.alias("k"),
+    ).withColumn(
+        "b", F.conv(F.substring("k", 1, 1), 16, 10).cast("int")
+    )
+    # pass 1: in-bucket cumsum (md5 keys are unique -> total order)
+    local = docs.withColumn(
+        "cum",
+        F.sum("n_tokens").over(Window.partitionBy("b").orderBy("k")),
+    )
+    # pass 2: running offsets over the 16-row totals (tiny frame; its
+    # single-partition window holds 16 rows, not the corpus)
+    off = (
+        docs.groupBy("b")
+        .agg(F.sum("n_tokens").alias("t"))
+        .select(
+            "b",
+            F.coalesce(
+                F.sum("t").over(
+                    Window.orderBy("b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("boff"),
+        )
+    )
+    gs = F.col("boff") + F.col("cum") - F.col("n_tokens")
+    out = local.join(F.broadcast(off), "b").select(
+        "id", "n_tokens", gs.alias("global_start")
+    )
+    return out.select(
+        "id",
+        "n_tokens",
+        "global_start",
+        F.expr(f"global_start DIV {seq_len}").alias("window_id"),
+        (
+            (F.col("n_tokens") > 0)
+            & (
+                F.expr(f"(global_start + n_tokens - 1) DIV {seq_len}")
+                > F.expr(f"global_start DIV {seq_len}")
+            )
+        ).alias("crosses_boundary"),
+    )

@@ -9744,6 +9744,58 @@ def train_order_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_sequences_chop",
+    """
+    WITH d AS (SELECT doc_id,
+                      md5('pk:' || CAST(doc_id AS VARCHAR)) AS k,
+                      CAST(len(list_filter(string_split(text, ' '),
+                           x -> x <> '')) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens, k,
+                 CAST(sum(n_tokens) OVER (ORDER BY k) - n_tokens
+                   AS BIGINT) AS gs
+          FROM d)
+    SELECT CAST(gs // 2048 AS BIGINT) AS window_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN n_tokens > 0
+                          AND (gs + n_tokens - 1) // 2048 > gs // 2048
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+           CAST(min(gs) AS BIGINT) AS first_start
+    FROM c GROUP BY 1
+    """,
+    doc="GPT-style concat-and-chop sequence packing: documents laid out "
+    "in one deterministic (content-addressed md5) token stream, chopped "
+    "into 2048-token context windows; per window, the docs starting in "
+    "it, their token mass, and how many straddle the boundary (the "
+    "attention-mask / doc-split accounting a packing job emits). The "
+    "global offset is a DISTRIBUTED TWO-PASS PREFIX SUM, not a global "
+    "sort: md5-hex-prefix range buckets (bucket-major + in-bucket order "
+    "IS the global order), per-bucket window cumsums, then a 16-row "
+    "bucket-offset broadcast — no single-partition window ever sees the "
+    "corpus, unlike the oracle's (and ntile's) global ORDER BY. All "
+    "arithmetic exact BIGINT. Complements pack_token_batches (FFD "
+    "bin-packing, rows-only) with the fully-oracle-checked chop form. "
+    "operators/packing.py::chop_pack.",
+)
+def pack_sequences_chop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import chop_pack
+
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    docs = d.select("doc_id", F.size(ws).cast("long").alias("n_tokens"))
+    laid = chop_pack(docs, "doc_id", "n_tokens", seq_len=2048)
+    return laid.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("crosses_boundary"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_boundary_docs"),
+        F.min("global_start").alias("first_start"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scale probes: deterministic SAMPLED verification for queries whose full
 # oracle is deliberately quadratic (all-pairs similarity verification).
@@ -10085,8 +10137,8 @@ PRIORITY: list[str] = [
     "streaming_window_counts", "streaming_scd2_orders",
     # lakehouse mutation
     "scd2_customer_priority", "merge_on_read_orders",
-    # splits / mixing / training order
-    "train_order_shards", "mix_temperature_quota",
+    # splits / mixing / training order / packing
+    "train_order_shards", "pack_sequences_chop",
     # --- end of the 50-budget window; remaining families' siblings ---
     "join_outer_counts", "join_interval_events", "join_lateral_topk_orders",
     "join_null_safe_eq", "join_salted_lineitem_orders",
