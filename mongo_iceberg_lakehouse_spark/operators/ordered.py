@@ -29,7 +29,7 @@ from collections.abc import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -300,3 +300,99 @@ def longest_run_per_key(
     )
     ordered = part.sortWithinPartitions(key, *order).select(key, *order, value)
     return ordered.mapInPandas(consume, schema=schema)
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 16,
+    out_col: str = "__rank",
+) -> DataFrame:
+    """Exact global row_number over (order_col asc, tiebreak_col asc)
+    WITHOUT a single-partition sort.
+
+    Range-buckets the order column on approxQuantile boundaries (a
+    bounded driver collect — n_buckets-1 doubles, the same bounded-state
+    idiom as the ANN codebooks), ranks within each bucket with an
+    ordinary partitioned window, and adds broadcast running bucket-count
+    offsets. Bucket boundaries only steer load balance: ANY ordered
+    range split yields the same exact rank, so approxQuantile's
+    approximation error and run-to-run sketch variance cannot change the
+    result. Skewed order values degrade balance (one value = one
+    bucket), never correctness.
+
+    This is the scalable replacement for ``Window.orderBy(...)`` ranks:
+    the corpus-sized sort happens per range partition, exactly like a
+    repartitionByRange + local sort, while a global window funnels the
+    whole input through ONE task.
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
+    v = F.col(order_col)
+    bucket = F.lit(len(bounds))
+    for i in reversed(range(len(bounds))):
+        bucket = F.when(v <= F.lit(bounds[i]), F.lit(i)).otherwise(bucket)
+    d2 = df.withColumn("__b", bucket)
+    wloc = Window.partitionBy("__b").orderBy(
+        F.col(order_col).asc(), F.col(tiebreak_col).asc()
+    )
+    local = d2.withColumn("__r", F.row_number().over(wloc))
+    off = (
+        d2.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "__b",
+            F.coalesce(
+                F.sum("__c").over(
+                    Window.orderBy("__b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("__off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(off), "__b")
+        .withColumn(out_col, (F.col("__off") + F.col("__r")).cast("long"))
+        .drop("__b", "__r", "__off")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+    n_buckets: int = 16,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Exact ntile(k) OVER (ORDER BY order_col, tiebreak_col) via
+    ``distributed_rank`` + ntile's integer arithmetic: with n rows,
+    q = n DIV k and r = n MOD k, the first r tiles hold q+1 rows — so
+    bin = ceil(rank / (q+1)) while rank <= r*(q+1), else
+    r + ceil((rank - r*(q+1)) / q). Bit-identical to the SQL ntile at
+    any n/k (including n < k, where q = 0 and the first branch covers
+    every row), all in integer DIV — engine-portable, no float."""
+    ranked = distributed_rank(df, order_col, tiebreak_col, n_buckets)
+    total = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("__q", F.expr(f"__n DIV {k}"))
+        .withColumn("__rm", F.expr(f"__n % {k}"))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__rank") <= F.col("__rm") * (F.col("__q") + 1),
+                F.expr("(__rank + __q) DIV (__q + 1)"),
+            )
+            .otherwise(
+                F.expr(
+                    "__rm + (__rank - __rm * (__q + 1) + __q - 1) DIV __q"
+                )
+            )
+            .cast("int"),
+        )
+        .drop("__n", "__q", "__rm", "__rank")
+    )

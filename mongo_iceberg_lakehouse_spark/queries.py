@@ -2754,20 +2754,25 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY bin
     """,
     doc="Equi-depth feature binning (decile bucketing of document length) "
-    "via ntile with a deterministic (value, id) order; per-bin count and "
-    "value range.",
+    "with a deterministic (value, id) order. The engine computes ntile's "
+    "exact integer arithmetic over a DISTRIBUTED rank "
+    "(operators/ordered.py::distributed_ntile): range-bucket on "
+    "approxQuantile boundaries, per-bucket window rank, broadcast "
+    "bucket-count offsets — bit-identical to the oracle's global-window "
+    "ntile, but no single-partition sort ever sees the corpus "
+    "(boundaries steer only load balance, never the result).",
 )
 def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ordered import distributed_ntile
+
     d = _t(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
-    return (
-        d.select("doc_id", "n_chars", F.ntile(10).over(w).alias("bin"))
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min("n_chars").alias("lo"),
-            F.max("n_chars").alias("hi"),
-        )
+    binned = distributed_ntile(
+        d.select("doc_id", "n_chars"), "n_chars", "doc_id", k=10
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("n_chars").alias("lo"),
+        F.max("n_chars").alias("hi"),
     )
 
 
@@ -8002,25 +8007,30 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Reciprocal-rank fusion of two retrieval rankings (BM25 keyword "
     "relevance + length prior): rrf = sum_i 1/(60 + rank_i), the "
-    "standard zero-tuning hybrid-search combiner. Each ranking is an "
-    "unpartitioned window over an already-aggregated per-doc frame (not "
-    "the token stream); full-outer join keeps docs ranked by only one "
-    "side.",
+    "standard zero-tuning hybrid-search combiner. Each ranking is a "
+    "DISTRIBUTED exact rank (operators/ordered.py::distributed_rank — "
+    "range-bucketed per-bucket windows + broadcast offsets, descending "
+    "via negation), so no corpus-sized frame funnels through one "
+    "partition; full-outer join keeps docs ranked by only one side.",
 )
 def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ordered import distributed_rank
+
     d = _t(spark, sf_dir, "documents")
-    bm = T.bm25_scores(d, ["hash", "join", "scan"]).select(
+    bm = distributed_rank(
+        T.bm25_scores(d, ["hash", "join", "scan"]).select(
+            "doc_id", (-F.col("bm25")).alias("__neg")
+        ),
+        "__neg",
         "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
-        .alias("r_bm"),
-    )
-    ln_rank = d.select(
+        out_col="r_bm",
+    ).select("doc_id", "r_bm")
+    ln_rank = distributed_rank(
+        d.select("doc_id", (-F.col("n_chars")).alias("__neg")),
+        "__neg",
         "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("n_chars").desc(), F.col("doc_id")))
-        .alias("r_len"),
-    )
+        out_col="r_len",
+    ).select("doc_id", "r_len")
     fused = (
         bm.join(ln_rank, "doc_id", "full_outer")
         .select(
