@@ -130,25 +130,39 @@ def winnow_fingerprints(
     text_col: str = "text",
     kgram: int = 5,
     window: int = 4,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints: hash every k-gram shingle, keep
     the minimum hash of each sliding window — the classic local fingerprint
     set for near-dup detection (Schleimer et al., SIGMOD'03 scheme).
 
     Output: one row per (doc, distinct fingerprint). JVM-side throughout:
-    shingle hashes via transform+xxhash64, window minima via transform over a
+    shingle hashes via transform+hash, window minima via transform over a
     sequence of window start indices + array_min(slice(...)).
+
+    ``portable_hash=True`` swaps xxhash64 for a 60-bit md5-prefix integer
+    (conv(substr(md5(gram),1,15),16,10)) — the scheme is hash-agnostic,
+    and the md5 form is reproducible in any engine, which is what lets
+    the registry query carry a FULL DuckDB oracle instead of a rows-only
+    check. Default stays xxhash64 (cheaper) for engine-internal use.
     """
     # bind the token array once (let_): the shingle lambda slices it per
     # k-gram, and an unbound reference would re-tokenize per shingle —
     # O(L^2) per document
+    if portable_hash:
+        def _gram_hash(g: Column) -> Column:
+            return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    else:
+        def _gram_hash(g: Column) -> Column:
+            return F.xxhash64(g)
+
     def _hashes(tk: Column) -> Column:
         n_sh = F.greatest(F.size(tk) - (kgram - 1), F.lit(0))
         sh_idx = F.sequence(F.lit(0), n_sh - 1)
         return F.when(n_sh == 0, F.array().cast("array<bigint>")).otherwise(
             F.transform(
                 sh_idx,
-                lambda i: F.xxhash64(
+                lambda i: _gram_hash(
                     F.concat_ws(" ", F.slice(tk, i + 1, kgram))
                 ),
             )

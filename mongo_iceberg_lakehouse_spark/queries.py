@@ -2028,13 +2028,37 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_winnow_fingerprints",
-    None,
-    doc="Winnowing rolling-hash fingerprints (k-gram window minima). "
-    "Rows-only check.",
+    """
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '') AS ws
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(
+                   [array_to_string(ws[i:i+4], ' ')
+                    for i in generate_series(1, greatest(len(ws)-4, 0))],
+                   gr -> CAST(('0x' || substr(md5(gr), 1, 15)) AS BIGINT))
+                   AS h
+          FROM w),
+    m AS (SELECT doc_id,
+                 list_distinct(
+                   [list_min(h[i:i+3])
+                    for i in generate_series(1, greatest(len(h)-3, 0))])
+                   AS fps
+          FROM g)
+    SELECT doc_id, unnest(fps) AS fingerprint FROM m
+    """,
+    doc="Winnowing rolling-hash fingerprints (Schleimer et al. SIGMOD'03: "
+    "5-gram hashes, minimum of each 4-wide sliding window, distinct per "
+    "doc). Uses the md5-prefix portable hash so the ENTIRE pipeline — "
+    "tokenize, gram, hash, rolling min, distinct — is value-checked by a "
+    "full DuckDB oracle (upgraded from rows-only; the scheme is "
+    "hash-agnostic, engine-internal callers keep xxhash64). "
+    "operators/text.py::winnow_fingerprints.",
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return T.winnow_fingerprints(d)
+    return T.winnow_fingerprints(d, portable_hash=True)
 
 
 @register(
