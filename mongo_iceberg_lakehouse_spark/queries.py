@@ -2280,11 +2280,19 @@ def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "medallion_orders_pipeline",
-    None,  # runs on the re-created reference seed documents, not the sf tables
-    doc="The reference's full bronze->silver->gold pipeline on its 6-document "
-    "seed (re-created in code): returns the golden gold report "
-    "(Hyderabad 1525.5/2, Bangalore 440.0/3, Mumbai 15.99/1). Rows-only "
-    "check; exact rows asserted in tests/test_medallion.py.",
+    """
+    SELECT * FROM (VALUES
+      ('Hyderabad', 'INDIA', CAST(1525.5 AS DOUBLE), CAST(2 AS BIGINT)),
+      ('Bangalore', 'INDIA', CAST(440.0 AS DOUBLE), CAST(3 AS BIGINT)),
+      ('Mumbai',    'INDIA', CAST(15.99 AS DOUBLE), CAST(1 AS BIGINT)))
+      AS t(city, country, total_revenue, order_count)
+    """,
+    doc="The reference's full bronze->silver->gold pipeline on its "
+    "6-document seed (re-created in code). The oracle is the LITERAL "
+    "golden report transcribed from the reference notebook output "
+    "(gold_reporting.ipynb:142-146) — the one case where constants are "
+    "the ground truth, so the whole JSON-inference -> struct-evolution "
+    "-> aggregate chain is value-checked, not just row-counted.",
 )
 def medallion_orders_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .fixtures import write_seed_json
