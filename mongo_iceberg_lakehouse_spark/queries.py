@@ -2260,6 +2260,63 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_recall_contract",
+    """
+    WITH ranked AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])) DESC,
+                        e.vec_id) AS rank
+      FROM embeddings e, embeddings q
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+    top AS (SELECT * FROM ranked WHERE rank <= 5)
+    SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(sum(rank * neighbor_id) AS BIGINT) AS exact_topk_checksum,
+           TRUE AS ivf_recall_ok
+    FROM top
+    """,
+    doc="Accuracy contract for the approximate-ANN path (the agg_approx "
+    "pattern, so the IVF family is no longer ONLY rows-only-checked): "
+    "the engine computes both the exact brute-force top-5 and the IVF "
+    "top-5 for the 5 query vectors, and emits (a) the exact side's "
+    "query count and a rank*id checksum — which the oracle VALUE-CHECKS "
+    "against its own brute-force SQL — and (b) ivf_recall_ok = IVF "
+    "recall >= 0.8 vs that exact truth. Recall is a pure function of "
+    "the data (deterministic centroids), measured 0.92-1.0 at "
+    "sf0.001-sf1, so the boolean is stable; a planner or hashing "
+    "regression that degraded IVF candidate generation flips it.",
+)
+def ann_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = S.ann_topk_bruteforce(e, q, k=5, include_sim=False)
+    ivf = S.ann_topk_ivf(e, q, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id"
+    )
+    stats = exact.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.sum(F.col("rank").cast("long") * F.col("neighbor_id"))
+        .cast("long")
+        .alias("exact_topk_checksum"),
+        F.count(F.lit(1)).alias("__n_exact"),
+    )
+    hits = exact.join(ivf, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("__hits")
+    )
+    return stats.crossJoin(F.broadcast(hits)).select(
+        "n_queries",
+        "exact_topk_checksum",
+        (
+            F.col("__hits") * F.lit(1000000)
+            >= F.lit(800000) * F.col("__n_exact")
+        ).alias("ivf_recall_ok"),
+    )
+
+
+@register(
     "text_bpe_token_stats",
     None,  # Java-regex lookarounds aren't RE2-expressible for a DuckDB oracle
     doc="Sub-word-ish (BPE-style) token budgeting per source: splits on "
