@@ -417,29 +417,44 @@ def minhash_lsh_pairs(
 
 def token_hashes(text: Column) -> Column:
     """One xxhash64 pass over the tokens. Materialize in its own projection
-    before ``simhash_signature`` (same CollapseProject reasoning as
+    before ``simhash_signature_packed`` (same CollapseProject reasoning as
     ``shingle_hashes``)."""
     return F.transform(_tokenize(text), lambda t: F.xxhash64(t))
 
 
-def simhash_signature(hashes: Column, bits: int = 64) -> Column:
-    """SimHash: sum per-bit +/-1 contributions of token hashes, take signs.
+def token_hashes_portable(text: Column) -> Column:
+    """60-bit md5-prefix token hashes (conv(substr(md5(t),1,15),16,10)) —
+    bit-identical in any engine that has md5, which is what lets the
+    SimHash registry query carry a FULL DuckDB oracle (same upgrade path
+    as ``text.winnow_fingerprints(portable_hash=True)``). Engine-internal
+    callers keep :func:`token_hashes` (xxhash64 is cheaper)."""
+    return F.transform(
+        _tokenize(text),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
 
-    ``hashes`` is the pre-computed token-hash array. For each bit position,
-    count hashes with that bit set vs unset; returns array<int> of 0/1 signs,
-    cheap to band for candidate search.
 
-    One transform over a literal bit-mask array instead of ``bits``
-    unrolled filter columns: the unrolled tree cost ~8 s of driver-side
-    Catalyst analysis per query build (90% of dedup_simhash's wall time at
-    sf0.1 — the same pathology minhash_signature had). (h & mask) != 0 is
-    the column-friendly form of shiftright(h, b) & 1 == 1; ``hashes`` is
-    referenced twice (filter + size), which keeps its projection from
-    being inlined into the 64-iteration lambda (CollapseProject keeps
-    multi-referenced non-cheap aliases).
-    """
-    # Single expr parse for the literal mask array (same driver-side
-    # plan-build economics as minhash_signature's parameter array).
+def simhash_signature_packed(hashes: Column, bits: int = 64) -> Column:
+    """SimHash signature PACKED into one BIGINT: bit b is set iff at least
+    half the token hashes have bit b set (majority-sign rule, deterministic
+    ``2*cnt >= n`` tie convention).
+
+    The packed form makes hamming distance a single
+    ``bit_count(a XOR b)`` instead of a 64-element ``zip_with`` fold, and
+    it is reproducible in DuckDB (``list_sum`` over per-bit masks +
+    ``bit_count(xor(..))``), so pipelines built on it can be value-checked
+    by a full SQL oracle. ``bits=64`` packs bit 63 via the negative
+    two's-complement mask; ``bits<=63`` stays non-negative.
+
+    Plan-build economics: ONE literal mask array parsed in a single
+    ``F.expr`` + one aggregate lambda — ``bits`` unrolled filter columns
+    cost ~8 s of driver-side Catalyst analysis per query build (90% of
+    dedup_simhash's wall time at sf0.1, the same pathology
+    minhash_signature had). ``(h & mask) != 0`` is the column-friendly
+    form of ``shiftright(h, b) & 1 == 1``; ``hashes`` is referenced
+    twice (filter + size), which keeps its projection from being inlined
+    into the per-bit lambda (CollapseProject keeps multi-referenced
+    non-cheap aliases)."""
     masks = F.expr(
         "array("
         + ",".join(
@@ -448,12 +463,14 @@ def simhash_signature(hashes: Column, bits: int = 64) -> Column:
         + ")"
     )
     n = F.size(hashes)
-    return F.transform(
+    return F.aggregate(
         masks,
-        lambda m: F.when(
+        F.lit(0).cast("bigint"),
+        lambda acc, m: acc
+        + F.when(
             F.size(F.filter(hashes, lambda h: h.bitwiseAND(m) != 0)) * 2 >= n,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+            m,
+        ).otherwise(F.lit(0).cast("bigint")),
     )
 
 
@@ -464,29 +481,53 @@ def simhash_pairs(
     bits: int = 64,
     chunks: int = 8,
     max_hamming: int = 3,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the signature into ``chunks`` pieces,
     candidates collide on >=1 piece (guaranteed to catch hamming distance
-    < chunks), then verify exact hamming distance <= max_hamming."""
+    < chunks), then verify exact hamming distance <= max_hamming.
+
+    Signatures are PACKED BIGINTs (:func:`simhash_signature_packed`), so
+    the verify is one ``bit_count(XOR)`` per candidate pair instead of a
+    ``bits``-element fold.
+
+    Exactness: whenever ``max_hamming < chunks``, the banding is
+    recall-COMPLETE by pigeonhole (<= max_hamming differing bits cannot
+    touch every chunk), so the emitted set is exactly
+    ``{(a, b) : hamming(sig_a, sig_b) <= max_hamming}`` — a closed-form
+    answer a SQL oracle can verify without reproducing the banding.
+    (A spurious xxhash64 bucket collision can only ADD a candidate that
+    the hamming filter re-checks, never drop one; the ``_bucket_pairs``
+    degenerate-bucket guard never binds below ``max_bucket`` documents
+    per band value.)
+
+    ``portable_hash=True`` swaps xxhash64 token hashes for the 60-bit
+    md5-prefix integer (:func:`token_hashes_portable`) so the ENTIRE
+    pipeline — tokenize, hash, majority-sign signature, hamming — is
+    engine-reproducible; the registry query uses it to carry a full
+    DuckDB oracle. Default stays xxhash64 (cheaper) for engine-internal
+    use.
+    """
     src = df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
-    base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            token_hashes(F.col(text_col)).alias("__th"),
-        )
-        .select("id", simhash_signature(F.col("__th"), bits).alias("sig"))
-    )
+    tok = token_hashes_portable if portable_hash else token_hashes
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tok(F.col(text_col)).alias("__th"),
+    ).select("id", simhash_signature_packed(F.col("__th"), bits).alias("sig"))
     per = bits // chunks
     # (id, chunk, chunk-hash) only; signatures join back onto the deduped
     # candidate set (same no-replication shape as minhash_lsh_pairs).
+    chunk_mask = (1 << per) - 1
     chunk_hashes = F.array(
         *[
             F.xxhash64(
                 F.lit(c),
-                *[F.element_at(F.col("sig"), c * per + i + 1) for i in range(per)],
+                F.shiftrightunsigned(F.col("sig"), c * per).bitwiseAND(
+                    F.lit(chunk_mask)
+                ),
             )
             for c in range(chunks)
         ]
@@ -506,18 +547,26 @@ def simhash_pairs(
         id_col,
         text_col,
         cand,
-        [token_hashes, lambda th: simhash_signature(th, bits)],
+        [tok, lambda th: simhash_signature_packed(th, bits)],
         par,
         use_broadcast=False,
     )
-    hamming = F.aggregate(
-        F.zip_with("val_a", "val_b", lambda x, y: F.when(x != y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    hamming = F.bit_count(
+        F.col("val_a").bitwiseXOR(F.col("val_b"))
+    ).cast("int")
+    # coalesce keeps the threshold filter non-null-rejecting: a bare
+    # `hamming <= max` lets InferFiltersFromConstraints derive
+    # isnotnull(val) and push the ENTIRE 60-mask signature aggregate into
+    # a Filter below the value projection — every signature evaluated
+    # twice per corpus row (caught by test_expr_binding's re-inline
+    # detector). vals are never null by construction, so the sentinel
+    # branch never fires.
     return (
         pairs.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(
+            F.coalesce(F.col("hamming"), F.lit(max_hamming + 1))
+            <= max_hamming
+        )
         .select("id_a", "id_b", "hamming")
     )
 

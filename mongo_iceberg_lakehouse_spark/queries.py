@@ -1962,13 +1962,43 @@ def dedup_minhash_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "dedup_simhash",
-    None,
-    doc="SimHash near-dup pairs (64-bit sign signature, banded candidates, "
-    "hamming verify). Rows-only check.",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''),
+               tk -> CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)) AS h
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_sum(list_transform(generate_series(0, 59),
+               b -> CASE WHEN 2 * len(list_filter(h, x -> (x >> b) & 1 = 1))
+                              >= len(h)
+                         THEN (CAST(1 AS BIGINT) << b)
+                         ELSE CAST(0 AS BIGINT) END)) AS sig
+      FROM t)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 5
+    """,
+    doc="SimHash near-dup pairs (60-bit packed majority-sign signature over "
+    "portable md5-prefix token hashes, 6-band candidates, bit_count-XOR "
+    "hamming verify <= 5). FULL oracle (upgraded from rows-only): with "
+    "max_hamming < chunks the banding is recall-complete by pigeonhole, so "
+    "the output is exactly the hamming-threshold pair set, which DuckDB "
+    "recomputes from scratch — tokenize, md5 hash, per-bit majority, "
+    "packed XOR distance. The all-pairs oracle join is driver-scale only; "
+    "the sf1 gate uses the anchored SCALE_PROBES slice. "
+    "operators/dedup.py::simhash_pairs.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return D.simhash_pairs(d, "doc_id", "text", bits=64, chunks=8, max_hamming=6)
+    return D.simhash_pairs(
+        d, "doc_id", "text", bits=60, chunks=6, max_hamming=5,
+        portable_hash=True,
+    )
 
 
 @register(
@@ -2170,6 +2200,45 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_lsh_recall_contract",
+    """
+    WITH ranked AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])) DESC,
+                        e.vec_id) AS rank
+      FROM embeddings e, embeddings q
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+    top AS (SELECT * FROM ranked WHERE rank <= 5)
+    SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(sum(rank * neighbor_id) AS BIGINT) AS exact_topk_checksum,
+           TRUE AS lsh_recall_ok
+    FROM top
+    """,
+    doc="Accuracy contract for the random-hyperplane LSH path (same "
+    "agg_approx pattern as ann_ivf_recall_contract, same config as the "
+    "registered ann_lsh_topk): exact brute-force top-5 value-checked "
+    "(count + rank*id checksum) against the oracle's own SQL, plus "
+    "lsh_recall_ok = LSH recall >= 0.4. The fixtures' uniform random "
+    "vectors are hyperplane LSH's WORST case (all neighbors at 60-70 "
+    "degrees); measured recall 0.56-0.96 across sf0.001-sf1 (sf1's "
+    "clustered mixtures are the easy/realistic case at 0.96), so the "
+    "floor is a regression tripwire, not a production SLO — a broken "
+    "signature or candidate join sends recall to ~k/n, never just "
+    "below the floor.",
+)
+def ann_lsh_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = S.ann_topk_bruteforce(e, q, k=5, include_sim=False)
+    lsh = S.ann_topk_lsh(e, q, k=5, dim=64, bits=4, tables=8)
+    return _ann_recall_contract(exact, lsh, 400000, "lsh_recall_ok")
+
+
+@register(
     "ann_topk_blocked",
     """
     SELECT query_id, neighbor_id, rank, sim FROM (
@@ -2331,6 +2400,39 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_ivf(e, q, k=5, n_centroids=16, n_probe=4)
 
 
+def _ann_recall_contract(
+    exact: DataFrame, approx: DataFrame, floor_micros: int, flag: str
+) -> DataFrame:
+    """Shared accuracy-contract shape for the approximate-ANN family:
+    value-checkable exact-truth stats + a recall-floor boolean.
+
+    ``exact`` is the brute-force (query_id, neighbor_id, rank) truth,
+    ``approx`` the approximate top-k; emits (n_queries,
+    exact_topk_checksum, <flag> = recall*1e6 >= floor_micros). The two
+    deterministic columns let the oracle VALUE-CHECK the exact side with
+    its own brute-force SQL; the boolean trips if the approximate path's
+    candidate generation regresses (a broken hash/quantizer sends recall
+    to ~k/n, never just below the floor)."""
+    stats = exact.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.sum(F.col("rank").cast("long") * F.col("neighbor_id"))
+        .cast("long")
+        .alias("exact_topk_checksum"),
+        F.count(F.lit(1)).alias("__n_exact"),
+    )
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).agg(F.count(F.lit(1)).alias("__hits"))
+    return stats.crossJoin(F.broadcast(hits)).select(
+        "n_queries",
+        "exact_topk_checksum",
+        (
+            F.col("__hits") * F.lit(1000000)
+            >= F.lit(floor_micros) * F.col("__n_exact")
+        ).alias(flag),
+    )
+
+
 @register(
     "ann_ivf_recall_contract",
     """
@@ -2365,27 +2467,8 @@ def ann_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     exact = S.ann_topk_bruteforce(e, q, k=5, include_sim=False)
-    ivf = S.ann_topk_ivf(e, q, k=5, n_centroids=16, n_probe=4).select(
-        "query_id", "neighbor_id"
-    )
-    stats = exact.agg(
-        F.count_distinct("query_id").alias("n_queries"),
-        F.sum(F.col("rank").cast("long") * F.col("neighbor_id"))
-        .cast("long")
-        .alias("exact_topk_checksum"),
-        F.count(F.lit(1)).alias("__n_exact"),
-    )
-    hits = exact.join(ivf, ["query_id", "neighbor_id"]).agg(
-        F.count(F.lit(1)).alias("__hits")
-    )
-    return stats.crossJoin(F.broadcast(hits)).select(
-        "n_queries",
-        "exact_topk_checksum",
-        (
-            F.col("__hits") * F.lit(1000000)
-            >= F.lit(800000) * F.col("__n_exact")
-        ).alias("ivf_recall_ok"),
-    )
+    ivf = S.ann_topk_ivf(e, q, k=5, n_centroids=16, n_probe=4)
+    return _ann_recall_contract(exact, ivf, 800000, "ivf_recall_ok")
 
 
 @register(
@@ -2435,10 +2518,28 @@ def medallion_orders_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "medallion_items_explode",
-    None,  # runs on the re-created seed documents, not the sf tables
+    """
+    SELECT * FROM (VALUES
+      ('ORD-2024-001',   'P001',    'Gaming Laptop',       CAST(1 AS BIGINT), CAST(1200.50 AS DOUBLE), CAST(1200.50 AS DOUBLE)),
+      ('ORD-2024-001',   'P005',    'Wireless Mouse',      CAST(1 AS BIGINT), CAST(25.00 AS DOUBLE),   CAST(25.00 AS DOUBLE)),
+      ('ORD-2024-002',   'P003',    'Mechanical Keyboard', CAST(2 AS BIGINT), CAST(45.00 AS DOUBLE),   CAST(90.00 AS DOUBLE)),
+      ('ORD-2024-003',   'P002',    'Monitor 27-inch',     CAST(1 AS BIGINT), CAST(300.00 AS DOUBLE),  CAST(300.00 AS DOUBLE)),
+      ('ORD-2024-004',   'P010',    'USB-C Hub',           CAST(1 AS BIGINT), CAST(15.99 AS DOUBLE),   CAST(15.99 AS DOUBLE)),
+      ('ORD-2024-005',   'P005',    'Wireless Mouse',      CAST(5 AS BIGINT), CAST(25.00 AS DOUBLE),   CAST(125.00 AS DOUBLE)),
+      ('ORD-2024-005',   'P009',    'Mouse Pad',           CAST(5 AS BIGINT), CAST(10.00 AS DOUBLE),   CAST(50.00 AS DOUBLE)),
+      ('ORD-2024-00600', 'P005555', 'Wireless Mouse',      CAST(5 AS BIGINT), CAST(25.00 AS DOUBLE),   CAST(125.00 AS DOUBLE)),
+      ('ORD-2024-00600', 'P009',    'Mouse Pad',           CAST(5 AS BIGINT), CAST(10.00 AS DOUBLE),   CAST(50.00 AS DOUBLE)))
+      AS t(order_id, product_id, product_name, quantity, unit_price,
+           line_amount)
+    """,
     doc="Document-model normalization the reference's data demanded but "
     "never did (§2.8): explode(items) -> order line-items with line "
-    "amounts. Rows-only check; golden row count in tests.",
+    "amounts. Full oracle (upgraded from rows-only): the LITERAL 9 line "
+    "items of the reference's 6-document seed (fixtures.py SEED_ORDERS, "
+    "transcribed from airflow/data/BRONZE/orders.json) — constants are "
+    "the ground truth, same justification as medallion_orders_pipeline, "
+    "so the JSON ingest -> nested-array explode -> line-amount chain is "
+    "value-checked end to end.",
 )
 def medallion_items_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .fixtures import write_seed_json
@@ -5150,6 +5251,45 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
     return S.ann_topk_pq(e, q, k=5)
+
+
+@register(
+    "ann_pq_recall_contract",
+    """
+    WITH ranked AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])) DESC,
+                        e.vec_id) AS rank
+      FROM embeddings e, embeddings q
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+    top AS (SELECT * FROM ranked WHERE rank <= 5)
+    SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(sum(rank * neighbor_id) AS BIGINT) AS exact_topk_checksum,
+           TRUE AS pq_recall_ok
+    FROM top
+    """,
+    doc="Accuracy contract for the product-quantization path (same "
+    "agg_approx pattern as ann_ivf_recall_contract, same config as the "
+    "registered ann_topk_pq: 8x16 codebooks, ADC scan, k*4 exact "
+    "rerank): exact brute-force top-5 value-checked (count + rank*id "
+    "checksum) against the oracle's own SQL, plus pq_recall_ok = PQ "
+    "recall >= 0.2. Uniform random fixtures are PQ's worst case — 64d "
+    "compressed 32x to 8 bytes leaves ~2 bits/dim, so ADC ordering is "
+    "noisy when all corpus points are near-equidistant; measured recall "
+    "0.32-1.0 across sf0.001-sf1 (1.0 on sf1's clustered mixtures). "
+    "Floor is a regression tripwire: a broken encoder or distance table "
+    "sends recall to ~k/n, never just below 0.2.",
+)
+def ann_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = S.ann_topk_bruteforce(e, q, k=5, include_sim=False)
+    pq = S.ann_topk_pq(e, q, k=5)
+    return _ann_recall_contract(exact, pq, 200000, "pq_recall_ok")
 
 
 def _label_propagation_oracle(iterations: int = 4) -> str:
@@ -10074,7 +10214,62 @@ def _probe_survivors_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors_by_quality(scored, pairs, "q", id_col="vec_id")
 
 
+def _probe_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = REGISTRY["dedup_simhash"].fn(spark, sf_dir)
+    return out.filter(_anchor_key("id_a") | _anchor_key("id_b"))
+
+
+# DuckDB rebuild of the portable SimHash signature table (shared by the
+# dedup_simhash probe): 60-bit md5-prefix token hashes -> per-bit majority
+# -> packed BIGINT. Mirrors operators/dedup.py::simhash_signature_packed.
+_SIMHASH_SIG_CTE = """
+    t AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> ''),
+               tk -> CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT)) AS h
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_sum(list_transform(generate_series(0, 59),
+               b -> CASE WHEN 2 * len(list_filter(h, x -> (x >> b) & 1 = 1))
+                              >= len(h)
+                         THEN (CAST(1 AS BIGINT) << b)
+                         ELSE CAST(0 AS BIGINT) END)) AS sig
+      FROM t)"""
+
+
 SCALE_PROBES: dict[str, Q] = {
+    "dedup_simhash": Q(
+        fn=_probe_simhash,
+        oracle=f"""
+        WITH {_SIMHASH_SIG_CTE},
+        ch AS (SELECT doc_id, gs.c AS c,
+                      (sig >> (gs.c * 10)) & 1023 AS v
+               FROM s, generate_series(0, 5) AS gs(c)),
+        sz AS (SELECT c, v, count(*) AS n FROM ch GROUP BY c, v),
+        okch AS (SELECT ch.doc_id, ch.c, ch.v
+                 FROM ch JOIN sz USING (c, v) WHERE sz.n <= 1000),
+        anc AS (SELECT doc_id FROM s WHERE {_SQL_ANCHOR_DOC}),
+        cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                        greatest(a.doc_id, b.doc_id) AS id_b
+                 FROM okch a JOIN okch b
+                   ON a.c = b.c AND a.v = b.v AND a.doc_id <> b.doc_id
+                 WHERE a.doc_id IN (SELECT doc_id FROM anc))
+        SELECT c.id_a, c.id_b,
+               CAST(bit_count(xor(sa.sig, sb.sig)) AS INT) AS hamming
+        FROM cand c JOIN s sa ON sa.doc_id = c.id_a
+                    JOIN s sb ON sb.doc_id = c.id_b
+        WHERE bit_count(xor(sa.sig, sb.sig)) <= 5
+        """,
+        doc="anchored slice (1/256 of doc ids) of the full-scale engine "
+        "output; the oracle mirrors the banded candidate generation "
+        "(6x 10-bit chunks, degenerate-bucket guard) rather than the "
+        "closed-form all-pairs hamming set, so the <=1000-per-bucket "
+        "drop rule is value-checked too — linear via the anchors-x-all "
+        "chunk equi-join",
+    ),
     "embedding_neardup_pairs": Q(
         fn=_probe_neardup_pairs,
         oracle=f"""

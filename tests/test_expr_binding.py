@@ -61,9 +61,11 @@ def _optimized(spark, name: str) -> str:
 def test_no_generate_filter_reinline_in_neardup_plans(spark):
     """The optimized plans must not contain a Filter evaluating
     size(<full shingle/signature pipeline>) — the InferFiltersFromGenerate
-    re-inline. Detector: no `Filter` line containing both size( and
-    xxhash64( (the inlined pipelines always hash; legitimate residual
-    filters on these plans are size-free or hash-free)."""
+    re-inline. Detector: no `Filter` line containing both size( and a
+    token-hash call — xxhash64( for the engine-internal pipelines, md5(
+    for dedup_simhash's portable-hash path (the inlined pipelines always
+    hash; legitimate residual filters on these plans are size-free or
+    hash-free)."""
     for name in (
         "dedup_containment_pairs",
         "dedup_minhash_lsh",
@@ -75,6 +77,6 @@ def test_no_generate_filter_reinline_in_neardup_plans(spark):
             for ln in plan.splitlines()
             if ln.lstrip().startswith(("Filter", "+- Filter"))
             and "size(" in ln
-            and "xxhash64(" in ln
+            and ("xxhash64(" in ln or "md5(" in ln)
         ]
         assert not bad, f"{name}: re-inlined generate filter: {bad[0][:200]}"
