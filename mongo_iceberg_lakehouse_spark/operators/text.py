@@ -37,12 +37,28 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+BPE_PRETOKEN_PATTERN = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+
+
 def bpe_ish_token_count(text: Column | str) -> Column:
-    """Sub-word-ish token count: splits on whitespace AND punctuation AND
-    letter/digit boundaries — a cheap stand-in for BPE token budgeting."""
+    """Sub-word-ish token count via a GPT-2-style pre-tokenizer: extract
+    letter runs, digit runs, and punctuation/symbol runs (whitespace only
+    separates) — the category-split stage every BPE tokenizer applies
+    before merging, so it is a faithful stand-in for token budgeting
+    (punctuation COUNTS, as it does in real BPE vocabularies).
+
+    The pattern uses only Unicode category classes — no lookarounds — so
+    it is RE2-expressible and DuckDB's ``regexp_extract_all`` reproduces
+    it byte-for-byte: verified on the zh/accents/digit-boundary edge
+    cases, which is what lets ``text_bpe_token_stats`` carry a full SQL
+    oracle (it was rows-only while the old formulation leaned on Java
+    lookarounds)."""
     t = F.col(text) if isinstance(text, str) else text
-    pieces = F.split(F.lower(t), r"[\s\p{Punct}]+|(?<=\d)(?=\p{L})|(?<=\p{L})(?=\d)")
-    return F.size(F.filter(pieces, lambda x: x != ""))
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(t), F.lit(BPE_PRETOKEN_PATTERN), F.lit(0)
+        )
+    )
 
 
 def stopword_count(text: Column | str, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> Column:

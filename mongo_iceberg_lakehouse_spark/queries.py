@@ -2548,9 +2548,23 @@ def ann_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_token_stats",
-    None,  # Java-regex lookarounds aren't RE2-expressible for a DuckDB oracle
-    doc="Sub-word-ish (BPE-style) token budgeting per source: splits on "
-    "whitespace, punctuation, and letter/digit boundaries. Rows-only check.",
+    """
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(lower(text),
+             '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+'))) AS BIGINT)
+             AS total_bpe_tokens,
+           avg(CAST(len(regexp_extract_all(lower(text),
+             '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+')) AS DOUBLE))
+             AS avg_bpe_tokens
+    FROM documents GROUP BY source
+    """,
+    doc="Sub-word-ish (BPE-style) token budgeting per source via the "
+    "GPT-2 pre-tokenizer category split: letter runs, digit runs, "
+    "punctuation runs. Full oracle (upgraded from rows-only): the "
+    "pattern is pure Unicode category classes — no Java lookarounds — "
+    "so DuckDB's RE2 regexp_extract_all reproduces the tokenization "
+    "byte-for-byte (verified on zh/accented/digit-boundary edges). "
+    "operators/text.py::bpe_ish_token_count.",
 )
 def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
