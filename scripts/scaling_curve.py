@@ -23,6 +23,7 @@ from mongo_iceberg_lakehouse_spark.session import get_spark  # noqa: E402
 
 QUERIES = [
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "ann_topk_blocked",
     "embedding_neardup_blocked",
     "embedding_neardup_topk",
