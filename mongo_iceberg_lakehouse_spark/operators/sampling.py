@@ -268,3 +268,30 @@ def dsir_importance(
             F.col("__id").alias(id_col), "weight_micro", "n_features"
         )
     )
+
+
+def uniform_k_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-k uniform sample, content-addressed: rank every row by
+    ``md5(salt || id)`` and keep the k smallest. The hash order is a
+    uniform random permutation independent of row order / partitioning,
+    so this is the deterministic, engine-portable replacement for
+    reservoir sampling — same k rows on every run, every engine, every
+    cluster size (``hash_split_column`` carves fixed FRACTIONS; this
+    carves a fixed COUNT, e.g. a 10k-doc eval set from a 10B-doc corpus).
+
+    Scale shape: ``orderBy().limit()`` adjacency fuses to
+    TakeOrderedAndProject — a per-partition k-item heap over one scan
+    plus a k-row merge on the driver side of the exchange; the corpus is
+    never globally sorted. Re-salting draws an independent sample.
+
+    Returns the input columns plus ``sample_key`` (the md5 rank key).
+    """
+    key = F.md5(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    ).alias("sample_key")
+    return df.select("*", key).orderBy("sample_key").limit(k)

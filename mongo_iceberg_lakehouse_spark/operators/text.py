@@ -515,3 +515,271 @@ def plant_synthetic_pii(
         ).otherwise(F.lit("")),
     )
     return df.withColumn(text_col, planted)
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG / context-window prep
+    primitive): split each document into word chunks of ``window`` tokens
+    advancing by ``window - overlap``, so consecutive chunks share
+    ``overlap`` tokens. The final chunk is whatever remains (never padded,
+    never dropped); a document shorter than one window is one chunk.
+
+    Zero-shuffle narrow map: tokenization, the chunk-count arithmetic, and
+    the slice/rejoin all run as one JVM projection; output volume is
+    input volume x (1 + overlap/stride) — the operator scales with scan
+    bandwidth like every other map-only pass. The token array is bound
+    once via ``let_`` (the chunk transform references it per chunk).
+
+    Returns (id, chunk_id, n_tokens, chunk_text).
+    """
+    if not 0 <= overlap < window:
+        raise ValueError("need 0 <= overlap < window")
+    stride = window - overlap
+
+    def body(ws: Column) -> Column:
+        n = F.size(ws)
+        extra = F.floor(
+            (n - F.lit(window) + F.lit(stride - 1)) / F.lit(stride)
+        ).cast("int")
+        n_chunks = (
+            F.when(n == 0, F.lit(0))
+            .when(n <= window, F.lit(1))
+            .otherwise(F.lit(1) + extra)
+        )
+        return F.when(
+            n_chunks == 0,
+            F.array().cast("array<struct<chunk_id:int,cw:array<string>>>"),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.cast("int").alias("chunk_id"),
+                    F.slice(ws, i * stride + 1, window).alias("cw"),
+                ),
+            )
+        )
+
+    chunked = df.select(
+        F.col(id_col),
+        # explode_outer: plain explode's inferred size()>0 filter would
+        # re-inline the whole chunking pipeline into a predicate
+        # (InferFiltersFromGenerate — PERF_NOTES); outer + null-filter on
+        # the exploded output keeps it evaluated once.
+        F.explode_outer(let_(tokens(F.col(text_col)), body)).alias("__c"),
+    ).filter(F.col("__c").isNotNull())
+    return chunked.select(
+        F.col(id_col),
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.size("__c.cw").alias("n_tokens"),
+        F.concat_ws(" ", F.col("__c.cw")).alias("chunk_text"),
+    )
+
+
+def bigram_lift_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-level collocation extraction: top-k word bigrams by lift
+    (the PMI exponent) ``P(ab) / (P(a)P(b)) = c_ab * N / (c_a * c_b)``,
+    computed in EXACT BIGINT micro-units — ``(1e6 * c_ab * N) div
+    (c_a * c_b)`` — so the ranking is engine-portable with no log/float
+    in sight (ln is monotone: lift order IS PMI order). ``min_count``
+    is the standard collocation support floor.
+
+    Shape at scale: one (doc-local) bigram explode feeding a map-side-
+    combinable groupBy on the bigram key, one unigram groupBy, then the
+    vocabulary-sized count tables join back on well-distributed word
+    keys (AQE broadcasts them when they fit; at 100 TB the bigram table
+    after the ``min_count`` filter is vastly smaller than the corpus).
+    The final top-k is an ``orderBy().limit()`` adjacency —
+    TakeOrderedAndProject, a per-partition k-heap, never a global sort.
+
+    Returns (bigram, c_ab, c_a, c_b, lift_micros), lift-desc, bigram-asc.
+    """
+    # ONE corpus scan: unigrams and bigrams leave the tokenizer in a single
+    # labeled explode, so the (vocab-sized) count table is built without a
+    # second pass over the text. The token array is let_-bound — the two
+    # gram transforms reference it many times.
+    def grams(ws: Column) -> Column:
+        return F.concat(
+            F.transform(ws, lambda w: F.struct(F.lit(1).alias("n"), w.alias("g"))),
+            F.transform(
+                word_ngrams(ws, 2),
+                lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+            ),
+        )
+
+    counts = (
+        df.select(
+            F.explode_outer(
+                let_(tokens(F.col(text_col)), grams)
+            ).alias("__g")
+        )
+        .filter(F.col("__g").isNotNull())
+        .groupBy(F.col("__g.n").alias("n"), F.col("__g.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Three consumers (uni / n_total / bg): without a cut, Catalyst pushes
+    # each branch's n== filter BELOW the aggregation and specializes three
+    # full corpus scans (no ReuseExchange once the subtrees differ). The
+    # lazy local checkpoint pins the vocab-sized count table: ONE scan +
+    # tokenize serves all branches — the SemDeDup multi-consumer rule.
+    counts = counts.localCheckpoint(eager=False)
+    uni = counts.filter(F.col("n") == 1).select("g", "c").withColumnRenamed("g", "w")
+    n_total = uni.agg(F.sum("c").alias("n_total"))
+    bg = (
+        counts.filter((F.col("n") == 2) & (F.col("c") >= min_count))
+        .select(F.col("g").alias("bigram"), F.col("c").alias("c_ab"))
+    )
+    scored = (
+        bg.withColumn("__w1", F.split("bigram", " ").getItem(0))
+        .withColumn("__w2", F.split("bigram", " ").getItem(1))
+        .join(uni.select(F.col("w").alias("__w1"), F.col("c").alias("c_a")), "__w1")
+        .join(uni.select(F.col("w").alias("__w2"), F.col("c").alias("c_b")), "__w2")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "lift_micros",
+            F.expr("(1000000 * c_ab * n_total) div (c_a * c_b)"),
+        )
+    )
+    return (
+        scored.select("bigram", "c_ab", "c_a", "c_b", "lift_micros")
+        .orderBy(F.col("lift_micros").desc(), "bigram")
+        .limit(k)
+    )
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top2_max_micros: int = 200_000,
+    dup3_max_micros: int = 300_000,
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 A1.1, the n-gram half
+    that ``gopher_quality_rules`` doesn't cover): per document,
+
+    - ``top_bigram_frac_micros`` — fraction of token characters inside
+      occurrences of the MOST frequent bigram (count-desc, bigram-asc
+      deterministic tiebreak),
+    - ``dup_trigram_frac_micros`` — fraction of token characters inside
+      occurrences of trigrams appearing >= 2 times (occurrence-weighted:
+      overlapping occurrences each count, the standard simplification of
+      the paper's char-position dedup, so the value may exceed 1e6).
+
+    Char mass of an n-gram is ``length(gram) - (n-1)`` (the joining
+    spaces subtracted); denominators are the document's total token
+    chars. All ratios integer micro-units (knife-edge discipline).
+
+    Shape at scale: ONE corpus scan — unigrams, bigrams, and trigrams
+    leave the tokenizer in a single labeled explode feeding one map-side-
+    combinable (id, n, gram) count whose shuffle Exchange is REUSED by
+    all three consumers (stats / argmax / dup sum — ReuseExchange, so the
+    text is never re-tokenized); per-doc stats (n_words, tok_chars) come
+    from the n=1 slice of that same table, the bigram argmax is a
+    doc-partitioned (NEVER global) row_number, and everything meets in
+    two id-key joins. Every wide stage keys on doc ids or (id, gram),
+    both well distributed.
+
+    Returns (id, n_words, tok_chars, top_bigram, top_bigram_frac_micros,
+    dup_trigram_frac_micros, rep_top2_ok, rep_dup3_ok,
+    passes_repetition); docs with < 2 tokens have NULL top_bigram and
+    zero fractions.
+    """
+    from pyspark.sql import Window
+
+    def grams(ws: Column) -> Column:
+        return F.concat(
+            F.transform(
+                ws, lambda w: F.struct(F.lit(1).alias("n"), w.alias("g"))
+            ),
+            F.transform(
+                word_ngrams(ws, 2),
+                lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+            ),
+            F.transform(
+                word_ngrams(ws, 3),
+                lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
+            ),
+        )
+
+    # explode_outer and KEEP the null row: a zero-token document still
+    # yields one (id, null, null) count row, so it survives to the output
+    # with n_words = 0 instead of vanishing.
+    counts = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode_outer(let_(tokens(F.col(text_col)), grams)).alias(
+                "__g"
+            ),
+        )
+        .groupBy("__id", F.col("__g.n").alias("n"), F.col("__g.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Three consumers (stats / top2 / dup3) — same multi-consumer cut as
+    # bigram_lift_topk: one scan + tokenize, not three specialized ones.
+    counts = counts.localCheckpoint(eager=False)
+
+    one = F.when(F.col("n") == 1, F.col("c")).otherwise(F.lit(0))
+    # the zero-token doc's (null, null) row must still sum to 0, so the
+    # char term guards on n == 1 rather than multiplying length(null)
+    one_chars = F.when(
+        F.col("n") == 1, F.col("c") * F.length("g")
+    ).otherwise(F.lit(0))
+    stats = counts.groupBy("__id").agg(
+        F.sum(one).cast("int").alias("n_words"),
+        F.sum(one_chars).cast("bigint").alias("tok_chars"),
+    )
+    w2 = Window.partitionBy("__id").orderBy(F.col("c").desc(), F.col("g"))
+    top2 = (
+        counts.filter(F.col("n") == 2)
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "__id",
+            F.col("g").alias("top_bigram"),
+            (F.col("c") * (F.length("g") - 1)).alias("__top2_chars"),
+        )
+    )
+    dup3 = (
+        counts.filter((F.col("n") == 3) & (F.col("c") >= 2))
+        .groupBy("__id")
+        .agg(F.sum(F.col("c") * (F.length("g") - 2)).alias("__dup3_chars"))
+    )
+    joined = stats.join(top2, "__id", "left").join(dup3, "__id", "left")
+    tc = F.col("tok_chars")
+    top_frac = F.when(
+        F.col("__top2_chars").isNull() | (tc == 0), F.lit(0).cast("bigint")
+    ).otherwise(
+        F.floor((F.lit(1_000_000) * F.col("__top2_chars")) / tc + F.lit(0.5))
+    )
+    dup_frac = F.when(
+        F.col("__dup3_chars").isNull() | (tc == 0), F.lit(0).cast("bigint")
+    ).otherwise(
+        F.floor((F.lit(1_000_000) * F.col("__dup3_chars")) / tc + F.lit(0.5))
+    )
+    out = joined.withColumn("top_bigram_frac_micros", top_frac).withColumn(
+        "dup_trigram_frac_micros", dup_frac
+    )
+    rep2_ok = F.col("top_bigram_frac_micros") <= top2_max_micros
+    rep3_ok = F.col("dup_trigram_frac_micros") <= dup3_max_micros
+    return out.select(
+        F.col("__id").alias(id_col),
+        "n_words",
+        "tok_chars",
+        "top_bigram",
+        "top_bigram_frac_micros",
+        "dup_trigram_frac_micros",
+        rep2_ok.alias("rep_top2_ok"),
+        rep3_ok.alias("rep_dup3_ok"),
+        (rep2_ok & rep3_ok).alias("passes_repetition"),
+    )

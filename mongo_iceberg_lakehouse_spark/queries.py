@@ -9615,6 +9615,189 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_sliding",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+      FROM documents
+    ), c AS (
+      SELECT doc_id, ws,
+             CASE WHEN len(ws) = 0 THEN 0
+                  WHEN len(ws) <= 32 THEN 1
+                  ELSE 1 + CAST(floor((len(ws) - 32 + 23) / 24.0) AS INT)
+             END AS n_chunks
+      FROM w
+    ), e AS (
+      SELECT doc_id, u.s.chunk_id AS chunk_id, u.s.cw AS cw
+      FROM (SELECT doc_id,
+                   [{'chunk_id': CAST(i AS INT),
+                     'cw': ws[i*24 + 1 : i*24 + 32]}
+                    for i in generate_series(0, n_chunks - 1)] AS cs
+            FROM c), unnest(cs) AS u(s)
+    )
+    SELECT doc_id, chunk_id, CAST(len(cw) AS INT) AS n_tokens,
+           substr(md5(array_to_string(cw, ' ')), 1, 16) AS chunk_hash
+    FROM e
+    """,
+    doc="Sliding-window chunking (RAG / context-window prep): 32-token "
+    "chunks, 8-token overlap, final partial chunk kept. Unlike the "
+    "naive strided docs_chunk_overlap, the chunk COUNT is computed "
+    "up front, so no emitted chunk is contained in its predecessor "
+    "(the tail-stride chunks a naive chunker wastes training tokens "
+    "on). Zero-shuffle narrow map (sequence + slice HOFs, token array "
+    "let_-bound); chunk text is emitted as a 16-hex md5 so the oracle "
+    "value-checks the exact chunk BYTES, not just boundaries. "
+    "operators/text.py::sliding_chunks.",
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    out = T.sliding_chunks(d, "doc_id", "text", window=32, overlap=8)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        F.substring(F.md5("chunk_text"), 1, 16).alias("chunk_hash"),
+    )
+
+
+@register(
+    "text_collocations_lift",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+      FROM documents
+    ), uni AS (
+      SELECT u.w AS w, count(*) AS c FROM w, unnest(ws) AS u(w) GROUP BY 1
+    ), n AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni
+    ), bg AS (
+      SELECT g AS bigram, count(*) AS c_ab
+      FROM (SELECT [array_to_string(ws[i:i+1], ' ')
+                    for i in generate_series(1, greatest(len(ws)-1, 0))] AS gs
+            FROM w), unnest(gs) AS t(g)
+      GROUP BY 1
+      HAVING count(*) >= 5
+    )
+    SELECT bigram, c_ab, a.c AS c_a, b.c AS c_b,
+           CAST((1000000 * c_ab * n_total) // (a.c * b.c) AS BIGINT)
+             AS lift_micros
+    FROM bg, n, uni a, uni b
+    WHERE a.w = string_split(bigram, ' ')[1]
+      AND b.w = string_split(bigram, ' ')[2]
+    ORDER BY lift_micros DESC, bigram
+    LIMIT 20
+    """,
+    doc="Collocation extraction: top-20 bigrams by lift = P(ab)/(P(a)P(b)) "
+    "with support >= 5, ranked in EXACT BIGINT micro-units ((1e6*c_ab*N) "
+    "div (c_a*c_b)) — ln is monotone so lift order IS PMI order and no "
+    "float/log enters the compare. Doc-local bigram explode -> map-side-"
+    "combinable counts; vocab-sized count tables join on word keys; "
+    "orderBy().limit() fuses to TakeOrderedAndProject. "
+    "operators/text.py::bigram_lift_topk.",
+)
+def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return T.bigram_lift_topk(d, "doc_id", "text", min_count=5, k=20)
+
+
+@register(
+    "quality_repetition_signals",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+      FROM documents
+    ), base AS (
+      SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(ws, t -> length(t))), 0)
+                  AS BIGINT) AS tok_chars, ws
+      FROM w
+    ), g2 AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id,
+                   [array_to_string(ws[i:i+1], ' ')
+                    for i in generate_series(1, greatest(len(ws)-1, 0))] AS gs
+            FROM base), unnest(gs) AS t(g)
+      GROUP BY 1, 2
+    ), g3 AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id,
+                   [array_to_string(ws[i:i+2], ' ')
+                    for i in generate_series(1, greatest(len(ws)-2, 0))] AS gs
+            FROM base), unnest(gs) AS t(g)
+      GROUP BY 1, 2
+    ), top2 AS (
+      SELECT doc_id, g AS top_bigram, c * (length(g) - 1) AS top2_chars
+      FROM (SELECT doc_id, g, c,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY c DESC, g) AS rn
+            FROM g2)
+      WHERE rn = 1
+    ), dup3 AS (
+      SELECT doc_id, CAST(sum(c * (length(g) - 2)) AS BIGINT) AS dup3_chars
+      FROM g3 WHERE c >= 2 GROUP BY 1
+    ), j AS (
+      SELECT b.doc_id, b.n_words, b.tok_chars, t.top_bigram,
+             CASE WHEN t.top2_chars IS NULL OR b.tok_chars = 0 THEN 0
+                  ELSE CAST(floor((1000000 * t.top2_chars) / b.tok_chars
+                                  + 0.5) AS BIGINT) END
+               AS top_bigram_frac_micros,
+             CASE WHEN d.dup3_chars IS NULL OR b.tok_chars = 0 THEN 0
+                  ELSE CAST(floor((1000000 * d.dup3_chars) / b.tok_chars
+                                  + 0.5) AS BIGINT) END
+               AS dup_trigram_frac_micros
+      FROM base b LEFT JOIN top2 t USING (doc_id)
+                  LEFT JOIN dup3 d USING (doc_id)
+    )
+    SELECT doc_id, n_words, tok_chars, top_bigram, top_bigram_frac_micros,
+           dup_trigram_frac_micros,
+           (top_bigram_frac_micros <= 200000) AS rep_top2_ok,
+           (dup_trigram_frac_micros <= 300000) AS rep_dup3_ok,
+           (top_bigram_frac_micros <= 200000
+            AND dup_trigram_frac_micros <= 300000) AS passes_repetition
+    FROM j
+    """,
+    doc="Gopher repetition filters (Rae et al. 2021 A1.1, the n-gram half "
+    "gopher_quality_rules doesn't cover): per-doc most-frequent-bigram "
+    "char fraction (count-desc/bigram-asc tiebreak) and duplicated-"
+    "trigram char fraction (occurrence-weighted), integer micro-units. "
+    "(id, gram) explode -> map-side-combinable count, doc-partitioned "
+    "row_number argmax, id-key joins. "
+    "operators/text.py::repetition_signals.",
+)
+def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return T.repetition_signals(d)
+
+
+@register(
+    "sample_uniform_k",
+    """
+    SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+    FROM documents
+    ORDER BY sample_key
+    LIMIT 64
+    """,
+    doc="Exactly-k uniform sample, content-addressed: rank by md5(id), "
+    "keep the 64 smallest — the deterministic reservoir-sampling "
+    "replacement (same rows on every run/engine/partitioning; "
+    "hash_split carves fractions, this carves a fixed COUNT, e.g. a "
+    "10k-doc eval set from a 10B-doc corpus). orderBy().limit() fuses "
+    "to TakeOrderedAndProject: per-partition k-heap, no global sort. "
+    "operators/sampling.py::uniform_k_sample.",
+)
+def sample_uniform_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampling import uniform_k_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return uniform_k_sample(d, k=64, id_col="doc_id").select(
+        "doc_id", "source", "sample_key"
+    )
+
+
+@register(
     "streaming_pii_funnel",
     r"""
     WITH planted AS (
