@@ -59,6 +59,9 @@ HEADLINE = [
     "multimodal_png_pixels",
     "dedup_cross_corpus_jaccard",
     "text_bigram_perplexity",
+    # fourth-session additions (see BASELINE.md comparability note)
+    "quality_repetition_signals",
+    "text_collocations_lift",
 ]
 
 

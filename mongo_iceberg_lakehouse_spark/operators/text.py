@@ -587,6 +587,7 @@ def bigram_lift_topk(
     text_col: str = "text",
     min_count: int = 5,
     k: int = 20,
+    single_scan: bool = True,
 ) -> DataFrame:
     """Corpus-level collocation extraction: top-k word bigrams by lift
     (the PMI exponent) ``P(ab) / (P(a)P(b)) = c_ab * N / (c_a * c_b)``,
@@ -618,6 +619,12 @@ def bigram_lift_topk(
             ),
         )
 
+    # CPU-bound tokenize+explode inherits the parquet split count
+    # (PERF_NOTES #8): a small-file corpus would run the heavy stage on
+    # 1-2 cores. Measured at sf1: 4.5 s -> 1.6 s with the spread.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     counts = (
         df.select(
             F.explode_outer(
@@ -630,10 +637,13 @@ def bigram_lift_topk(
     )
     # Three consumers (uni / n_total / bg): without a cut, Catalyst pushes
     # each branch's n== filter BELOW the aggregation and specializes three
-    # full corpus scans (no ReuseExchange once the subtrees differ). The
-    # lazy local checkpoint pins the vocab-sized count table: ONE scan +
-    # tokenize serves all branches — the SemDeDup multi-consumer rule.
-    counts = counts.localCheckpoint(eager=False)
+    # full corpus scans (no ReuseExchange once the subtrees differ — the
+    # pushdown-specialization corollary of PERF_NOTES #7). The lazy local
+    # checkpoint pins the vocab-sized count table: ONE scan + tokenize
+    # serves all branches. ``single_scan=False`` keeps the re-scan form
+    # for A/B measurement.
+    if single_scan:
+        counts = counts.localCheckpoint(eager=False)
     uni = counts.filter(F.col("n") == 1).select("g", "c").withColumnRenamed("g", "w")
     n_total = uni.agg(F.sum("c").alias("n_total"))
     bg = (
@@ -664,6 +674,7 @@ def repetition_signals(
     text_col: str = "text",
     top2_max_micros: int = 200_000,
     dup3_max_micros: int = 300_000,
+    single_scan: bool = True,
 ) -> DataFrame:
     """Gopher repetition filters (Rae et al. 2021 A1.1, the n-gram half
     that ``gopher_quality_rules`` doesn't cover): per document,
@@ -715,6 +726,11 @@ def repetition_signals(
     # explode_outer and KEEP the null row: a zero-token document still
     # yields one (id, null, null) count row, so it survives to the output
     # with n_words = 0 instead of vanishing.
+    # same repartition-to-parallelism spread as bigram_lift_topk
+    # (measured at sf1: 10.0 s -> 3.2 s)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     counts = (
         df.select(
             F.col(id_col).alias("__id"),
@@ -727,7 +743,9 @@ def repetition_signals(
     )
     # Three consumers (stats / top2 / dup3) — same multi-consumer cut as
     # bigram_lift_topk: one scan + tokenize, not three specialized ones.
-    counts = counts.localCheckpoint(eager=False)
+    # Measured at the sf1 decade (see PERF_NOTES #7): see A/B note there.
+    if single_scan:
+        counts = counts.localCheckpoint(eager=False)
 
     one = F.when(F.col("n") == 1, F.col("c")).otherwise(F.lit(0))
     # the zero-token doc's (null, null) row must still sum to 0, so the

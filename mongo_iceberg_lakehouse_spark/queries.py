@@ -9762,10 +9762,12 @@ def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Gopher repetition filters (Rae et al. 2021 A1.1, the n-gram half "
     "gopher_quality_rules doesn't cover): per-doc most-frequent-bigram "
     "char fraction (count-desc/bigram-asc tiebreak) and duplicated-"
-    "trigram char fraction (occurrence-weighted), integer micro-units. "
-    "(id, gram) explode -> map-side-combinable count, doc-partitioned "
-    "row_number argmax, id-key joins. "
-    "operators/text.py::repetition_signals.",
+    "trigram char fraction (occurrence-weighted), integer micro-units — "
+    "the CHAR-mass complements of text_repetition_ngrams' zero-shuffle "
+    "window-count ratio (the char forms need a per-gram count table, "
+    "hence the one extra (id, gram) exchange). (id, gram) explode -> "
+    "map-side-combinable count, doc-partitioned row_number argmax, "
+    "id-key joins. operators/text.py::repetition_signals.",
 )
 def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -9784,9 +9786,10 @@ def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keep the 64 smallest — the deterministic reservoir-sampling "
     "replacement (same rows on every run/engine/partitioning; "
     "hash_split carves fractions, this carves a fixed COUNT, e.g. a "
-    "10k-doc eval set from a 10B-doc corpus). orderBy().limit() fuses "
-    "to TakeOrderedAndProject: per-partition k-heap, no global sort. "
-    "operators/sampling.py::uniform_k_sample.",
+    "10k-doc eval set from a 10B-doc corpus). The global complement of "
+    "sample_group_reservoir: no group key, so the plan is a "
+    "TakeOrderedAndProject per-partition k-heap (no global sort, no "
+    "window). operators/sampling.py::uniform_k_sample.",
 )
 def sample_uniform_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import uniform_k_sample

@@ -36,6 +36,9 @@ QUERIES = [
     "dsir_importance_weights",
     "dedup_cross_corpus_jaccard",
     "text_bigram_perplexity",
+    "quality_repetition_signals",
+    "text_collocations_lift",
+    "text_chunk_sliding",
     # events decade (gen_scale_data.gen_events): sessionization, as-of,
     # streaming windows, sliding top-k — the stateful/temporal families
     "sessionize_events",
