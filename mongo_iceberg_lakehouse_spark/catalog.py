@@ -78,3 +78,47 @@ def verify_count(spark: SparkSession, ident: str) -> int:
     spark_jobs/mongo_to_iceberg.py:144-146)."""
     row = spark.sql(f"SELECT COUNT(*) AS cnt FROM {ident}").collect()[0]
     return int(row["cnt"])
+
+
+def save_table_bucketed(
+    df: DataFrame,
+    ident: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Write ``df`` as a BUCKETED (and per-bucket sorted) parquet table —
+    the co-located-join layout: two tables bucketed on their join keys
+    into the same ``n_buckets`` join with NO shuffle on either side (the
+    bucket id IS the partitioning; with ``sort_cols`` the sort-merge
+    join's per-bucket sort is pre-paid at write time too). The Hive/
+    Iceberg bucket-transform analog on the session catalog; at 100 TB
+    this converts every repeated fact-to-fact join on the bucket key
+    from two corpus-sized exchanges into a map-side zip of bucket files.
+
+    The table is dropped first (external-location re-runs would
+    otherwise collide), then written via ``bucketBy().sortBy()``;
+    ``path`` makes it external so callers can place data under a temp
+    root. Data-source bucketing needs no Hive metastore.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {ident}")
+    # One FILE per bucket: repartition on the bucket columns first
+    # (repartition and bucketBy share the murmur3-pmod placement, so each
+    # bucket lands wholly in one task). Without it every write task emits
+    # a file per bucket — and the read side only trusts the write-time
+    # sortBy (eliding the sort-merge join's Sort) when files-per-bucket
+    # is exactly 1.
+    from pyspark.sql import functions as F
+
+    df = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(ident)

@@ -9460,6 +9460,54 @@ def text_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_bucketed_colocated",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Co-located join via bucketed tables (catalog.py::"
+    "save_table_bucketed): orders and lineitem are written bucketBy(8, "
+    "orderkey).sortBy(orderkey), one file per bucket, then joined "
+    "WITHOUT an exchange on either side — the bucket id is the "
+    "partitioning, so the join is a map-side zip of bucket files "
+    "(tests/test_bucketed_join.py pins the zero-Exchange plan with "
+    "broadcast disabled, and the additional Sort elision under the "
+    "sound-here outputOrdering opt-in). The Hive/Iceberg "
+    "bucket-transform layout for repeated fact-to-fact joins at "
+    "100 TB: two corpus-sized shuffles per join become none. Result is "
+    "layout-invariant, so the plain-join oracle checks it.",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .catalog import save_table_bucketed
+
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    save_table_bucketed(
+        o, "bucketed_demo_orders", ["o_orderkey"], 8, path=f"{base}/orders"
+    )
+    save_table_bucketed(
+        li, "bucketed_demo_lineitem", ["l_orderkey"], 8,
+        path=f"{base}/lineitem",
+    )
+    ob = spark.table("bucketed_demo_orders")
+    lb = spark.table("bucketed_demo_lineitem")
+    return (
+        ob.join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+    )
+
+
+@register(
     "catalog_time_travel",
     """
     SELECT o_orderstatus,
