@@ -801,3 +801,71 @@ def repetition_signals(
         rep3_ok.alias("rep_dup3_ok"),
         (rep2_ok & rep3_ok).alias("passes_repetition"),
     )
+
+
+def vocab_oov_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 16,
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage QA: build the top-``vocab_size``
+    corpus vocabulary (count-desc, word-asc tiebreak — deterministic at
+    the boundary) and report each document's out-of-vocabulary token
+    count and rate. The standard pre-tokenizer-training sanity check:
+    a vocab/corpus mismatch (wrong language mix, mojibake, markup blow-
+    up) shows up as an OOV spike before any GPU time is spent.
+
+    Shape at scale: ONE corpus scan into a (doc, word) count table
+    (map-side combinable), localCheckpoint-cut for its three consumers
+    (per-doc totals / vocabulary argmax / OOV anti-join — the PERF_NOTES
+    7b pushdown-specialization fix); the vocabulary is
+    ``orderBy().limit()`` = TakeOrderedAndProject and rides back as a
+    broadcast for the anti-join, so nothing corpus-sized shuffles twice.
+
+    Returns (id, n_tokens, n_oov, oov_rate_micros); zero-token docs get
+    all zeros.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    dt = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode_outer(tokens(F.col(text_col))).alias("w"),
+        )
+        .groupBy("__id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        dt.filter(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.sum("c").alias("__sc"))
+        .orderBy(F.col("__sc").desc(), "w")
+        .limit(vocab_size)
+        .select("w")
+    )
+    per_doc = dt.groupBy("__id").agg(
+        F.sum(F.when(F.col("w").isNotNull(), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    oov = (
+        dt.filter(F.col("w").isNotNull())
+        .join(F.broadcast(vocab), "w", "left_anti")
+        .groupBy("__id")
+        .agg(F.sum("c").cast("bigint").alias("n_oov"))
+    )
+    out = per_doc.join(oov, "__id", "left").withColumn(
+        "n_oov", F.coalesce(F.col("n_oov"), F.lit(0).cast("bigint"))
+    )
+    rate = F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor((F.lit(1_000_000) * F.col("n_oov")) / F.col("n_tokens") + F.lit(0.5))
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "n_oov",
+        rate.alias("oov_rate_micros"),
+    )

@@ -3795,6 +3795,45 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "layout_partition_pruning",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS value_micros
+    FROM events
+    WHERE event_type IN ('click', 'error')
+    GROUP BY event_type
+    """,
+    doc="Partition pruning end-to-end as a query (not just a plan test): "
+    "events re-written partitionBy(event_type), read back with an IN "
+    "filter that the scan planner turns into PartitionFilters — the "
+    "non-matching directories are never LISTED, let alone read (the "
+    "mechanism that turns a 100 TB scan into a per-partition one; "
+    "tests/test_plans.py pins the PartitionFilters + pruned-partition "
+    "count). value aggregated as per-row floor(1e6*v) BIGINTs: the "
+    "per-row double multiply is bit-identical across engines and the "
+    "sum is then exact, immune to combine order. Result is "
+    "layout-invariant, so the plain filtered aggregate checks it.",
+)
+def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="part_prune_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    back = spark.read.parquet(base).filter(
+        F.col("event_type").isin("click", "error")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1_000_000).cast("bigint"))
+        .cast("bigint")
+        .alias("value_micros"),
+    )
+
+
+@register(
     "layout_zorder_pruning",
     None,  # layout/plan-level result (row-group stats) — rows-only
     doc="Z-order layout clustering vs linear sort, measured by parquet "
@@ -9820,6 +9859,48 @@ def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return T.repetition_signals(d)
+
+
+@register(
+    "text_oov_rate",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS ws
+      FROM documents
+    ), dt AS (
+      SELECT doc_id, u.w AS w, count(*) AS c
+      FROM w, unnest(ws) AS u(w) GROUP BY 1, 2
+    ), vocab AS (
+      SELECT w FROM (SELECT w, sum(c) AS sc FROM dt GROUP BY 1
+                     ORDER BY sc DESC, w LIMIT 16)
+    ), pd AS (
+      SELECT d.doc_id, CAST(coalesce(sum(dt.c), 0) AS BIGINT) AS n_tokens
+      FROM documents d LEFT JOIN dt ON d.doc_id = dt.doc_id GROUP BY 1
+    ), ov AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_oov FROM dt
+      WHERE w NOT IN (SELECT w FROM vocab) GROUP BY 1
+    )
+    SELECT p.doc_id, p.n_tokens,
+           CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+           CASE WHEN p.n_tokens = 0 THEN 0
+                ELSE CAST(floor((1000000 * coalesce(o.n_oov, 0))
+                                / p.n_tokens + 0.5) AS BIGINT) END
+             AS oov_rate_micros
+    FROM pd p LEFT JOIN ov o ON p.doc_id = o.doc_id
+    """,
+    doc="Tokenizer-vocabulary coverage QA: top-16 corpus vocabulary "
+    "(count-desc/word-asc deterministic boundary tiebreak) and per-doc "
+    "out-of-vocabulary counts + micro-unit rates — the pre-tokenizer-"
+    "training check that catches language-mix / mojibake / markup "
+    "blow-ups as an OOV spike. One corpus scan into a checkpointed "
+    "(doc, word) count table serving all three consumers; vocab = "
+    "TakeOrderedAndProject, broadcast into the OOV anti-join. "
+    "operators/text.py::vocab_oov_stats.",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return T.vocab_oov_stats(d, "doc_id", "text", vocab_size=16)
 
 
 @register(

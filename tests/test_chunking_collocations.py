@@ -147,3 +147,50 @@ def test_uniform_k_sample_plan_is_top_k(spark):
     d = _docs(spark, [f"t{i}" for i in range(50)])
     plan = uniform_k_sample(d, 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------------------------- OOV coverage
+
+
+def test_oov_rate_hand_computed(spark):
+    from mongo_iceberg_lakehouse_spark.operators.text import vocab_oov_stats
+
+    # corpus counts: a:4, b:3, c:2, d:1 -> vocab_size=2 keeps {a, b}
+    d = _docs(spark, ["a a b c", "a a b b c d"])
+    out = {r.doc_id: r for r in vocab_oov_stats(d, vocab_size=2).collect()}
+    assert out[0].n_tokens == 4 and out[0].n_oov == 1
+    assert out[0].oov_rate_micros == 250_000
+    assert out[1].n_tokens == 6 and out[1].n_oov == 2  # c + d
+    assert out[1].oov_rate_micros == 333_333
+
+
+def test_oov_vocab_boundary_tiebreak(spark):
+    from mongo_iceberg_lakehouse_spark.operators.text import vocab_oov_stats
+
+    # x and y both count 2; vocab_size=1 must pick 'x' (word-asc tiebreak)
+    d = _docs(spark, ["x y x y"])
+    r = vocab_oov_stats(d, vocab_size=1).collect()[0]
+    assert r.n_oov == 2  # the two 'y' occurrences
+
+
+def test_oov_empty_doc_zeros(spark):
+    from mongo_iceberg_lakehouse_spark.operators.text import vocab_oov_stats
+
+    d = _docs(spark, ["", "a a"])
+    out = {r.doc_id: r for r in vocab_oov_stats(d, vocab_size=1).collect()}
+    assert out[0].n_tokens == 0 and out[0].n_oov == 0
+    assert out[0].oov_rate_micros == 0
+
+
+# ------------------------------------------------- partition pruning
+
+
+def test_partition_pruning_reaches_scan(spark):
+    from mongo_iceberg_lakehouse_spark.queries import REGISTRY
+
+    from .conftest import SF_SMOKE
+
+    df = REGISTRY["layout_partition_pruning"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
