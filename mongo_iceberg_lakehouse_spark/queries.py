@@ -9547,6 +9547,69 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_salted_skew",
+    """
+    SELECT l_returnflag,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Skew-safe two-stage aggregation (relational.py::"
+    "salted_groupby_sum): l_returnflag has 3 hot values over the whole "
+    "fact table — the pathological grouping key. Salting spreads each "
+    "key over 32 reducers for the partial agg, the final agg reduces "
+    "32 rows/key. Result is salt-invariant by construction, so the "
+    "plain GROUP BY oracle checks the rewrite exactly (the measure is "
+    "integral-valued, so the double sum is order-exact).",
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import salted_groupby_sum
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    out = salted_groupby_sum(li, ["l_returnflag"], "l_quantity", salt_buckets=32)
+    return out.select(
+        "l_returnflag",
+        F.col("sum_l_quantity").cast("long").alias("sum_qty"),
+        F.col("cnt"),
+    )
+
+
+@register(
+    "join_salted_skew",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Skew-safe equi-join (relational.py::salted_join): the big side "
+    "is salted by a deterministic whole-row hash, the dimension side "
+    "replicated across the 8 salts, joined on (key, salt) — the manual "
+    "form of AQE skew-join for when AQE can't see the skew (pinned "
+    "partitioning downstream). Result is replication-invariant, so the "
+    "plain-join oracle checks both the salting and that no right row "
+    "is lost or duplicated per salt.",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import salted_join
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"), "l_quantity")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"), "o_orderpriority")
+    )
+    joined = salted_join(li, o, "k", num_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )
+
+
+@register(
     "catalog_time_travel",
     """
     SELECT o_orderstatus,
