@@ -1281,3 +1281,106 @@ def random_projection(
         F.col(id_col),
         F.posexplode(let_(micro, _proj_q)).alias("k", "proj_micro"),
     )
+
+
+def embedding_outlier_filter(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    k_num: int = 2,
+    k_den: int = 1,
+) -> DataFrame:
+    """Embedding-space outlier filter: drop vectors far from their group
+    centroid — the curation pass that catches mislabeled / corrupted /
+    off-domain samples before they enter a training mix (the "remove
+    embedding outliers" step in DataComp-style pipelines).
+
+    Exact and engine-portable by the SemDeDup discipline: vectors are
+    int8-quantized (``quantize_int8``), the per-group centroid is the
+    HALF-UP-ROUNDED integer mean of the codes (one correctly-rounded
+    IEEE division per dimension — both engines order identically), each
+    vector's squared distance to it is an exact BIGINT fold, and the
+    keep rule is the division-free mean-distance multiple test
+    ``dist2 * n * k_den <= k_num * total_dist2`` — all-integer, so no
+    float-sum ordering can flip a decision. Magnitudes stay tiny:
+    dist2 <= dim * 254^2 (~4e6 at 64 dims) regardless of corpus size.
+
+    Shape at scale: quantization is a narrow map; the per-dimension sums
+    posexplode to (group, dim) keys — map-side combinable, so the
+    shuffle carries only |groups| x dim rows; centroids and per-group
+    totals ride back as broadcasts; scoring is a narrow map. Nothing
+    shuffles corpus-sized data, and no window partitions by the (low-
+    cardinality, skew-prone) group key. The quantized frame and the
+    scored frame each feed multiple consumers, so both are cut with a
+    lazy localCheckpoint (PERF_NOTES §7).
+
+    Returns (id, group, dist2, keep).
+    """
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < par:
+        embeddings = embeddings.repartition(par)
+    z = (
+        quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(group_col).alias("__g"),
+            F.col("codes").alias("__codes"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    counts = z.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    dim_sums = (
+        z.select("__g", F.posexplode("__codes").alias("__pos", "__c"))
+        .groupBy("__g", "__pos")
+        .agg(F.sum("__c").cast("bigint").alias("__s"))
+    )
+    centroids = (
+        dim_sums.join(counts, "__g")
+        .withColumn(
+            "__m",
+            F.floor(
+                F.col("__s").cast("double") / F.col("__n") + F.lit(0.5)
+            ).cast("long"),
+        )
+        .groupBy("__g", "__n")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__m"))
+                ),
+                lambda p: p["__m"],
+            ).alias("__mean")
+        )
+    )
+    scored = (
+        z.join(F.broadcast(centroids), "__g")
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(
+                    "__codes",
+                    "__mean",
+                    lambda c, m: (c.cast("long") - m) * (c.cast("long") - m),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + t,
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = scored.groupBy("__g").agg(
+        F.sum("dist2").cast("bigint").alias("__total")
+    )
+    return (
+        scored.join(F.broadcast(totals), "__g")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__g").alias(group_col),
+            F.col("dist2"),
+            (
+                F.col("dist2") * F.col("__n") * F.lit(k_den)
+                <= F.lit(k_num) * F.col("__total")
+            ).alias("keep"),
+        )
+    )

@@ -10963,6 +10963,95 @@ SCALE_PROBES: dict[str, Q] = {
 # classes, TPC-H flagships, dedup/ANN/text/multimodal/streaming/lakehouse-
 # mutation/governance — so a budget-capped run still grades the full
 # breadth; everything else follows in registration order.
+@register(
+    "embedding_outlier_filter",
+    """
+    WITH z AS (
+      SELECT vec_id, label,
+             list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT)) AS codes
+      FROM (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS s
+        FROM (SELECT vec_id, label, embedding,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) AS mx
+              FROM embeddings))
+    ), cnt AS (
+      SELECT label, count(*) AS n FROM z GROUP BY label
+    ), sums AS (
+      SELECT label, i, CAST(sum(codes[i]) AS BIGINT) AS s
+      FROM z, unnest(generate_series(1, 64)) AS t(i)
+      GROUP BY label, i
+    ), cent AS (
+      SELECT sums.label, n,
+             list(CAST(floor(s / n + 0.5) AS BIGINT) ORDER BY i) AS m
+      FROM sums JOIN cnt ON sums.label = cnt.label
+      GROUP BY sums.label, n
+    ), scored AS (
+      SELECT vec_id, z.label, n,
+             CAST(list_sum(list_transform(list_zip(codes, m),
+                  p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist2
+      FROM z JOIN cent ON z.label = cent.label
+    ), tot AS (
+      SELECT label, CAST(sum(dist2) AS BIGINT) AS total
+      FROM scored GROUP BY label
+    )
+    SELECT vec_id, scored.label, dist2,
+           dist2 * n * 1 <= 2 * total AS keep
+    FROM scored JOIN tot ON scored.label = tot.label
+    """,
+    doc="Embedding-space outlier filter (the DataComp-style 'drop "
+    "mislabeled/corrupted samples' pass): int8-quantize, per-group "
+    "integer-rounded centroid, exact BIGINT squared distance, keep = "
+    "division-free mean-multiple test dist2*n <= 2*total. Per-dim sums "
+    "shuffle only |groups| x dim combinable keys; centroids and totals "
+    "broadcast back; scoring is a narrow map — no corpus-sized shuffle "
+    "and no window over the skew-prone low-cardinality group key. "
+    "operators/similarity.py::embedding_outlier_filter.",
+)
+def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return S.embedding_outlier_filter(e, k_num=2, k_den=1)
+
+
+@register(
+    "quality_fasttext_classifier",
+    """
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '') AS ws
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+    wt AS (SELECT doc_id,
+                  (CAST(('0x' || substr(md5('w:' || CAST(
+                     CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 128
+                   AS VARCHAR)), 1, 8)) AS BIGINT) % 2000001) - 1000000 AS wm
+           FROM tok),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(wm) AS BIGINT) AS score_micros
+            FROM wt GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.score_micros, 0) AS BIGINT) AS score_micros,
+           coalesce(a.score_micros, 0) >= 0 AS keep
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    doc="fastText-style hashed linear quality classifier (Joulin et al. "
+    "2016) — the CCNet/LLaMA-pipeline 'does this look like reference "
+    "text' filter: tokens hash into 128 feature buckets, the doc score "
+    "is an exact BIGINT sum of integer micro-unit bucket weights "
+    "(content-addressed stand-in table; real trained weights plug in "
+    "via weights_micros), keep = division-free mean-threshold test. "
+    "Plan is a PURE NARROW MAP: no explode, no shuffle — the score "
+    "folds inside one JVM aggregate HOF per row and the weight table "
+    "is a single-parse plan literal, so a 100 TB classifier pass is "
+    "one map stage. operators/text.py::hashed_linear_classifier.",
+)
+def quality_fasttext_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return T.hashed_linear_classifier(d, n_buckets=128)
+
+
 PRIORITY: list[str] = [
     # --- first 50: one or two FULL-ORACLE representatives of EVERY
     # operator family, so a driver run budget-capped at 50 still grades

@@ -194,3 +194,23 @@ def test_codec_stage_spread_across_cores(spark):
     plan = _plan(spark, "multimodal_png_pixels", mode="simple")
     assert "Exchange RoundRobinPartitioning" in plan
     assert plan.count("MapInPandas") == 2  # synth + decode, nothing more
+
+
+def test_fasttext_classifier_is_pure_narrow_map(spark):
+    # The hashed linear classifier must be one map stage: the token array
+    # never explodes, the 128-weight table is a plan literal, and nothing
+    # shuffles — the cheapest shape for a 100 TB classifier pass.
+    plan = _plan(spark, "quality_fasttext_classifier", mode="simple")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_embedding_outlier_no_corpus_window_or_cartesian(spark):
+    # Group stats must come from map-side-combinable aggregations and ride
+    # back as broadcasts — never a window over the 10-value label key
+    # (that would collapse the corpus onto 10 partitions at scale).
+    plan = _plan(spark, "embedding_outlier_filter", mode="simple")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
