@@ -10520,6 +10520,80 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_perplexity_buckets",
+    """
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+    b AS (SELECT doc_id, ws[i] AS prev, ws[i+1] AS cur
+          FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+                           AS i) ii
+          WHERE len(ws) >= 2),
+    bc AS (SELECT prev, cur, count(*) AS c_vw FROM b GROUP BY prev, cur),
+    cc AS (SELECT prev, count(*) AS c_v FROM b GROUP BY prev),
+    v AS (SELECT count(DISTINCT t) AS vsz
+          FROM (SELECT unnest(ws) AS t FROM w)),
+    lm AS (SELECT prev, cur,
+                  CAST(floor(-ln((c_vw + 1.0) / (c_v + vsz)) * 1000000)
+                    AS BIGINT) AS term_micros
+           FROM bc JOIN cc USING (prev), v),
+    scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                      CAST(floor(sum(term_micros) / count(*) + 0.5)
+                        AS BIGINT) AS mean_ce_micros
+               FROM b JOIN lm USING (prev, cur)
+               GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, mean_ce_micros,
+           CAST(ntile(3) OVER (ORDER BY mean_ce_micros, doc_id) AS INT)
+             AS tercile,
+           CASE ntile(3) OVER (ORDER BY mean_ce_micros, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket
+    FROM scored
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): score "
+    "every doc with the corpus bigram LM (text_bigram_perplexity's "
+    "exact-BIGINT machinery), take the mean cross-entropy per bigram "
+    "(one correctly-rounded IEEE division of exact ints, half-up to "
+    "micro-units), and split the corpus into head/middle/tail terciles "
+    "— the shipping decision CCNet makes before choosing which third "
+    "trains the model. The tercile is NOT a global ntile window (single "
+    "partition at 100 TB): ordered.py::distributed_ntile range-buckets "
+    "on approxQuantile boundaries, ranks per bucket, and adds broadcast "
+    "offsets — bit-identical to SQL ntile (property-tested), no "
+    "corpus-sized single-partition sort anywhere.",
+)
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ordered import distributed_ntile
+
+    scored = text_bigram_perplexity(spark, sf_dir).select(
+        "doc_id",
+        "n_bigrams",
+        F.floor(
+            F.col("ce_micro_sum").cast("double") / F.col("n_bigrams")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_ce_micros"),
+    )
+    # the LM scoring subtree feeds both the quantile-boundary collect and
+    # the ranked output — cut it so it computes once (PERF_NOTES §7)
+    scored = scored.localCheckpoint(eager=False)
+    binned = distributed_ntile(
+        scored, "mean_ce_micros", "doc_id", k=3, out_col="tercile"
+    )
+    return binned.select(
+        "doc_id",
+        "n_bigrams",
+        "mean_ce_micros",
+        F.col("tercile").cast("int").alias("tercile"),
+        F.when(F.col("tercile") == 1, F.lit("head"))
+        .when(F.col("tercile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+@register(
     "train_order_shards",
     """
     WITH h AS (SELECT doc_id,
@@ -11069,12 +11143,14 @@ PRIORITY: list[str] = [
     "join_customer_orders", "join_broadcast_region_revenue",
     "join_left_semi", "join_left_anti", "join_theta_pairs",
     "asof_join_purchase_view",
-    # aggregation
-    "agg_rollup", "agg_stats_percentile", "agg_approx",
+    # aggregation (percentile stats rotate out to the local+sf1 gates;
+    # the family keeps rollup + the approx contract in-window)
+    "agg_rollup", "agg_approx",
     # SQL semantics
     "sql_grouping_sets", "sql_correlated_subquery",
-    # scalars + reshape + set ops
-    "scalar_datetime", "scalar_json_extract", "explode_word_counts",
+    # scalars + reshape + set ops (datetime scalars rotate out; the
+    # family keeps the VARIANT json path + explode + pivot in-window)
+    "scalar_json_extract", "explode_word_counts",
     "pivot_event_values", "union_by_name_drift",
     # windows + sessions
     "window_running_sum", "window_rank_family", "sessionize_events",
@@ -11091,10 +11167,11 @@ PRIORITY: list[str] = [
     # ann_topk_blocked exercised, so the contract covers both; blocked
     # and the JL projection stay oracle-checked locally + in the sf1 gate)
     "ann_lsh_recall_contract", "ann_maxsim_multivector",
-    "semdedup_embedding_prune",
+    "semdedup_embedding_prune", "embedding_outlier_filter",
     # text quality + retrieval + curation classics (+ round-4 PII scrub
     # and bigram-LM perplexity)
     "text_pii_redaction", "text_bigram_perplexity", "quality_gopher_rules",
+    "quality_fasttext_classifier",
     "dsir_importance_weights", "tokenizer_bpe_pair_counts",
     # multimodal
     "multimodal_png_pixels", "multimodal_wav_samples",
@@ -11107,7 +11184,8 @@ PRIORITY: list[str] = [
     # --- end of the 50-budget window; remaining families' siblings ---
     "join_outer_counts", "join_interval_events", "join_lateral_topk_orders",
     "join_null_safe_eq", "join_salted_lineitem_orders",
-    "agg_cube", "agg_distinct_customers",
+    "agg_stats_percentile", "agg_cube", "agg_distinct_customers",
+    "scalar_datetime",
     "sql_group_by_all", "sql_not_in_null_semantics",
     "scalar_string_funcs", "scalar_math_funcs", "scalar_try_cast",
     "scalar_date_arith", "case_when_buckets",

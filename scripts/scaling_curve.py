@@ -39,6 +39,8 @@ QUERIES = [
     "quality_repetition_signals",
     "text_collocations_lift",
     "text_chunk_sliding",
+    "quality_fasttext_classifier",
+    "embedding_outlier_filter",
     # events decade (gen_scale_data.gen_events): sessionization, as-of,
     # streaming windows, sliding top-k — the stateful/temporal families
     "sessionize_events",
