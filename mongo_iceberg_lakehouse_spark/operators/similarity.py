@@ -1384,3 +1384,80 @@ def embedding_outlier_filter(
             ).alias("keep"),
         )
     )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    k: int = 8,
+    per_cluster: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced corpus subsampling: assign every vector to its
+    nearest content-addressed centroid (the SemDeDup assignment — int8
+    codes, exact-integer cosine ordering), then keep the ``per_cluster``
+    members with the smallest salted md5 inside each cluster. The
+    diversity-preserving downsampling step (DataComp / SemDeDup-family
+    pipelines): a uniform sample over-represents dense regions; sampling
+    a fixed quota per embedding cluster keeps coverage of the tails.
+
+    Deterministic end-to-end (content-addressed centroids, exact integer
+    score ordering, md5 sample keys), so the same corpus yields the same
+    sample on any engine/partitioning. Per-cluster selection is a
+    window top-k over the cluster id — cluster COUNT scales with the
+    corpus (pass k ~ sqrt(n/2) like semdedup), and Spark 4 plans the
+    rank filter as WindowGroupLimit, pruning each task's candidates to
+    ``per_cluster`` BEFORE the exchange, so the shuffle carries at most
+    per_cluster x tasks rows per cluster.
+
+    Returns (id, cluster_id, sample_rank) — the kept rows only.
+    """
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < par:
+        embeddings = embeddings.repartition(par)
+    z = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("__id"),
+        F.col("codes").alias("__codes"),
+        int_dot("codes", "codes").cast("bigint").alias("__n2"),
+    )
+    cent = (
+        z.orderBy(F.md5(F.col("__id").cast("string")).asc(), F.col("__id").asc())
+        .limit(k)
+        .select(
+            F.col("__id").alias("__cid"),
+            F.col("__codes").alias("__ccodes"),
+            F.col("__n2").alias("__cn2"),
+        )
+    )
+    scored = (
+        z.join(F.broadcast(cent))
+        .withColumn("__q", int_dot("__codes", "__ccodes").cast("bigint"))
+        .withColumn(
+            "__score",
+            F.when(
+                F.col("__q") >= 0,
+                (F.col("__q") * F.col("__q")).cast("double") / F.col("__cn2"),
+            ).otherwise(
+                -(F.col("__q") * F.col("__q")).cast("double") / F.col("__cn2")
+            ),
+        )
+    )
+    assigned = scored.groupBy("__id").agg(
+        F.max_by(
+            F.col("__cid"),
+            F.struct(F.col("__score"), (-F.col("__cid")).alias("__nc")),
+        ).alias("__cid")
+    )
+    w = Window.partitionBy("__cid").orderBy(
+        F.md5(F.concat(F.lit("s:"), F.col("__id").cast("string"))).asc(),
+        F.col("__id").asc(),
+    )
+    return (
+        assigned.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= per_cluster)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cid").alias("cluster_id"),
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+    )

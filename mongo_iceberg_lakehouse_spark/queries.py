@@ -11038,6 +11038,75 @@ SCALE_PROBES: dict[str, Q] = {
 # mutation/governance — so a budget-capped run still grades the full
 # breadth; everything else follows in registration order.
 @register(
+    "sample_cluster_balanced",
+    """
+    WITH z AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x / s + 0.5) AS INT)) AS codes
+      FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS s
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) AS mx
+              FROM embeddings))
+    ), z2 AS (
+      SELECT vec_id, codes,
+             CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT) * c))
+                  AS BIGINT) AS n2
+      FROM z
+    ), cent AS (
+      SELECT cid, ccodes, cn2 FROM (
+        SELECT vec_id AS cid, codes AS ccodes, n2 AS cn2,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS crn
+        FROM z2) CROSS JOIN
+        (SELECT CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT) AS kk FROM z2)
+      WHERE crn <= kk
+    ), scored AS (
+      SELECT z2.vec_id, cent.cid, cent.cn2,
+             CAST(list_sum(list_transform(list_zip(z2.codes, cent.ccodes),
+                  p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS q
+      FROM z2 CROSS JOIN cent
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY (CASE WHEN q >= 0 THEN CAST(q*q AS DOUBLE)/cn2
+                                ELSE -CAST(q*q AS DOUBLE)/cn2 END) DESC, cid
+               ) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT vec_id, cid AS cluster_id, CAST(rn AS INT) AS sample_rank
+    FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (
+               PARTITION BY cid
+               ORDER BY md5('s:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM assign)
+    WHERE rn <= 4
+    """,
+    doc="Cluster-balanced corpus subsampling (the DataComp-style "
+    "diversity-preserving downsample): SemDeDup's exact-integer cluster "
+    "assignment, then keep the 4 smallest salted-md5 members per "
+    "cluster — a uniform sample over-represents dense embedding "
+    "regions; a per-cluster quota keeps tail coverage. Cluster count "
+    "scales as ceil(sqrt(n/2)); the per-cluster pick is a window top-k "
+    "that Spark 4 plans as WindowGroupLimit (per-task pre-prune before "
+    "the exchange). Content-addressed end-to-end: same sample on any "
+    "engine, run, or partitioning. "
+    "operators/similarity.py::cluster_balanced_sample.",
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    e = _t(spark, sf_dir, "embeddings")
+    k = max(1, math.ceil(math.sqrt(e.count() / 2.0)))
+    return S.cluster_balanced_sample(e, k=k, per_cluster=4)
+
+
+@register(
     "embedding_outlier_filter",
     """
     WITH z AS (

@@ -214,3 +214,12 @@ def test_embedding_outlier_no_corpus_window_or_cartesian(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_cluster_balanced_sample_partial_topk(spark):
+    # The per-cluster quota must pre-prune inside each task before the
+    # cluster-id exchange (WindowGroupLimit), and assignment must ride a
+    # broadcast of the bounded centroid set — never a cartesian.
+    plan = _plan(spark, "sample_cluster_balanced", mode="simple")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
