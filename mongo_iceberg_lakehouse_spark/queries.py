@@ -10108,6 +10108,50 @@ def streaming_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_classifier_funnel",
+    """
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '') AS ws
+               FROM documents),
+    tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+    wt AS (SELECT doc_id,
+                  (CAST(('0x' || substr(md5('w:' || CAST(
+                     CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 128
+                   AS VARCHAR)), 1, 8)) AS BIGINT) % 2000001) - 1000000 AS wm
+           FROM tok),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(wm) AS BIGINT) AS score_micros
+            FROM wt GROUP BY doc_id),
+    scored AS (SELECT d.doc_id,
+                      CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                      CAST(coalesce(a.score_micros, 0) AS BIGINT) AS sm,
+                      coalesce(a.score_micros, 0) >= 0 AS keep
+               FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_drop,
+           CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           CAST(sum(sm) AS BIGINT) AS score_sum_micros
+    FROM scored
+    """,
+    doc="Ingest-time model-based curation: the fastText-style hashed "
+    "linear classifier (itself a pure narrow map) runs UNCHANGED on a "
+    "document STREAM; each landing micro-batch is scored on arrival and "
+    "the keep/drop funnel rolls up in complete mode — bounded 1-row "
+    "state, no watermark, exact BIGINT sums so the funnel is combine-"
+    "order-free across micro-batches. availableNow + memory sink => "
+    "batch-equivalent; oracle is the plain batch aggregate. "
+    "streaming/curation.py::run_stream_classifier_funnel.",
+)
+def streaming_classifier_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.curation import run_stream_classifier_funnel
+
+    return run_stream_classifier_funnel(spark, sf_dir)
+
+
+@register(
     "semdedup_embedding_prune",
     """
     WITH z AS (

@@ -120,3 +120,46 @@ def run_stream_pii_funnel(
         q.awaitTermination()
         q.stop()
     return spark.table(query_name)
+
+
+def classifier_funnel(docs: DataFrame) -> DataFrame:
+    """One-row ingest funnel from the fastText-style classifier: how many
+    landing docs the model keeps and the token volume that survives.
+    Stateless projection + global agg — identical on static or streaming
+    frames, exact BIGINT arithmetic throughout."""
+    from ..operators.text import hashed_linear_classifier
+
+    scored = hashed_linear_classifier(docs)
+    keep = F.col("keep")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_keep"),
+        F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_drop"),
+        F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.sum("score_micros").cast("long").alias("score_sum_micros"),
+    )
+
+
+def run_stream_classifier_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_classifier_funnel",
+) -> DataFrame:
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    docs = read_documents_stream(spark, sf_dir)
+    funnel = classifier_funnel(docs)
+    with state_partitions(spark):
+        q = (
+            funnel.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    return spark.table(query_name)
