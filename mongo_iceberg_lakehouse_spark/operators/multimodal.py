@@ -660,3 +660,42 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.select(
         F.col("doc_id"), F.explode_outer(frames).alias("frame_no")
     ).filter(F.col("frame_no").isNotNull())
+
+
+AHASH_SCHEMA = "doc_id bigint, width int, height int, ahash string"
+
+
+def ahash_png(df: DataFrame) -> DataFrame:
+    """Brightness-invariant structural image hash (the aHash trick,
+    division-free): decode the REAL PNG bytes, form the per-pixel gray
+    sum ``g = r+g+b``, threshold each pixel against the image mean via
+    the exact-integer test ``w*h*g >= total``, and md5 the row-major
+    bit string. Adding a constant to every channel (a brightness shift)
+    leaves every bit unchanged until values wrap — the property that
+    makes threshold-vs-mean hashes find re-encoded/re-exposed
+    duplicates that byte-level hashing misses.
+
+    Arrow-batched ``mapInPandas`` over the payload column (the codec is
+    the same stdlib ``png_decode`` the pixel-stats queries exercise);
+    emits only (id, dims, hash), so downstream dedup moves ~50 bytes per
+    image regardless of payload size.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, px = png_decode(bytes(payload))
+                g = px.astype(np.int64).sum(axis=2)
+                total = int(g.sum())
+                bits = (g * (w * h) >= total).astype(np.uint8)
+                bs = "".join("1" if b else "0" for b in bits.flatten())
+                rows.append(
+                    (int(doc_id), w, h, hashlib.md5(bs.encode()).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "ahash"]
+            )
+
+    return df.mapInPandas(batches, schema=AHASH_SCHEMA)

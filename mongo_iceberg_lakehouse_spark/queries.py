@@ -8139,6 +8139,65 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_image_ahash_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 13 AS INT) AS width,
+             CAST(4 + (doc_id * 7) % 11 AS INT) AS height
+      FROM documents
+    ), cells AS (
+      SELECT doc_id, width, height, r, c,
+             CAST((doc_id * 31 + r * 7 + c * 3) % 256
+                + (doc_id * 31 + r * 7 + c * 3 + 11) % 256
+                + (doc_id * 31 + r * 7 + c * 3 + 22) % 256 AS BIGINT) AS g
+      FROM d,
+           unnest(generate_series(0, height - 1)) AS tr(r),
+           unnest(generate_series(0, width - 1)) AS tc(c)
+    ), tot AS (
+      SELECT doc_id, CAST(sum(g) AS BIGINT) AS total FROM cells
+      GROUP BY doc_id
+    ), bits AS (
+      SELECT cells.doc_id, width, height,
+             string_agg(CASE WHEN CAST(width AS BIGINT) * height * g >= total
+                             THEN '1' ELSE '0' END, '' ORDER BY r, c) AS bs
+      FROM cells JOIN tot ON cells.doc_id = tot.doc_id
+      GROUP BY cells.doc_id, width, height
+    )
+    SELECT doc_id, width, height, md5(bs) AS ahash,
+           doc_id = min(doc_id) OVER (PARTITION BY md5(bs)) AS keep
+    FROM bits
+    """,
+    doc="Image near-dup dedup via a brightness-invariant structural hash "
+    "(the aHash trick, division-free): the engine DECODES the real PNG "
+    "bytes (same stdlib codec as the pixel-stats queries), thresholds "
+    "each pixel's gray sum against the image mean with the exact-"
+    "integer test w*h*g >= total, md5s the row-major bit string, and "
+    "keeps the smallest doc per hash group. Brightness shifts leave "
+    "every bit unchanged (until mod-256 wrap), so re-exposed duplicates "
+    "collide while byte-level hashes differ. The oracle reconstructs "
+    "every bit arithmetically from the synthesis formula — a defect in "
+    "encoder filtering, decoder reconstruction, OR the thresholding "
+    "mismatches. Payload is dropped at the hash, so the dedup join "
+    "moves ~50 bytes/image; the hash window is content-addressed and "
+    "high-cardinality (no skew). operators/multimodal.py::ahash_png.",
+)
+def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import ahash_png, synth_png_image
+
+    d = _t(spark, sf_dir, "documents")
+    hashed = ahash_png(synth_png_image(d))
+    w = Window.partitionBy("ahash")
+    return hashed.select(
+        "doc_id",
+        "width",
+        "height",
+        "ahash",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+
+
+@register(
     "text_pii_redaction",
     r"""
     WITH planted AS (
