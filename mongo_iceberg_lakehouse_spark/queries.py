@@ -10623,6 +10623,134 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_trigram_novelty",
+    """
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '') AS ws
+               FROM documents),
+    g AS (SELECT DISTINCT doc_id,
+                 array_to_string(ws[i:i+2], ' ') AS gram
+          FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 2))
+                           AS i) ii
+          WHERE len(ws) >= 3),
+    df AS (SELECT gram, count(*) AS ndocs FROM g GROUP BY gram),
+    per AS (SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_distinct_trigrams,
+                   CAST(sum(CASE WHEN ndocs = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel
+            FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_distinct_trigrams, 0) AS BIGINT)
+             AS n_distinct_trigrams,
+           CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN coalesce(p.n_distinct_trigrams, 0) = 0 THEN 0
+                ELSE CAST(floor((1000000 * p.n_novel)
+                          / p.n_distinct_trigrams + 0.5) AS BIGINT) END
+             AS novelty_micros
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+    """,
+    doc="Trigram novelty scoring — the memorization-risk signal: the "
+    "fraction of a doc's DISTINCT trigrams appearing in no other "
+    "document. Low novelty = boilerplate/template (its phrases are "
+    "everywhere); high = unique content. Exact integers end-to-end "
+    "(micro-unit rate of two BIGINT counts). One explode into a "
+    "distinct (doc, gram) set, a map-side-combinable doc-frequency "
+    "aggregation on the gram key, and one join back — the same "
+    "bounded-key shuffle shape as TF-IDF; nothing all-pairs. At 100 TB "
+    "the gram key becomes xxhash64 like the span-scrub dictionary.",
+)
+def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    d2 = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 3)
+    grams = (
+        d2.select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(0, size(ws)-3),"
+                    " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+                )
+            ).alias("gram"),
+        )
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("ndocs"))
+    per = (
+        grams.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_trigrams"),
+            F.sum(F.when(F.col("ndocs") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    out = d.select("doc_id").join(per, "doc_id", "left")
+    n = F.coalesce(F.col("n_distinct_trigrams"), F.lit(0).cast("bigint"))
+    nov = F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint"))
+    rate = F.when(n == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor((F.lit(1_000_000) * nov) / n + F.lit(0.5))
+    )
+    return out.select(
+        "doc_id",
+        n.alias("n_distinct_trigrams"),
+        nov.alias("n_novel"),
+        rate.alias("novelty_micros"),
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    """
+    WITH f AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text),
+                  '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT lang,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CASE WHEN sum(n_words) = 0 THEN 0
+                ELSE CAST(floor((1000000 * sum(n_tokens))
+                          / sum(n_words) + 0.5) AS BIGINT) END
+             AS fertility_micros
+    FROM f GROUP BY lang
+    """,
+    doc="Tokenizer fertility by language — tokens-per-word under the "
+    "GPT-2-style pre-tokenizer (the RE2-portable category-split pattern "
+    "bpe_ish_token_count proved byte-equal across engines): the metric "
+    "that decides whether a tokenizer under- or over-segments a "
+    "language before committing GPU budget. Division-free until the "
+    "final per-GROUP micro-unit ratio of two exact BIGINT sums. Plan "
+    "is a narrow map + one 5-row map-side-combinable aggregation — "
+    "nothing corpus-sized shuffles.",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.size(F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_words"),
+        T.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    fert = F.when(F.col("n_words") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor((F.lit(1_000_000) * F.col("n_tokens")) / F.col("n_words") + F.lit(0.5))
+    )
+    return agg.select("lang", "n_words", "n_tokens", fert.alias("fertility_micros"))
+
+
+@register(
     "quality_perplexity_buckets",
     """
     WITH w AS (SELECT doc_id,

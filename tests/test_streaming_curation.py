@@ -46,3 +46,47 @@ def test_funnel_multi_batch_equals_batch(spark, tmp_path):
     got = spark.table("funnel_mb").collect()[0]
     want = quality_funnel(src).collect()[0]
     assert got.asDict() == want.asDict()
+
+
+def test_classifier_funnel_stream_equals_batch(spark):
+    from mongo_iceberg_lakehouse_spark.streaming.curation import (
+        classifier_funnel,
+        run_stream_classifier_funnel,
+    )
+
+    batch = classifier_funnel(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ).collect()[0]
+    stream = run_stream_classifier_funnel(spark, SF_SMOKE).collect()[0]
+    assert stream.asDict() == batch.asDict()
+
+
+def test_classifier_funnel_multi_batch_equals_batch(spark, tmp_path):
+    from mongo_iceberg_lakehouse_spark.streaming.curation import (
+        classifier_funnel,
+    )
+
+    src = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    half = src.count() // 2
+    d = str(tmp_path / "docs")
+    src.limit(half).write.parquet(f"{d}/documents.parquet/p0")
+    src.subtract(src.limit(half)).write.parquet(f"{d}/documents.parquet/p1")
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(f"{d}/documents.parquet")
+    )
+    q = (
+        classifier_funnel(stream)
+        .writeStream.format("memory")
+        .queryName("clf_funnel_mb")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = spark.table("clf_funnel_mb").collect()[0]
+    want = classifier_funnel(src).collect()[0]
+    assert got.asDict() == want.asDict()
