@@ -1461,3 +1461,68 @@ def cluster_balanced_sample(
             F.col("sample_rank").cast("int").alias("sample_rank"),
         )
     )
+
+
+def embedding_drift_by_cohort(
+    embeddings: DataFrame,
+    cohort: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift monitor: per-dimension centroid shift between
+    two cohorts (yesterday's snapshot vs today's, corpus A vs corpus B —
+    any boolean ``cohort`` column). The embedding-space counterpart of
+    the scalar PSI/KS drift checks: a retrained encoder, a source-mix
+    change, or an ingestion bug shows up as a centroid shift long before
+    downstream metrics move.
+
+    Exact by the outlier-filter discipline: int8 codes, per-cohort
+    per-dim BIGINT sums, HALF-UP integer means (one correctly-rounded
+    IEEE division each), integer shift. The corpus-sized work is the
+    quantization narrow map + ONE posexplode aggregation whose shuffle
+    keys are (cohort, dim) — 2 x dim combinable rows regardless of
+    corpus size; output is dim rows.
+
+    Returns (dim, n_a, n_b, mean_a, mean_b, shift) ordered by dim.
+    """
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < par:
+        embeddings = embeddings.repartition(par)
+    z = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col).select(
+        cohort.alias("__a"), F.col("codes").alias("__codes")
+    )
+    per_dim = (
+        z.select("__a", F.posexplode("__codes").alias("dim", "__c"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.when(F.col("__a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(~F.col("__a"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(F.when(F.col("__a"), F.col("__c")).otherwise(0))
+            .cast("bigint")
+            .alias("__s_a"),
+            F.sum(F.when(~F.col("__a"), F.col("__c")).otherwise(0))
+            .cast("bigint")
+            .alias("__s_b"),
+        )
+    )
+    mean = lambda s, n: F.when(  # noqa: E731
+        F.col(n) == 0, F.lit(0).cast("bigint")
+    ).otherwise(
+        F.floor(F.col(s).cast("double") / F.col(n) + F.lit(0.5)).cast("long")
+    )
+    return (
+        per_dim.withColumn("mean_a", mean("__s_a", "n_a"))
+        .withColumn("mean_b", mean("__s_b", "n_b"))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n_a",
+            "n_b",
+            "mean_a",
+            "mean_b",
+            F.abs(F.col("mean_a") - F.col("mean_b")).alias("shift"),
+        )
+    )

@@ -11269,6 +11269,62 @@ SCALE_PROBES: dict[str, Q] = {
 # mutation/governance — so a budget-capped run still grades the full
 # breadth; everything else follows in registration order.
 @register(
+    "embedding_drift_by_cohort",
+    """
+    WITH z AS (
+      SELECT CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 = 0 AS a,
+             list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT))
+               AS codes
+      FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS s
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) AS mx
+              FROM embeddings))
+    ), per AS (
+      SELECT i - 1 AS dim,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN a THEN codes[i] ELSE 0 END) AS BIGINT) AS s_a,
+             CAST(sum(CASE WHEN a THEN 0 ELSE codes[i] END) AS BIGINT) AS s_b
+      FROM z, unnest(generate_series(1, 64)) AS t(i)
+      GROUP BY i
+    )
+    SELECT CAST(dim AS INT) AS dim, n_a, n_b,
+           CASE WHEN n_a = 0 THEN 0
+                ELSE CAST(floor(s_a / n_a + 0.5) AS BIGINT) END AS mean_a,
+           CASE WHEN n_b = 0 THEN 0
+                ELSE CAST(floor(s_b / n_b + 0.5) AS BIGINT) END AS mean_b,
+           abs(CASE WHEN n_a = 0 THEN 0
+                    ELSE CAST(floor(s_a / n_a + 0.5) AS BIGINT) END
+             - CASE WHEN n_b = 0 THEN 0
+                    ELSE CAST(floor(s_b / n_b + 0.5) AS BIGINT) END) AS shift
+    FROM per
+    """,
+    doc="Embedding-space drift monitor — per-dimension centroid shift "
+    "between two cohorts (here: content-addressed md5 halves standing "
+    "in for yesterday/today snapshots; any boolean cohort plugs in). "
+    "The embedding counterpart of the scalar PSI/KS drift checks: a "
+    "retrained encoder or source-mix change moves centroids before "
+    "downstream metrics notice. Exact int8-code BIGINT sums, half-up "
+    "integer means; the only shuffle carries 2 x dim combinable keys, "
+    "output is dim rows. "
+    "operators/similarity.py::embedding_drift_by_cohort.",
+)
+def embedding_drift_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    cohort = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0
+    )
+    return S.embedding_drift_by_cohort(e, cohort)
+
+
+@register(
     "sample_cluster_balanced",
     """
     WITH z AS (
