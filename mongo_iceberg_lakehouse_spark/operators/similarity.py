@@ -1526,3 +1526,78 @@ def embedding_drift_by_cohort(
             F.abs(F.col("mean_a") - F.col("mean_b")).alias("shift"),
         )
     )
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` most-cosine-similar corpus vectors with a
+    DIFFERENT label — the examples a retrieval/embedding model must
+    learn to push apart, and the standard second pass after random
+    negatives stop improving (DPR / SimCSE-style pipelines).
+
+    Exact and engine-portable by the SemDeDup discipline: int8 codes,
+    candidate ordering by the signed ``(q.c)^2 / |c|^2`` score (one
+    correctly-rounded IEEE division of exact BIGINTs — both engines
+    order identically), ties to the smallest neighbor id. Queries are a
+    bounded content-addressed sample (smallest md5(id) — deterministic
+    on any engine/partitioning) broadcast against the corpus, so the
+    corpus-sided work is one narrow scoring pass; the per-query top-k
+    is a window Spark 4 pre-prunes with WindowGroupLimit before the
+    exchange. Swap the sample for a real query set at production scale;
+    the plan shape is unchanged.
+
+    Returns (query_id, neighbor_id, rank, qdot, n2) — qdot/n2 are the
+    exact integers behind the ranking, so the output is float-free.
+    """
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if embeddings.rdd.getNumPartitions() < par:
+        embeddings = embeddings.repartition(par)
+    z = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lbl"),
+        F.col("codes").alias("__codes"),
+        int_dot("codes", "codes").cast("bigint").alias("__n2"),
+    )
+    q = (
+        z.orderBy(F.md5(F.col("__id").cast("string")).asc(), F.col("__id").asc())
+        .limit(n_queries)
+        .select(
+            F.col("__id").alias("query_id"),
+            F.col("__lbl").alias("__qlbl"),
+            F.col("__codes").alias("__qcodes"),
+        )
+    )
+    scored = (
+        z.join(F.broadcast(q), F.col("__lbl") != F.col("__qlbl"))
+        .withColumn("qdot", int_dot("__codes", "__qcodes").cast("bigint"))
+        .withColumn(
+            "__score",
+            F.when(
+                F.col("qdot") >= 0,
+                (F.col("qdot") * F.col("qdot")).cast("double") / F.col("__n2"),
+            ).otherwise(
+                -(F.col("qdot") * F.col("qdot")).cast("double") / F.col("__n2")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("__id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("__id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "qdot",
+            F.col("__n2").alias("n2"),
+        )
+    )

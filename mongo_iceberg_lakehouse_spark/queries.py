@@ -11269,6 +11269,64 @@ SCALE_PROBES: dict[str, Q] = {
 # mutation/governance — so a budget-capped run still grades the full
 # breadth; everything else follows in registration order.
 @register(
+    "pairs_hard_negatives",
+    """
+    WITH z AS (
+      SELECT vec_id, label,
+             list_transform(v, x -> CAST(floor(x / s + 0.5) AS INT)) AS codes
+      FROM (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS s
+        FROM (SELECT vec_id, label, embedding,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) AS mx
+              FROM embeddings))
+    ), z2 AS (
+      SELECT vec_id, label, codes,
+             CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT) * c))
+                  AS BIGINT) AS n2
+      FROM z
+    ), q AS (
+      SELECT vec_id AS query_id, label AS qlbl, codes AS qcodes FROM (
+        SELECT vec_id, label, codes,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS rn
+        FROM z2) WHERE rn <= 8
+    ), scored AS (
+      SELECT q.query_id, z2.vec_id AS neighbor_id, z2.n2,
+             CAST(list_sum(list_transform(list_zip(z2.codes, q.qcodes),
+                  p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS qdot
+      FROM z2 JOIN q ON z2.label <> q.qlbl
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, qdot, n2
+    FROM (
+      SELECT query_id, neighbor_id, qdot, n2,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY (CASE WHEN qdot >= 0
+                              THEN CAST(qdot*qdot AS DOUBLE)/n2
+                              ELSE -CAST(qdot*qdot AS DOUBLE)/n2 END) DESC,
+                        neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= 5
+    """,
+    doc="Hard-negative mining for contrastive training (DPR/SimCSE-style "
+    "second pass): per query vector, the 5 most-cosine-similar corpus "
+    "vectors with a DIFFERENT label — the pairs the model must learn to "
+    "push apart. Exact by the SemDeDup discipline: int8 codes, signed "
+    "(q.c)^2/|c|^2 ordering (one correctly-rounded IEEE division of "
+    "exact BIGINTs), smallest-id ties; output carries the exact "
+    "integers (qdot, n2), no floats. Content-addressed bounded query "
+    "sample broadcast against one narrow corpus scoring pass; top-k "
+    "pre-pruned by WindowGroupLimit before the query_id exchange. "
+    "operators/similarity.py::hard_negative_topk.",
+)
+def pairs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return S.hard_negative_topk(e, n_queries=8, k=5)
+
+
+@register(
     "embedding_drift_by_cohort",
     """
     WITH z AS (
