@@ -1124,8 +1124,12 @@ def semdedup_prune(
         F.col("codes").alias("__codes"),
         int_dot("codes", "codes").cast("bigint").alias("__n2"),
     )
+    # zero-norm centroids score NaN vs everything and NaN wins the
+    # argmax — one degenerate centroid would swallow the corpus into a
+    # single cluster; keep the pool norm-positive (oracle mirrors).
     cent = (
-        z.orderBy(F.md5(F.col("__id").cast("string")).asc(), F.col("__id").asc())
+        z.filter(F.col("__n2") > 0)
+        .orderBy(F.md5(F.col("__id").cast("string")).asc(), F.col("__id").asc())
         .limit(k)
         .select(
             F.col("__id").alias("__cid"),
@@ -1420,8 +1424,13 @@ def cluster_balanced_sample(
         F.col("codes").alias("__codes"),
         int_dot("codes", "codes").cast("bigint").alias("__n2"),
     )
+    # a zero-norm centroid scores NaN against every vector; NaN wins the
+    # argmax, so one degenerate centroid would swallow the whole corpus
+    # into a single cluster — keep the centroid pool norm-positive
+    # (oracle mirrors the filter before its row_number).
     cent = (
-        z.orderBy(F.md5(F.col("__id").cast("string")).asc(), F.col("__id").asc())
+        z.filter(F.col("__n2") > 0)
+        .orderBy(F.md5(F.col("__id").cast("string")).asc(), F.col("__id").asc())
         .limit(k)
         .select(
             F.col("__id").alias("__cid"),
@@ -1525,6 +1534,10 @@ def embedding_drift_by_cohort(
             "mean_b",
             F.abs(F.col("mean_a") - F.col("mean_b")).alias("shift"),
         )
+        # dim rows only — the sort is free and honors the documented
+        # by-dimension contract for consumers that zip against a
+        # dim-indexed reference
+        .orderBy("dim")
     )
 
 
@@ -1559,11 +1572,19 @@ def hard_negative_topk(
     par = embeddings.sparkSession.sparkContext.defaultParallelism
     if embeddings.rdd.getNumPartitions() < par:
         embeddings = embeddings.repartition(par)
-    z = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("__id"),
-        F.col(label_col).alias("__lbl"),
-        F.col("codes").alias("__codes"),
-        int_dot("codes", "codes").cast("bigint").alias("__n2"),
+    z = (
+        quantize_int8(embeddings, id_col=id_col, vec_col=vec_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(label_col).alias("__lbl"),
+            F.col("codes").alias("__codes"),
+            int_dot("codes", "codes").cast("bigint").alias("__n2"),
+        )
+        # zero-norm vectors have no cosine: as candidates their score is
+        # 0/0 = NaN, which sorts above every finite score and would
+        # displace a real hard negative at rank 1; as queries they rank
+        # everything at 0. Exclude them on both sides (oracle mirrors).
+        .filter(F.col("__n2") > 0)
     )
     q = (
         z.orderBy(F.md5(F.col("__id").cast("string")).asc(), F.col("__id").asc())

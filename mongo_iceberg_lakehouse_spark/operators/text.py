@@ -925,7 +925,13 @@ def hashed_linear_classifier(
     wtab = F.expr(
         "array(" + ",".join(f"{w}L" for w in weights_micros) + ")"
     )
-    d = df.withColumn("__ws", tokens(F.col(text_col)))
+    # NULL text must score like an empty doc (0 tokens, 0 score, kept) —
+    # the oracle's LEFT JOIN + coalesce shape; without this, NULL
+    # propagates through size/aggregate and the keep flag goes NULL,
+    # breaking n_keep + n_drop == n_docs in the streaming funnel.
+    d = df.withColumn(
+        "__ws", tokens(F.coalesce(F.col(text_col), F.lit("")))
+    )
     d = d.withColumn("n_tokens", F.size("__ws").cast("bigint")).withColumn(
         "score_micros",
         F.aggregate(

@@ -10233,7 +10233,7 @@ def streaming_classifier_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id AS cid, codes AS ccodes, n2 AS cn2,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                   vec_id) AS crn
-        FROM z2) CROSS JOIN
+        FROM z2 WHERE n2 > 0) CROSS JOIN
         (SELECT CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT) AS kk FROM z2)
       WHERE crn <= kk
     ), scored AS (
@@ -11286,17 +11286,19 @@ SCALE_PROBES: dict[str, Q] = {
              CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT) * c))
                   AS BIGINT) AS n2
       FROM z
+    ), z2f AS (
+      SELECT * FROM z2 WHERE n2 > 0
     ), q AS (
       SELECT vec_id AS query_id, label AS qlbl, codes AS qcodes FROM (
         SELECT vec_id, label, codes,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                   vec_id) AS rn
-        FROM z2) WHERE rn <= 8
+        FROM z2f) WHERE rn <= 8
     ), scored AS (
-      SELECT q.query_id, z2.vec_id AS neighbor_id, z2.n2,
-             CAST(list_sum(list_transform(list_zip(z2.codes, q.qcodes),
+      SELECT q.query_id, z2f.vec_id AS neighbor_id, z2f.n2,
+             CAST(list_sum(list_transform(list_zip(z2f.codes, q.qcodes),
                   p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS qdot
-      FROM z2 JOIN q ON z2.label <> q.qlbl
+      FROM z2f JOIN q ON z2f.label <> q.qlbl
     )
     SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, qdot, n2
     FROM (
@@ -11405,7 +11407,7 @@ def embedding_drift_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id AS cid, codes AS ccodes, n2 AS cn2,
                row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                   vec_id) AS crn
-        FROM z2) CROSS JOIN
+        FROM z2 WHERE n2 > 0) CROSS JOIN
         (SELECT CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT) AS kk FROM z2)
       WHERE crn <= kk
     ), scored AS (

@@ -184,3 +184,33 @@ def test_ahash_is_brightness_invariant(spark):
     out = {r.doc_id: r.ahash for r in ahash_png(df).collect()}
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def test_classifier_null_text_scores_like_empty(spark):
+    df = spark.createDataFrame([(1, None), (2, "a b")], "doc_id bigint, text string")
+    out = {r.doc_id: r for r in hashed_linear_classifier(df).collect()}
+    assert (out[1].n_tokens, out[1].score_micros, out[1].keep) == (0, 0, True)
+    assert out[2].n_tokens == 2
+
+
+def test_zero_norm_vectors_never_win_hard_negative_or_centroid(spark):
+    from mongo_iceberg_lakehouse_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 1),
+        (3, [0.0, 0.0], 1),  # zero-norm: would be NaN-ranked #1 unguarded
+        (4, [-1.0, 0.0], 1),
+    ]
+    out = hard_negative_topk(
+        _vecs(spark, rows), n_queries=4, k=3
+    ).collect()
+    assert all(r.neighbor_id != 3 for r in out)
+    assert all(r.query_id != 3 for r in out)
+    # zero-norm vector must also never become a cluster centroid
+    cbs = cluster_balanced_sample(_vecs(spark, rows), k=4, per_cluster=4).collect()
+    assert all(r.cluster_id != 3 for r in cbs)
+    # ...but it still appears in the sample (assignment keeps all rows)
+    assert any(r.vec_id == 3 for r in cbs)
