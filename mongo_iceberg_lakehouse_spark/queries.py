@@ -10662,6 +10662,13 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
+    # PERF_NOTES §8 decision rule, measured at the crossover: the
+    # parallelism spread WINS at sf1 (7.9 -> 5.0 s min-of-3) but LOSES
+    # at sf0.1 (1.4 -> 2.2 s — exchange cost > per-partition CPU), so
+    # gate it on corpus size (count() is a parquet-metadata read).
+    par = spark.sparkContext.defaultParallelism
+    if d.count() >= 20_000 and d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     d2 = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 3)
     grams = (
@@ -10675,6 +10682,9 @@ def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
         .dropDuplicates(["doc_id", "gram"])
+        # feeds both the doc-frequency agg and the per-doc join — cut
+        # the explode subtree so it computes once (PERF_NOTES §7)
+        .localCheckpoint(eager=False)
     )
     dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("ndocs"))
     per = (
