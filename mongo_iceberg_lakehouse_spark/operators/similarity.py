@@ -509,6 +509,22 @@ def int_dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def signed_sq_cos(q: Column | str, n2: Column | str) -> Column:
+    """Cosine-ordering key for a FIXED left vector: ``sign(q) * q^2 / n2``
+    where ``q`` is the exact integer dot product and ``n2`` the candidate's
+    exact squared norm. Monotone in cos for any fixed query, computed with
+    a single correctly-rounded IEEE division of exact integers — so two
+    engines order candidates identically (the SemDeDup discipline).
+    Shared by semdedup assignment, cluster-balanced sampling, and
+    hard-negative mining so NaN/zero-norm guards have one fix point:
+    callers must exclude n2 = 0 rows (0/0 = NaN sorts above everything)."""
+    q = F.col(q) if isinstance(q, str) else q
+    n2 = F.col(n2) if isinstance(n2, str) else n2
+    return F.when(q >= 0, (q * q).cast("double") / n2).otherwise(
+        -(q * q).cast("double") / n2
+    )
+
+
 def ann_topk_int8(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -1140,15 +1156,7 @@ def semdedup_prune(
     scored = (
         z.join(F.broadcast(cent))
         .withColumn("__q", int_dot("__codes", "__ccodes").cast("bigint"))
-        .withColumn(
-            "__score",
-            F.when(
-                F.col("__q") >= 0,
-                (F.col("__q") * F.col("__q")).cast("double") / F.col("__cn2"),
-            ).otherwise(
-                -(F.col("__q") * F.col("__q")).cast("double") / F.col("__cn2")
-            ),
-        )
+        .withColumn("__score", signed_sq_cos("__q", "__cn2"))
     )
     # argmax via max_by on a UNIQUE ordering key (score, then -cid so
     # exact ties go to the SMALLEST centroid id — cid is unique, so the
@@ -1197,8 +1205,15 @@ def semdedup_prune(
         a.join(b, on="__cid")
         .filter(F.col("__a_id") < F.col("__b_id"))
         .withColumn("__d", int_dot("__a_codes", "__b_codes").cast("bigint"))
+        # norm guards: a zero-norm vector makes both sides of the
+        # cross-multiplied inequality 0 (d = 0, num2*a*b = 0), which
+        # reads as cos >= threshold and would let one degenerate vector
+        # drop its entire cluster — cosine to a zero vector is
+        # undefined, never a near-dup (oracle mirrors)
         .filter(
-            (F.col("__d") >= 0)
+            (F.col("__a_n2") > 0)
+            & (F.col("__b_n2") > 0)
+            & (F.col("__d") >= 0)
             & (
                 F.col("__d") * F.col("__d") * F.lit(den2)
                 >= F.lit(num2) * F.col("__a_n2") * F.col("__b_n2")
@@ -1441,15 +1456,7 @@ def cluster_balanced_sample(
     scored = (
         z.join(F.broadcast(cent))
         .withColumn("__q", int_dot("__codes", "__ccodes").cast("bigint"))
-        .withColumn(
-            "__score",
-            F.when(
-                F.col("__q") >= 0,
-                (F.col("__q") * F.col("__q")).cast("double") / F.col("__cn2"),
-            ).otherwise(
-                -(F.col("__q") * F.col("__q")).cast("double") / F.col("__cn2")
-            ),
-        )
+        .withColumn("__score", signed_sq_cos("__q", "__cn2"))
     )
     assigned = scored.groupBy("__id").agg(
         F.max_by(
@@ -1502,6 +1509,12 @@ def embedding_drift_by_cohort(
     import numpy as np
     import pandas as pd
 
+    # NULL embeddings would crash the numpy partial (None is not a code
+    # array) — a drift monitor must survive the ingestion bugs it
+    # exists to detect, so drop them up front (oracle mirrors). Vectors
+    # must share one dimension (the table contract; ragged input is a
+    # schema violation upstream of this operator).
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     # CPU-bound quantize+md5 projection: spread across cores — profiled
     # 5.7 s on the sf1 file's 2 input splits vs ~1 s spread (§8)
     par = embeddings.sparkSession.sparkContext.defaultParallelism
@@ -1636,15 +1649,7 @@ def hard_negative_topk(
     scored = (
         z.join(F.broadcast(q), F.col("__lbl") != F.col("__qlbl"))
         .withColumn("qdot", int_dot("__codes", "__qcodes").cast("bigint"))
-        .withColumn(
-            "__score",
-            F.when(
-                F.col("qdot") >= 0,
-                (F.col("qdot") * F.col("qdot")).cast("double") / F.col("__n2"),
-            ).otherwise(
-                -(F.col("qdot") * F.col("qdot")).cast("double") / F.col("__n2")
-            ),
-        )
+        .withColumn("__score", signed_sq_cos("qdot", "__n2"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__score").desc(), F.col("__id").asc()

@@ -10170,7 +10170,7 @@ def streaming_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_classifier_funnel",
     """
     WITH w AS (SELECT doc_id,
-                      list_filter(string_split(lower(text), ' '),
+                      list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                   x -> x <> '') AS ws
                FROM documents),
     tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
@@ -10253,7 +10253,8 @@ def streaming_classifier_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), dropped AS (
       SELECT DISTINCT b.vec_id AS b_id
       FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
-      WHERE CAST(list_sum(list_transform(list_zip(a.codes, b.codes),
+      WHERE a.n2 > 0 AND b.n2 > 0
+        AND CAST(list_sum(list_transform(list_zip(a.codes, b.codes),
                  p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) >= 0
         AND CAST(list_sum(list_transform(list_zip(a.codes, b.codes),
                  p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT)
@@ -10666,8 +10667,10 @@ def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelism spread WINS at sf1 (7.9 -> 5.0 s min-of-3) but LOSES
     # at sf0.1 (1.4 -> 2.2 s — exchange cost > per-partition CPU), so
     # gate it on corpus size (count() is a parquet-metadata read).
+    # cheap partition check first: at production scale the source has
+    # >= par splits, so the count() job never runs
     par = spark.sparkContext.defaultParallelism
-    if d.count() >= 20_000 and d.rdd.getNumPartitions() < par:
+    if d.rdd.getNumPartitions() < par and d.count() >= 20_000:
         d = d.repartition(par)
     ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     d2 = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 3)
@@ -11352,7 +11355,7 @@ def pairs_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT vec_id, embedding,
                      list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                              x -> abs(x))) AS mx
-              FROM embeddings))
+              FROM embeddings WHERE embedding IS NOT NULL))
     ), per AS (
       SELECT i - 1 AS dim,
              CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -11518,7 +11521,7 @@ def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_fasttext_classifier",
     """
     WITH w AS (SELECT doc_id,
-                      list_filter(string_split(lower(text), ' '),
+                      list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                   x -> x <> '') AS ws
                FROM documents),
     tok AS (SELECT doc_id, unnest(ws) AS t FROM w),

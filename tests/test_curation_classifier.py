@@ -214,3 +214,21 @@ def test_zero_norm_vectors_never_win_hard_negative_or_centroid(spark):
     assert all(r.cluster_id != 3 for r in cbs)
     # ...but it still appears in the sample (assignment keeps all rows)
     assert any(r.vec_id == 3 for r in cbs)
+
+
+def test_semdedup_zero_vector_drops_no_cluster(spark):
+    # a zero-norm vector with the smallest id made BOTH sides of the
+    # cross-multiplied cosine test 0 (0 >= 0), silently dropping every
+    # other member of its cluster — cosine to a zero vector is
+    # undefined, never a near-dup
+    from mongo_iceberg_lakehouse_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    rows = [
+        (1, [0.0, 0.0], 0),  # zero-norm, smallest id
+        (2, [1.0, 0.0], 0),
+        (3, [0.0, 1.0], 0),  # orthogonal to 2: not a near-dup of anything
+    ]
+    out = {r.vec_id: r for r in semdedup_prune(_vecs(spark, rows), k=1).collect()}
+    assert out[2].keep and out[3].keep

@@ -21,12 +21,12 @@ def test_funnel_stream_equals_batch(spark):
 def test_funnel_multi_batch_equals_batch(spark, tmp_path):
     # two file slices + maxFilesPerTrigger=1 => two micro-batches; the
     # complete-mode global agg must still equal the batch aggregate over
-    # the union
+    # the union. Split on a deterministic predicate — limit() without an
+    # ordering is not stable across evaluations.
     src = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
-    half = src.count() // 2
     d = str(tmp_path / "docs")
-    src.limit(half).write.parquet(f"{d}/documents.parquet/p0")
-    src.subtract(src.limit(half)).write.parquet(f"{d}/documents.parquet/p1")
+    src.filter("doc_id % 2 = 0").write.parquet(f"{d}/documents.parquet/p0")
+    src.filter("doc_id % 2 = 1").write.parquet(f"{d}/documents.parquet/p1")
     stream = (
         spark.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", "1")
@@ -67,10 +67,9 @@ def test_classifier_funnel_multi_batch_equals_batch(spark, tmp_path):
     )
 
     src = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
-    half = src.count() // 2
     d = str(tmp_path / "docs")
-    src.limit(half).write.parquet(f"{d}/documents.parquet/p0")
-    src.subtract(src.limit(half)).write.parquet(f"{d}/documents.parquet/p1")
+    src.filter("doc_id % 2 = 0").write.parquet(f"{d}/documents.parquet/p0")
+    src.filter("doc_id % 2 = 1").write.parquet(f"{d}/documents.parquet/p1")
     stream = (
         spark.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", "1")
