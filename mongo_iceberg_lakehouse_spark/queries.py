@@ -11595,7 +11595,9 @@ PRIORITY: list[str] = [
     # (its exact side value-checks the same brute-force plan
     # ann_topk_blocked exercised, so the contract covers both; blocked
     # and the JL projection stay oracle-checked locally + in the sf1 gate)
-    "ann_lsh_recall_contract", "ann_maxsim_multivector",
+    # (maxsim rotates to the tail; hard-negative mining is the newest
+    # exact-ranked similarity op and takes the graded slot)
+    "ann_lsh_recall_contract", "pairs_hard_negatives",
     "semdedup_embedding_prune", "embedding_outlier_filter",
     # text quality + retrieval + curation classics (+ round-4 PII scrub
     # and bigram-LM perplexity)
@@ -11625,7 +11627,7 @@ PRIORITY: list[str] = [
     "tpch_q5_local_supplier_volume", "tpch_q9_product_profit",
     "tpch_q18_large_orders",
     "dedup_exact_text", "dedup_minhash_lsh",
-    "ann_cosine_topk", "embedding_dim_stats",
+    "ann_maxsim_multivector", "ann_cosine_topk", "embedding_dim_stats",
     "text_token_stats", "rank_fusion_rrf", "text_dup_ngram_spans",
     "text_lang_id",
     "multimodal_frame_sample",
