@@ -223,3 +223,13 @@ def test_cluster_balanced_sample_partial_topk(spark):
     plan = _plan(spark, "sample_cluster_balanced", mode="simple")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_broadcast_and_partial_topk(spark):
+    # bounded query sample rides as a broadcast; the per-query top-k is
+    # pre-pruned by WindowGroupLimit before the query_id exchange; the
+    # label-mismatch join must not plan as a cartesian product
+    plan = _plan(spark, "pairs_hard_negatives", mode="simple")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
