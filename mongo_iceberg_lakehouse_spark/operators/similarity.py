@@ -1140,6 +1140,11 @@ def semdedup_prune(
         F.col("codes").alias("__codes"),
         int_dot("codes", "codes").cast("bigint").alias("__n2"),
     )
+    # z feeds BOTH the centroid pick and the assignment join — without a
+    # cut the quantize+dot pipeline executes twice per action, and the
+    # centroid pool's n2 filter re-inlines it a third time (measured
+    # 4.3 s -> 2.4 s at sf0.1 with the cut; PERF_NOTES §7).
+    z = z.localCheckpoint(eager=False)
     # zero-norm centroids score NaN vs everything and NaN wins the
     # argmax — one degenerate centroid would swallow the corpus into a
     # single cluster; keep the pool norm-positive (oracle mirrors).
@@ -1439,6 +1444,9 @@ def cluster_balanced_sample(
         F.col("codes").alias("__codes"),
         int_dot("codes", "codes").cast("bigint").alias("__n2"),
     )
+    # two consumers (centroid pick + assignment join): cut so the
+    # quantize+dot pipeline computes once (PERF_NOTES §7)
+    z = z.localCheckpoint(eager=False)
     # a zero-norm centroid scores NaN against every vector; NaN wins the
     # argmax, so one degenerate centroid would swallow the whole corpus
     # into a single cluster — keep the centroid pool norm-positive
@@ -1636,6 +1644,10 @@ def hard_negative_topk(
         # displace a real hard negative at rank 1; as queries they rank
         # everything at 0. Exclude them on both sides (oracle mirrors).
         .filter(F.col("__n2") > 0)
+        # (two consumers — query pick + scoring join — but the §7 cut
+        # A/B-measured neutral-to-negative here: the n_queries-row
+        # TakeOrdered is cheap relative to the checkpoint write, unlike
+        # semdedup's filtered centroid pool. Deliberately no checkpoint.)
     )
     q = (
         z.orderBy(F.md5(F.col("__id").cast("string")).asc(), F.col("__id").asc())
