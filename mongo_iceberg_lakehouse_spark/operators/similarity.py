@@ -1524,10 +1524,13 @@ def embedding_drift_by_cohort(
     # schema violation upstream of this operator).
     embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     # CPU-bound quantize+md5 projection: spread across cores — profiled
-    # 5.7 s on the sf1 file's 2 input splits vs ~1 s spread (§8)
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    if embeddings.rdd.getNumPartitions() < par:
-        embeddings = embeddings.repartition(par)
+    # 5.7 s on the sf1 file's 2 input splits vs ~1 s spread (§8).
+    # (Streaming frames have no .rdd and micro-batches set their own
+    # parallelism — the operator runs unchanged on a stream without it.)
+    if not embeddings.isStreaming:
+        par = embeddings.sparkSession.sparkContext.defaultParallelism
+        if embeddings.rdd.getNumPartitions() < par:
+            embeddings = embeddings.repartition(par)
     z = quantize_int8(embeddings, id_col=id_col, vec_col=vec_col).select(
         cohort.alias("__a"), F.col("codes").alias("__codes")
     )

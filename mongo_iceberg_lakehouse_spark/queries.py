@@ -10211,6 +10211,55 @@ def streaming_classifier_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_embedding_drift",
+    """
+    WITH z AS (
+      SELECT CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 = 0 AS a,
+             list_transform(v, x -> CAST(floor(x / s + 0.5) AS BIGINT))
+               AS codes
+      FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS s
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) AS mx
+              FROM embeddings WHERE embedding IS NOT NULL))
+    ), per AS (
+      SELECT i - 1 AS dim,
+             CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN a THEN codes[i] ELSE 0 END) AS BIGINT) AS s_a,
+             CAST(sum(CASE WHEN a THEN 0 ELSE codes[i] END) AS BIGINT) AS s_b
+      FROM z, unnest(generate_series(1, 64)) AS t(i)
+      GROUP BY i
+    )
+    SELECT CAST(dim AS INT) AS dim, n_a, n_b,
+           CASE WHEN n_a = 0 THEN 0
+                ELSE CAST(floor(s_a / n_a + 0.5) AS BIGINT) END AS mean_a,
+           CASE WHEN n_b = 0 THEN 0
+                ELSE CAST(floor(s_b / n_b + 0.5) AS BIGINT) END AS mean_b,
+           abs(CASE WHEN n_a = 0 THEN 0
+                    ELSE CAST(floor(s_a / n_a + 0.5) AS BIGINT) END
+             - CASE WHEN n_b = 0 THEN 0
+                    ELSE CAST(floor(s_b / n_b + 0.5) AS BIGINT) END) AS shift
+    FROM per
+    """,
+    doc="Embedding-space drift, live: the batch drift monitor runs "
+    "UNCHANGED on an embedding STREAM — numpy partial sums are a "
+    "stateless per-batch map and the per-dimension combine is a "
+    "complete-mode aggregate whose state is bounded at dim rows no "
+    "matter how many vectors arrive. availableNow + memory sink => "
+    "batch-equivalent; the oracle is the batch drift query itself. "
+    "streaming/curation.py::run_stream_embedding_drift.",
+)
+def streaming_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.curation import run_stream_embedding_drift
+
+    return run_stream_embedding_drift(spark, sf_dir)
+
+
+@register(
     "semdedup_embedding_prune",
     """
     WITH z AS (

@@ -163,3 +163,57 @@ def run_stream_classifier_funnel(
         q.awaitTermination()
         q.stop()
     return spark.table(query_name)
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings fixture (schema probed via
+    the batch reader — streaming requires a declared schema)."""
+    from ..session import tune
+
+    tune(spark)
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def run_stream_embedding_drift(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "stream_embedding_drift",
+) -> DataFrame:
+    """Embedding-space drift, live: the batch drift monitor
+    (operators/similarity.py::embedding_drift_by_cohort) runs UNCHANGED
+    on an embedding STREAM — the numpy partial sums are a stateless
+    per-batch map, and the per-dimension combine is a complete-mode
+    aggregate whose state is bounded at dim rows regardless of how many
+    vectors ever arrive. This is the ingest-time shape: centroid shift
+    between cohorts updates continuously as batches land, no corpus
+    re-scan."""
+    from ..operators.similarity import embedding_drift_by_cohort
+
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+    vecs = read_embeddings_stream(spark, sf_dir)
+    cohort = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+        == 0
+    )
+    drift = embedding_drift_by_cohort(vecs, cohort)
+    with state_partitions(spark):
+        q = (
+            drift.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    return spark.table(query_name)
