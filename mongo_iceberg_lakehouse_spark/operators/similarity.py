@@ -1646,6 +1646,12 @@ def hard_negative_topk(
         # 0/0 = NaN, which sorts above every finite score and would
         # displace a real hard negative at rank 1; as queries they rank
         # everything at 0. Exclude them on both sides (oracle mirrors).
+        # NULL-label vectors are ALSO excluded on both sides — not by
+        # this filter but by the join predicate below (`__lbl != __qlbl`
+        # is NULL when either side is NULL, matching the oracle's
+        # `label <> qlbl`): a row with no label can't be a "different-
+        # label" hard negative, and an unlabeled query has no negative
+        # class. Documented here because the exclusion is implicit.
         .filter(F.col("__n2") > 0)
         # (two consumers — query pick + scoring join — but the §7 cut
         # A/B-measured neutral-to-negative here: the n_queries-row

@@ -921,7 +921,14 @@ def hashed_linear_classifier(
     """
     if weights_micros is None:
         weights_micros = _default_classifier_weights(n_buckets, weight_seed)
-    assert len(weights_micros) == n_buckets
+    if len(weights_micros) != n_buckets:
+        # must fail fast even under `python -O` (assert is stripped): a
+        # wrong-length table would mis-score silently via element_at
+        # wraparound/NULLs instead of erroring.
+        raise ValueError(
+            f"weights_micros has {len(weights_micros)} entries, "
+            f"expected n_buckets={n_buckets}"
+        )
     wtab = F.expr(
         "array(" + ",".join(f"{w}L" for w in weights_micros) + ")"
     )

@@ -10715,9 +10715,10 @@ def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PERF_NOTES §8 decision rule, measured at the crossover: the
     # parallelism spread WINS at sf1 (7.9 -> 5.0 s min-of-3) but LOSES
     # at sf0.1 (1.4 -> 2.2 s — exchange cost > per-partition CPU), so
-    # gate it on corpus size (count() is a parquet-metadata read).
-    # cheap partition check first: at production scale the source has
-    # >= par splits, so the count() job never runs
+    # gate it on corpus size. count() over parquet is a cheap columnless
+    # scan job (not a free footer read), so check partition count first:
+    # at production scale the source has >= par splits and the count()
+    # job never runs at all.
     par = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par and d.count() >= 20_000:
         d = d.repartition(par)

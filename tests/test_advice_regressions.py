@@ -160,3 +160,18 @@ def test_dedup_survivors_by_quality_id_col_named_id(spark):
     out = dedup_survivors_by_quality(df, pairs, quality_col="q", id_col="id")
     assert set(out.columns) == {"id", "q"}
     assert {r["id"] for r in out.collect()} == {2, 9}
+
+
+def test_hashed_linear_classifier_rejects_wrong_length_weights(spark):
+    # ADVICE r4: a bare assert is stripped under `python -O`; the length
+    # check must be a real ValueError so a wrong-length table fails fast
+    # instead of silently mis-scoring via element_at wraparound/NULLs.
+    import pytest
+
+    from mongo_iceberg_lakehouse_spark.operators.text import (
+        hashed_linear_classifier,
+    )
+
+    df = spark.createDataFrame([(1, "hello world")], "id int, text string")
+    with pytest.raises(ValueError, match="weights_micros"):
+        hashed_linear_classifier(df, n_buckets=128, weights_micros=[1, 2, 3])
