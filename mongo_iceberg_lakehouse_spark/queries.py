@@ -35,6 +35,7 @@ from .operators import dedup as D
 from .operators import relational as R
 from .operators import similarity as S
 from .operators import text as T
+from .operators import web as WB
 from .operators.multimodal import attach_payload, extract_features
 from .session import tune
 from .sources.tables import load_table
@@ -11603,6 +11604,121 @@ def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_fasttext_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return T.hashed_linear_classifier(d, n_buckets=128)
+
+
+# ---------------------------------------------------------------------------
+# URL / domain-level curation (round-5: the web-crawl plumbing stage)
+# ---------------------------------------------------------------------------
+
+# The registrable-domain SQL fragment shared by the URL-family oracles
+# (naive eTLD+1 mirroring operators/web.py::registrable_domain).
+_DOMAIN_SQL = """
+    array_to_string(list_slice(string_split(host, '.'),
+      len(string_split(host, '.'))
+        - (CASE WHEN host LIKE '%.co.uk' OR host LIKE '%.com.au'
+                     OR host LIKE '%.co.jp' THEN 3 ELSE 2 END) + 1,
+      len(string_split(host, '.'))), '.')
+"""
+
+BLOCKED_DOMAINS: tuple[str, ...] = (
+    "src3-ex.com", "src3-ex.org", "src7-ex.org",
+    "src11-ex.co.uk", "src14-ex.com", "never-seen-ex.net",
+)
+
+
+@register(
+    "curation_domain_blocklist",
+    f"""
+    WITH u AS (SELECT doc_id, {WB.SYNTHETIC_URL_SQL} AS url FROM documents),
+    h AS (SELECT doc_id, url,
+                 regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host
+          FROM u)
+    SELECT doc_id, url, host, {_DOMAIN_SQL} AS domain,
+           {_DOMAIN_SQL} NOT IN {BLOCKED_DOMAINS!r} AS kept
+    FROM h
+    """,
+    doc="Domain blocklist filter — the first stage of every web-crawl "
+    "curation pipeline (C4/RefinedWeb/FineWeb): parse the host from the "
+    "URL (regexp, engine-portable), reduce to the registrable domain "
+    "(naive eTLD+1 with multi-label public suffixes like co.uk), and "
+    "flag rows whose domain is blocklisted via a BROADCAST left join "
+    "(a real blocklist is 10^5-10^7 rows — megabytes; the corpus side "
+    "never shuffles). Parsing is a pure narrow map. Documents carry no "
+    "URL column, so a deterministic synthetic URL is attached from "
+    "(doc_id, source, lang) — the attach_payload discipline — covering "
+    "http/https, www/cdn subdomains, default and non-default ports, "
+    "tracking params, fragments. operators/web.py.",
+)
+def curation_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    d = WB.parse_urls(d.withColumn("url", WB.synthetic_url()))
+    blocked = spark.createDataFrame(
+        [(b,) for b in BLOCKED_DOMAINS], "blocked_domain string"
+    )
+    return WB.domain_blocklist_filter(d, blocked).select(
+        "doc_id", "url", "host", "domain", "kept"
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    f"""
+    WITH u AS (SELECT doc_id, {WB.SYNTHETIC_URL_SQL} AS url FROM documents),
+    c AS (SELECT doc_id,
+                 {WB.CANONICAL_URL_SQL_STEPS.format(url="url")} AS canon_url
+          FROM u)
+    SELECT canon_url, min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM c GROUP BY canon_url
+    """,
+    doc="Canonical-URL exact dedup (the crawl 'same page fetched twice' "
+    "pass): canonicalize — drop scheme + leading www., strip default "
+    "ports :80/:443 (non-default ports stay), drop fragments, strip "
+    "tracking params (utm_*/fbclid/gclid/ref) keeping semantic ones, "
+    "strip the trailing path slash — then one map-side-combinable "
+    "groupBy on the canonical key, survivor = min doc_id, duplicate "
+    "count kept for audit. Canonicalization is a regexp_replace chain "
+    "(narrow map, whole-stage codegen); the regexes avoid lookahead so "
+    "Java regex and RE2 (DuckDB) agree byte-for-byte. "
+    "operators/web.py::canonical_url_dedup.",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return WB.canonical_url_dedup(d.withColumn("url", WB.synthetic_url()))
+
+
+@register(
+    "curation_domain_cap",
+    f"""
+    WITH u AS (SELECT doc_id, n_chars,
+                      {WB.SYNTHETIC_URL_SQL} AS url FROM documents),
+    h AS (SELECT doc_id, n_chars,
+                 regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host
+          FROM u),
+    dm AS (SELECT doc_id, n_chars, {_DOMAIN_SQL} AS domain FROM h),
+    r AS (SELECT doc_id, domain, n_chars,
+                 CAST(row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+          FROM dm)
+    SELECT doc_id, domain, n_chars, rk FROM r WHERE rk <= 5
+    """,
+    doc="Per-domain document cap — the anti-megadomain stage (RefinedWeb "
+    "caps pages per domain so no single site dominates the corpus): "
+    "keep the 5 longest documents per registrable domain "
+    "(deterministic n_chars desc, doc_id tiebreak). The rank filter "
+    "sits directly on the window so Spark 4 rewrites it to "
+    "WindowGroupLimit: each map task pre-prunes to its local top-5 "
+    "BEFORE the exchange — the shuffle carries at most cap x |domains| "
+    "rows regardless of corpus size, exactly what the skewed-megadomain "
+    "case needs at 100 TB. operators/web.py::domain_cap.",
+)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    d = WB.parse_urls(d.withColumn("url", WB.synthetic_url()))
+    return WB.domain_cap(d, cap=5).select(
+        "doc_id", "domain", "n_chars", "rk"
+    )
 
 
 PRIORITY: list[str] = [

@@ -21,7 +21,13 @@ tables (never replacing driver data — output lives in .scale/, gitignored):
 
 Seeded (numpy PCG64(7)), so reruns produce identical bytes-for-bytes data.
 
-Usage: python scripts/gen_scale_data.py [out_dir]
+Round-5: the recipe CHAINS — pass a source dir to scale any existing decade
+by another 10x (sf1 -> sf10: ~500k docs / 200k embeddings / 60M lineitem).
+Chained runs pass a salt ``tag`` so recombinant salt tokens never collide
+with the previous generation's (sf1 keeps tag="" for byte-identical
+reruns), and a distinct seed so the pair-sampling is independent.
+
+Usage: python scripts/gen_scale_data.py [out_dir] [src_dir] [seed] [tag]
 """
 
 from __future__ import annotations
@@ -36,7 +42,9 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 
 
-def gen_documents(out_dir: str, rng: np.random.Generator) -> int:
+def gen_documents(
+    out_dir: str, rng: np.random.Generator, tag: str = ""
+) -> int:
     t = pq.read_table(f"{SRC}/documents.parquet")
     doc_id = t["doc_id"].to_numpy()
     text = t["text"].to_pylist()
@@ -56,7 +64,7 @@ def gen_documents(out_dir: str, rng: np.random.Generator) -> int:
         for i, w in enumerate(words):
             salted.append(w)
             if i % 4 == 3:
-                salted.append(f"s{k}x{i}")
+                salted.append(f"s{tag}{k}x{i}")
         tx = " ".join(salted)
         new_rows["doc_id"].append(next_id + k)
         new_rows["text"].append(tx)
@@ -214,10 +222,15 @@ def gen_tpch(out_dir: str) -> dict[str, int]:
 
 
 def main() -> int:
+    global SRC
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
+    if len(sys.argv) > 2:
+        SRC = sys.argv[2]
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 7
+    tag = sys.argv[4] if len(sys.argv) > 4 else ""
     os.makedirs(out_dir, exist_ok=True)
-    rng = np.random.default_rng(7)
-    nd = gen_documents(out_dir, rng)
+    rng = np.random.default_rng(seed)
+    nd = gen_documents(out_dir, rng, tag)
     ne = gen_embeddings(out_dir, rng)
     nv = gen_events(out_dir, rng)
     nt = gen_tpch(out_dir)
