@@ -699,3 +699,121 @@ def ahash_png(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+def _alignment_weights(
+    n_buckets: int, dim: int, seed: str
+) -> list[list[int]]:
+    """Content-addressed text-tower weight matrix for the image-text
+    alignment proxy: ``W[b][j] = md5("{seed}:{b}:{j}")[:8] % 2_000_001 -
+    1_000_000`` micro-units (uniform in [-1, +1]) — the same stand-in-
+    for-shipped-weights discipline as text._default_classifier_weights,
+    re-derivable by any engine / the SQL oracle."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}:{b}:{j}".encode()).hexdigest()[:8], 16)
+            % 2_000_001
+            - 1_000_000
+            for j in range(dim)
+        ]
+        for b in range(n_buckets)
+    ]
+
+
+def image_text_alignment_filter(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    n_buckets: int = 64,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "al",
+    threshold_micros: int = 0,
+) -> DataFrame:
+    """CLIP-style image-text alignment PROXY filter (the DataComp /
+    LAION 'does the caption match the image' curation stage), in the
+    quality_fasttext_classifier discipline: a hashed linear TEXT tower
+    scored against the int8-quantized image embedding, exact BIGINT
+    arithmetic end-to-end so the SQL oracle matches bit-for-bit.
+
+    - text tower: each caption token hashes into one of ``n_buckets``
+      feature rows of a content-addressed ``n_buckets x dim`` micro-unit
+      weight matrix (real trained projection weights plug in the same
+      way); the caption vector is the BIGINT sum of its tokens' rows —
+      folded per row by one JVM ``aggregate``/``zip_with`` HOF chain,
+      no explode;
+    - image tower: the existing embedding column, symmetric-int8
+      quantized (similarity.quantize_int8 — the same codes the ANN/
+      SemDeDup family uses);
+    - score = exact integer dot(caption_vec, image_codes);
+      keep = score >= threshold.
+
+    Shape at scale: ONE equi-join (caption to image row — in a real
+    multimodal corpus the pair is already one table and even that join
+    disappears) followed by a pure narrow map; the weight matrix is a
+    plan literal (single parse, constant-folded), so a 100 TB alignment
+    pass is scan + map. NULL captions score like empty ones (0 tokens,
+    score 0) so funnel counts stay exact.
+
+    Returns (doc_id, n_tokens, score_micros, keep).
+    """
+    from .similarity import quantize_int8
+    from .text import tokens
+
+    w = _alignment_weights(n_buckets, dim, seed)
+    wtab = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{v}L" for v in row) + ")" for row in w
+        )
+        + ")"
+    )
+    pairs = docs.select(id_col, text_col).join(
+        embeddings.select(F.col(vec_id_col).alias(id_col), vec_col), id_col
+    )
+    z = quantize_int8(pairs, id_col=id_col, vec_col=vec_col)
+    z = z.withColumn(
+        "__ws", tokens(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    bucket = lambda t: (  # noqa: E731 — same hash as the oracle's md5 path
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % n_buckets
+        + 1
+    ).cast("int")
+    z = z.withColumn(
+        "__tvec",
+        F.aggregate(
+            F.col("__ws"),
+            F.array_repeat(F.lit(0).cast("bigint"), dim),
+            lambda acc, t: F.zip_with(
+                acc,
+                F.element_at(wtab, bucket(t)),
+                lambda a, x: a + x,
+            ),
+        ),
+    )
+    # materialize the fold once, then reference by name — two inline uses
+    # (value + keep test) would re-evaluate the whole token fold per row
+    # if CollapseProject duplicated it (the hashed_linear_classifier
+    # pattern)
+    z = z.withColumn(
+        "score_micros",
+        F.aggregate(
+            F.zip_with(
+                F.col("__tvec"),
+                F.col("codes"),
+                lambda a, c: a * c.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return z.select(
+        F.col(id_col),
+        F.size("__ws").cast("bigint").alias("n_tokens"),
+        F.col("score_micros"),
+        (F.col("score_micros") >= F.lit(threshold_micros)).alias("keep"),
+    )

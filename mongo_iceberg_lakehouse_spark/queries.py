@@ -11606,6 +11606,70 @@ def quality_fasttext_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.hashed_linear_classifier(d, n_buckets=128)
 
 
+@register(
+    "multimodal_image_text_alignment",
+    """
+    WITH p AS (
+      SELECT d.doc_id,
+             list_filter(regexp_split_to_array(lower(d.text), '\\s+'),
+                         x -> x <> '') AS ws,
+             e.embedding AS emb
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    qz AS (
+      SELECT doc_id, ws,
+             list_transform(emb, x -> CAST(floor(
+               CAST(x AS DOUBLE)
+               / (CASE WHEN am = 0 THEN 1.0 ELSE am / 127.0 END)
+               + 0.5) AS INT)) AS codes
+      FROM (SELECT doc_id, ws, emb,
+                   list_max(list_transform(emb,
+                     x -> abs(CAST(x AS DOUBLE)))) AS am
+            FROM p)),
+    tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64 AS b
+      FROM (SELECT doc_id, unnest(ws) AS t FROM qz)),
+    tv AS (
+      SELECT doc_id, j,
+             CAST(sum((CAST(('0x' || substr(md5(
+               'al:' || CAST(b AS VARCHAR) || ':' || CAST(j AS VARCHAR)
+             ), 1, 8)) AS BIGINT) % 2000001) - 1000000) AS BIGINT) AS tvj
+      FROM tok CROSS JOIN range(64) dims(j)
+      GROUP BY doc_id, j),
+    sc AS (
+      SELECT t.doc_id,
+             CAST(sum(t.tvj * q.codes[t.j + 1]) AS BIGINT) AS score_micros
+      FROM tv t JOIN qz q ON t.doc_id = q.doc_id
+      GROUP BY t.doc_id)
+    SELECT q.doc_id,
+           CAST(len(q.ws) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s.score_micros, 0) AS BIGINT) AS score_micros,
+           coalesce(s.score_micros, 0) >= 0 AS keep
+    FROM qz q LEFT JOIN sc s ON q.doc_id = s.doc_id
+    """,
+    doc="CLIP-style image-text alignment proxy filter (the DataComp/LAION "
+    "'caption matches image' curation stage): hashed linear TEXT tower "
+    "(64 feature buckets x 64 dims, content-addressed micro-unit "
+    "weights — real trained projection weights plug in identically) "
+    "scored by exact BIGINT dot product against the int8-quantized "
+    "image embedding (the same quantize_int8 codes the ANN/SemDeDup "
+    "family uses). One equi-join (caption-to-image; a real multimodal "
+    "corpus ships pairs as one table) + a pure narrow map: the caption "
+    "vector folds per row via JVM aggregate/zip_with HOFs — no explode, "
+    "no Python — and the weight matrix is a constant-folded plan "
+    "literal, so a 100 TB alignment pass is scan + map. "
+    "operators/multimodal.py::image_text_alignment_filter.",
+)
+def multimodal_image_text_alignment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    from .operators.multimodal import image_text_alignment_filter
+
+    return image_text_alignment_filter(d, e)
+
+
 # ---------------------------------------------------------------------------
 # URL / domain-level curation (round-5: the web-crawl plumbing stage)
 # ---------------------------------------------------------------------------

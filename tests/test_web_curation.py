@@ -90,3 +90,26 @@ def test_blocklist_filter_broadcasts_and_flags(spark):
     assert "BroadcastHashJoin" in plan
     kept = {r["doc_id"]: r["kept"] for r in out.collect()}
     assert kept == {1: False, 2: True, 3: False}
+
+
+def test_image_text_alignment_null_caption_scores_zero(spark):
+    from mongo_iceberg_lakehouse_spark.operators.multimodal import (
+        image_text_alignment_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a caption here")], "doc_id long, text string"
+    )
+    embs = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [0.5] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["doc_id"]: r for r in image_text_alignment_filter(
+        docs, embs
+    ).collect()}
+    # NULL caption == empty caption: 0 tokens, score 0, kept (funnel
+    # counts stay exact)
+    assert out[1]["n_tokens"] == 0
+    assert out[1]["score_micros"] == 0
+    assert out[1]["keep"] is True
+    assert out[2]["n_tokens"] == 3
