@@ -198,3 +198,57 @@ def encode_token_stats(
             F.sum("__n_sub").alias("subword_tokens"),
         )
     )
+
+
+def reference_bpe(
+    vocab: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Plain-Python reference BPE on a weighted vocab (Sennrich et al.
+    2016): per round, count adjacent symbol pairs, take the
+    (count desc, pair asc) argmax, merge greedily left-to-right
+    non-overlapping. The ground truth the distributed ``bpe_train`` must
+    reproduce exactly — used by tests/test_bpe.py and by the
+    tokenizer_bpe_train_merges contract query on a bounded
+    content-addressed document sample (driver cost stays O(sample
+    vocab) at every corpus scale)."""
+    import collections
+
+    syms = {w: [*w, END_OF_WORD] for w in vocab}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: collections.Counter = collections.Counter()
+        for w, cnt in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += cnt
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, cnt))
+        for w in vocab:
+            s, out = syms[w], []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges
+
+
+def reference_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply a trained merge table to one word, in rank order, greedy
+    leftmost non-overlapping — the plain-Python mirror of
+    ``apply_merges``'s JVM fold (one anchor for both implementations)."""
+    s: list[str] = [*word, END_OF_WORD]
+    for a, b in merges:
+        out: list[str] = []
+        for x in s:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        s = out
+    return s

@@ -133,3 +133,41 @@ def rowgroups_overlapping(
                     break
             hit += ok
     return hit, total
+
+
+def rowgroups_box_rows(
+    path: str, predicates: dict[str, tuple[float, float]]
+) -> int:
+    """Rows satisfying every [lo, hi] predicate when scanning ONLY the
+    row groups whose footer stats overlap the box — i.e. what a
+    stats-pruning scan actually returns. Comparing this against the
+    full-scan count proves the pruning has no false negatives (a wrong
+    min/max comparison would silently drop rows; the contract query
+    turns that into a hashed boolean)."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    ds = pq.ParquetDataset(path)
+    for frag in ds.fragments:
+        md = frag.metadata
+        names = {c: i for i, c in enumerate(frag.physical_schema.names)}
+        pf = pq.ParquetFile(frag.path)
+        for rg in range(md.num_row_groups):
+            ok = True
+            for col, (lo, hi) in predicates.items():
+                st = md.row_group(rg).column(names[col]).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                if st.min > hi or st.max < lo:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            t = pf.read_row_group(rg, columns=list(predicates))
+            mask = None
+            for col, (lo, hi) in predicates.items():
+                arr = t[col].to_numpy()
+                m = (arr >= lo) & (arr <= hi)
+                mask = m if mask is None else (mask & m)
+            n += int(mask.sum())
+    return n

@@ -3130,12 +3130,32 @@ def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack_token_batches",
-    None,  # greedy bin packing is algorithmic, not SQL-expressible
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n
+      FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           TRUE AS conservation_ok,
+           TRUE AS budget_ok,
+           TRUE AS fill_ok
+    FROM tk
+    """,
     doc="Sequence packing for LLM training: sharded first-fit-decreasing "
     "into 512-token batches (deterministic hash shards -> applyInPandas "
-    "FFD per shard -> namespaced batch ids). Returns per-batch fill "
-    "stats; invariants (conservation, budget, fill) in "
-    "tests/test_operators.py. Rows-only check.",
+    "FFD per shard -> namespaced batch ids). The greedy packing itself "
+    "is algorithmic, so the query emits its CONTRACT in the agg_approx "
+    "idiom (round-4 verdict #3): the oracle value-checks the exact side "
+    "(doc + token totals) while the booleans assert token/doc "
+    "CONSERVATION through the pack, the BUDGET invariant (every "
+    "multi-doc batch <= 512 tokens; a single oversized doc may own a "
+    "batch), and the FFD FILL bound (first-fit leaves at most ONE "
+    "half-empty bin per shard, so <= 16 across the 16 shards — a broken "
+    "first-fit scan or a lost shard trips it). Full per-batch stats "
+    "stay pinned in tests/test_operators.py and test_chop_pack.py. "
+    "operators/packing.py::pack_batches.",
 )
 def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.packing import batch_summary, pack_batches
@@ -3143,7 +3163,32 @@ def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     docs = d.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
     packed = pack_batches(docs, "doc_id", "n_tokens", budget=512, n_shards=16)
-    return batch_summary(packed, budget=512)
+    summary = batch_summary(packed, budget=512)
+    src = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("src_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("src_tokens"),
+    )
+    agg = summary.agg(
+        F.sum("n_docs").cast("bigint").alias("p_docs"),
+        F.sum("n_tokens").cast("bigint").alias("p_tokens"),
+        F.sum(
+            F.when((F.col("n_tokens") > 512) & (F.col("n_docs") > 1), 1)
+            .otherwise(0)
+        ).alias("over_budget"),
+        F.sum(
+            F.when(F.col("n_tokens") * 2 <= 512, 1).otherwise(0)
+        ).alias("half_empty"),
+    )
+    return src.crossJoin(agg).select(
+        F.col("src_docs").alias("n_docs"),
+        F.col("src_tokens").alias("total_tokens"),
+        (
+            (F.col("p_docs") == F.col("src_docs"))
+            & (F.col("p_tokens") == F.col("src_tokens"))
+        ).alias("conservation_ok"),
+        (F.col("over_budget") == 0).alias("budget_ok"),
+        (F.col("half_empty") <= 16).alias("fill_ok"),
+    )
 
 
 @register(
@@ -3774,24 +3819,126 @@ def docs_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "docs_curation_pipeline",
-    None,  # near-dup stage (MinHash-LSH) is not SQL-expressible
+    """
+    WITH f AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             md5(array_to_string(tk, ' ')) AS fingerprint,
+             (len(tk) >= 10 AND
+              (CASE WHEN len(tk) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(tk,
+                      t -> t IN ('the','a','of','and','to','in','is')))
+                      AS DOUBLE) / len(tk) END) < 0.5) AS is_q,
+             len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is'))) AS c_en,
+             len(list_filter(tk, t -> t IN ('el','la','de','los','las','que','y'))) AS c_es,
+             len(list_filter(tk, t -> t IN ('der','die','das','und','ist','nicht'))) AS c_de,
+             len(list_filter(tk, t -> t IN ('le','la','les','et','des','est'))) AS c_fr,
+             len(list_filter(tk, t -> t IN ('的','是','了','在','我'))) AS c_zh
+      FROM f
+    ), st AS (
+      SELECT doc_id, fingerprint,
+             CASE WHEN NOT is_q THEN 'drop_quality'
+                  WHEN (CASE WHEN greatest(c_en,c_es,c_de,c_fr,c_zh) = 0 THEN 'und'
+                             WHEN c_en = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'en'
+                             WHEN c_es = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'es'
+                             WHEN c_de = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'de'
+                             WHEN c_fr = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'fr'
+                             ELSE 'zh' END) NOT IN ('en') THEN 'drop_lang'
+                  ELSE NULL END AS early
+      FROM s
+    ), rk AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM st WHERE early IS NULL
+    ), fin AS (
+      SELECT COALESCE(st.early,
+                      CASE WHEN rk.rn = 1 THEN 'kept'
+                           ELSE 'drop_exact_dup' END) AS status
+      FROM st LEFT JOIN rk ON st.doc_id = rk.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (status = 'drop_quality') AS BIGINT)
+             AS drop_quality_docs,
+           CAST(count(*) FILTER (status = 'drop_lang') AS BIGINT)
+             AS drop_lang_docs,
+           CAST(count(*) FILTER (status = 'drop_exact_dup') AS BIGINT)
+             AS drop_exact_dup_docs,
+           CAST(count(*) FILTER (status = 'kept') AS BIGINT)
+             AS post_exact_pool_docs,
+           TRUE AS neardup_split_ok,
+           TRUE AS statuses_match_decisions
+    FROM fin
+    """,
     doc="FULL curation pipeline with lineage: quality -> lang -> exact "
     "dedup -> MinHash near-dup (runs only on prior survivors — the "
-    "expensive stage sees the smallest input). Returns per-status document "
-    "counts and token totals: the corpus-curation audit summary.",
+    "expensive stage sees the smallest input). Contract form (round-4 "
+    "verdict #3): the oracle value-checks every SQL-expressible stage "
+    "count exactly (quality/lang/exact-dup drops and the post-exact "
+    "pool, recomputed from scratch by the docs_curation_decisions SQL); "
+    "neardup_split_ok asserts the non-SQL LSH stage only PARTITIONS the "
+    "post-exact pool (kept + drop_near_dup == pool, nothing invented or "
+    "lost), and statuses_match_decisions asserts PER-DOCUMENT parity "
+    "between the pipeline log and the independently-computed decisions "
+    "query for every early status (anti-join count == 0). "
+    "plans/docpipeline.py::curate_documents.",
 )
 def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .plans.docpipeline import curate_documents
+    from .plans.docpipeline import (
+        curate_documents,
+        stage3_exact_dedup,
+        stage12_decisions,
+    )
 
     d = _t(spark, sf_dir, "documents")
     log = curate_documents(d)
-    return (
-        log.groupBy("status")
-        .agg(
-            F.count(F.lit(1)).alias("docs"),
-            F.sum("n_tokens").alias("tokens"),
-        )
-        .orderBy("status")
+    dec = stage3_exact_dedup(stage12_decisions(d)).select(
+        "doc_id", F.col("status").alias("dec_status")
+    )
+    j = log.join(dec, "doc_id")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("status") == "drop_quality").cast("long"))
+        .cast("bigint")
+        .alias("drop_quality_docs"),
+        F.sum((F.col("status") == "drop_lang").cast("long"))
+        .cast("bigint")
+        .alias("drop_lang_docs"),
+        F.sum((F.col("status") == "drop_exact_dup").cast("long"))
+        .cast("bigint")
+        .alias("drop_exact_dup_docs"),
+        F.sum(F.col("status").isin("kept", "drop_near_dup").cast("long"))
+        .cast("bigint")
+        .alias("post_exact_pool_docs"),
+        F.sum((F.col("dec_status") == "kept").cast("long"))
+        .cast("bigint")
+        .alias("__dec_kept"),
+        # per-document parity: early statuses must agree exactly; the
+        # near-dup stage may only demote a decisions-'kept' doc
+        F.sum(
+            (
+                ~(
+                    (F.col("status") == F.col("dec_status"))
+                    | (
+                        (F.col("dec_status") == "kept")
+                        & F.col("status").isin("kept", "drop_near_dup")
+                    )
+                )
+            ).cast("long")
+        ).alias("__mismatches"),
+    )
+    return agg.select(
+        "n_docs",
+        "drop_quality_docs",
+        "drop_lang_docs",
+        "drop_exact_dup_docs",
+        "post_exact_pool_docs",
+        (F.col("post_exact_pool_docs") == F.col("__dec_kept")).alias(
+            "neardup_split_ok"
+        ),
+        (F.col("__mismatches") == 0).alias("statuses_match_decisions"),
     )
 
 
@@ -3836,20 +3983,39 @@ def layout_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "layout_zorder_pruning",
-    None,  # layout/plan-level result (row-group stats) — rows-only
+    """
+    WITH b AS (SELECT max(l_partkey) AS hp, max(l_suppkey) AS hs
+               FROM lineitem)
+    SELECT CAST(count(*) AS BIGINT) AS rows_in_box,
+           TRUE AS zorder_reads_fewer,
+           TRUE AS pruning_correct
+    FROM lineitem, b
+    WHERE l_partkey <= b.hp / 8.0 AND l_suppkey <= b.hs / 8.0
+    """,
     doc="Z-order layout clustering vs linear sort, measured by parquet "
     "footer min/max row-group pruning for a 2-D box predicate on "
     "(l_partkey, l_suppkey): Morton-key repartitionByRange + "
     "sortWithinPartitions (operators/layout.py), stats read back via "
-    "pyarrow footers exactly as a scan planner would. The Delta "
-    "OPTIMIZE ZORDER / Iceberg sort-order rewrite equivalent, from "
-    "first principles.",
+    "pyarrow footers exactly as a scan planner would — the Delta "
+    "OPTIMIZE ZORDER / Iceberg sort-order rewrite equivalent. Contract "
+    "form (round-4 verdict #3, agg_approx idiom): the oracle "
+    "value-checks rows_in_box exactly; zorder_reads_fewer asserts the "
+    "z-order layout's overlapping-row-group count is strictly below "
+    "the orderkey-sorted layout's for the same box (the whole point of "
+    "the rewrite), and pruning_correct asserts a pruned scan (reading "
+    "ONLY overlapping row groups) returns exactly rows_in_box rows — "
+    "no false negatives from the min/max logic. Raw per-layout counts "
+    "remain pinned in tests/test_layout.py.",
 )
 def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from .operators.layout import cluster_by_zorder, rowgroups_overlapping
+    from .operators.layout import (
+        cluster_by_zorder,
+        rowgroups_box_rows,
+        rowgroups_overlapping,
+    )
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
@@ -3871,13 +4037,18 @@ def layout_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(lin_path)
     )
-    rows = []
-    for layout, path in [("zorder", z_path), ("linear_orderkey", lin_path)]:
-        hit, total = rowgroups_overlapping(path, pred)
-        rows.append((layout, hit, total))
+    hit_z, _ = rowgroups_overlapping(z_path, pred)
+    hit_lin, _ = rowgroups_overlapping(lin_path, pred)
+    pruned_rows = rowgroups_box_rows(z_path, pred)
+    rows_in_box = li.filter(
+        (F.col("l_partkey") <= b["hp"] / 8)
+        & (F.col("l_suppkey") <= b["hs"] / 8)
+    ).count()
     return spark.createDataFrame(
-        rows, "layout string, rowgroups_read long, rowgroups_total long"
-    ).orderBy("layout")
+        [(rows_in_box, hit_z < hit_lin, pruned_rows == rows_in_box)],
+        "rows_in_box bigint, zorder_reads_fewer boolean, "
+        "pruning_correct boolean",
+    )
 
 
 @register(
@@ -10381,40 +10552,174 @@ def tokenizer_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tokenizer_bpe_train_merges",
-    None,  # iterative argmax-per-round — not single-statement SQL;
-    # exactness vs a pure-Python reference BPE is pinned in
-    # tests/test_bpe.py.
-    doc="Full BPE merge-loop training (first 6 merges): per round, "
-    "distributed pair counting over the weighted vocab, 1-row argmax "
-    "collect (deterministic ties), greedy leftmost non-overlapping merge "
-    "fold, localCheckpoint lineage truncation. Rows-only here; "
-    "tests/test_bpe.py proves merge-table equality with a reference "
-    "implementation. operators/bpe.py::bpe_train.",
+    """
+    WITH vocab AS (
+      SELECT w, count(*) AS cnt
+      FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS w
+            FROM documents)
+      GROUP BY w
+    ), syms AS (
+      SELECT cnt,
+             list_append(list_transform(range(1, length(w) + 1), i -> w[i]),
+                         '</w>') AS s
+      FROM vocab
+    ), pairs AS (
+      SELECT s[i] AS a, s[i+1] AS b, cnt
+      FROM syms, unnest(range(1, len(s))) AS t(i)
+    ), top1 AS (
+      SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+      FROM pairs GROUP BY a, b
+      ORDER BY pair_cnt DESC, a, b LIMIT 1
+    )
+    SELECT a AS first_left, b AS first_right, pair_cnt AS first_cnt,
+           CAST(6 AS INT) AS sample_merges,
+           TRUE AS sample_matches_reference
+    FROM top1
+    """,
+    doc="Full BPE merge-loop training: per round, distributed pair "
+    "counting over the weighted vocab, 1-row argmax collect "
+    "(deterministic ties), greedy leftmost non-overlapping merge fold, "
+    "localCheckpoint lineage truncation. Contract form (round-4 verdict "
+    "#3): the FIRST merge — the round whose argmax IS single-statement "
+    "SQL — is value-checked exactly against the oracle's own full-corpus "
+    "pair statistics at EVERY scale, while the 6-round iterative loop "
+    "runs end-to-end on a bounded content-addressed document sample "
+    "(smallest md5(doc_id), limit 200 — fixed driver cost at any corpus "
+    "size, the anchored-slice idiom of docs/SCALING.md) and "
+    "sample_matches_reference asserts merge-table equality with the "
+    "plain-Python reference BPE (operators/bpe.py::reference_bpe). "
+    "Full-corpus merge equality at the smoke SF stays pinned in "
+    "tests/test_bpe.py. operators/bpe.py::bpe_train.",
 )
 def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import bpe
 
     d = _t(spark, sf_dir, "documents")
-    return bpe.bpe_train(spark, d, n_merges=6)
+    # full-corpus anchor: the rank-1 argmax over distributed pair stats
+    vocab = bpe.vocab_counts(d).withColumn("syms", bpe.initial_symbols("w"))
+    first = (
+        bpe.pair_counts(vocab)
+        .orderBy(F.col("pair_cnt").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(1)
+        .collect()[0]
+    )
+    # bounded anchored slice: 6-round train, distributed vs pure Python
+    sample = (
+        d.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(200)
+        .localCheckpoint()
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], int(r["pair_cnt"]))
+        for r in bpe.bpe_train(spark, sample, n_merges=6).collect()
+    ]
+    svocab = {
+        r["w"]: int(r["cnt"]) for r in bpe.vocab_counts(sample).collect()
+    }
+    want = bpe.reference_bpe(svocab, n_merges=6)
+    return spark.createDataFrame(
+        [
+            (
+                first["a"],
+                first["b"],
+                int(first["pair_cnt"]),
+                len(got),
+                got == want,
+            )
+        ],
+        "first_left string, first_right string, first_cnt bigint, "
+        "sample_merges int, sample_matches_reference boolean",
+    )
 
 
 @register(
     "tokenizer_bpe_encode_stats",
-    None,  # encoding depends on the trained merge table (iterative);
-    # end-to-end equality with a pure-Python train+encode reference is
-    # pinned in tests/test_bpe.py.
-    doc="Train BPE (6 merges) then ENCODE the corpus with it: per-source "
-    "document/word/subword-token totals — the token-budget readout a "
-    "training pipeline plans against. Encoding runs once per DISTINCT "
-    "word (weighted vocab), then joins back to the corpus on the word "
-    "key; the corpus-sized side never carries symbol arrays. "
-    "operators/bpe.py::encode_token_stats.",
+    """
+    WITH tok AS (
+      SELECT source, doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS w
+      FROM documents)
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS docs,
+           CAST(count(*) AS BIGINT) AS words,
+           TRUE AS subword_bounds_ok,
+           TRUE AS anchor_encode_ok
+    FROM tok GROUP BY source
+    """,
+    doc="Train BPE (6 merges) then ENCODE the corpus with it — the "
+    "token-budget readout a training pipeline plans against. Encoding "
+    "runs once per DISTINCT word (weighted vocab) and joins back on the "
+    "word key; the corpus-sized side never carries symbol arrays. "
+    "Contract form (round-4 verdict #3): per-source doc/word totals are "
+    "value-checked exactly; subword_bounds_ok asserts the (non-SQL) "
+    "subword totals are sandwiched by their exact invariants per source "
+    "(>= words: every word is at least one token after 6 merges; "
+    "<= chars + words: merging only shrinks the initial chars+1 "
+    "symbols), and anchor_encode_ok asserts per-word equality between "
+    "the distributed JVM merge fold and the pure-Python reference "
+    "encoder on a bounded anchored slice of the vocab (smallest "
+    "md5(word), limit 500 — fixed driver cost at any scale). Full "
+    "end-to-end equality at the smoke SF stays pinned in "
+    "tests/test_bpe.py. operators/bpe.py::encode_token_stats.",
 )
 def tokenizer_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import bpe
 
     d = _t(spark, sf_dir, "documents")
-    return bpe.encode_token_stats(spark, d, n_merges=6)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe.bpe_train(spark, d, n_merges=6).collect()
+    ]
+    vocab = (
+        bpe.vocab_counts(d)
+        .withColumn("syms", bpe.initial_symbols("w"))
+        .select("w", "cnt", "syms")
+        .localCheckpoint()  # two consumers: corpus encode + anchor slice
+    )
+    encoded = bpe.apply_merges(vocab, merges).select(
+        "w", F.size("syms").alias("__n_sub")
+    )
+    ws = T.tokens(F.col("text"))
+    corpus = d.select(
+        "source", F.col("doc_id"), F.explode_outer(ws).alias("w")
+    ).filter(F.col("w").isNotNull())
+    per_source = (
+        corpus.join(encoded, on="w")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("docs"),
+            F.count(F.lit(1)).cast("bigint").alias("words"),
+            F.sum("__n_sub").alias("__subwords"),
+            # chars+1 initial symbols per word occurrence = upper bound
+            F.sum(F.length("w").cast("bigint") + 1).alias("__ub"),
+        )
+    )
+    # anchored slice: distributed fold vs pure-Python reference encoder
+    # (slice FIRST — the per-row fold is independent, so folding 500
+    # rows beats folding the vocab then taking 500)
+    anchor = (
+        bpe.apply_merges(
+            vocab.orderBy(F.md5(F.col("w")), F.col("w")).limit(500), merges
+        )
+        .select("w", "syms")
+        .collect()
+    )
+    anchor_ok = all(
+        list(r["syms"]) == bpe.reference_encode(r["w"], merges)
+        for r in anchor
+    )
+    return per_source.select(
+        "source",
+        "docs",
+        "words",
+        (
+            (F.col("__subwords") >= F.col("words"))
+            & (F.col("__subwords") <= F.col("__ub"))
+        ).alias("subword_bounds_ok"),
+        F.lit(anchor_ok).alias("anchor_encode_ok"),
+    )
 
 
 @register(

@@ -4,8 +4,6 @@ counts — on the real sf0.001 corpus."""
 
 from __future__ import annotations
 
-import collections
-
 import duckdb
 
 from pyspark.sql import functions as F
@@ -17,33 +15,9 @@ from .conftest import SF_SMOKE
 END = bpe.END_OF_WORD
 
 
-def _reference_bpe(vocab: dict[str, int], n_merges: int):
-    """Plain-Python BPE on a weighted vocab: per round, count adjacent
-    symbol pairs, take the (count desc, pair asc) argmax, merge greedily
-    left-to-right non-overlapping."""
-    syms = {w: [*w, END] for w in vocab}
-    merges = []
-    for rank in range(1, n_merges + 1):
-        counts: collections.Counter = collections.Counter()
-        for w, cnt in vocab.items():
-            s = syms[w]
-            for i in range(len(s) - 1):
-                counts[(s[i], s[i + 1])] += cnt
-        if not counts:
-            break
-        (a, b), cnt = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        merges.append((rank, a, b, cnt))
-        for w in vocab:
-            s, out = syms[w], []
-            for x in s:
-                if out and out[-1] == a and x == b:
-                    out[-1] = a + b
-                else:
-                    out.append(x)
-            syms[w] = out
-    return merges
+# the reference implementation now lives next to the operator (it also
+# anchors the tokenizer_bpe_train_merges contract query)
+_reference_bpe = bpe.reference_bpe
 
 
 def _corpus_vocab() -> dict[str, int]:
