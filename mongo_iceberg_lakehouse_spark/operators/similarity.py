@@ -1492,6 +1492,7 @@ def embedding_drift_by_cohort(
     cohort: Column,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ordered: bool = True,
 ) -> DataFrame:
     """Embedding-space drift monitor: per-dimension centroid shift between
     two cohorts (yesterday's snapshot vs today's, corpus A vs corpus B —
@@ -1585,7 +1586,7 @@ def embedding_drift_by_cohort(
     ).otherwise(
         F.floor(F.col(s).cast("double") / F.col(n) + F.lit(0.5)).cast("long")
     )
-    return (
+    out = (
         rows.withColumn("mean_a", mean("__s_a", "n_a"))
         .withColumn("mean_b", mean("__s_b", "n_b"))
         .select(
@@ -1596,11 +1597,13 @@ def embedding_drift_by_cohort(
             "mean_b",
             F.abs(F.col("mean_a") - F.col("mean_b")).alias("shift"),
         )
+    )
+    if ordered:
         # dim rows only — the sort is free and honors the documented
         # by-dimension contract for consumers that zip against a
         # dim-indexed reference
-        .orderBy("dim")
-    )
+        out = out.orderBy("dim")
+    return out
 
 
 def hard_negative_topk(

@@ -10382,9 +10382,10 @@ def streaming_classifier_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_classifier_funnel(spark, sf_dir)
 
 
-@register(
-    "streaming_embedding_drift",
-    """
+# Shared by the complete-mode and update-mode (incremental) streaming
+# drift queries: availableNow == batch, so the batch drift SQL is the
+# oracle for both.
+_STREAM_DRIFT_ORACLE = """
     WITH z AS (
       SELECT CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
                   AS BIGINT) % 2 = 0 AS a,
@@ -10416,7 +10417,12 @@ def streaming_classifier_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              - CASE WHEN n_b = 0 THEN 0
                     ELSE CAST(floor(s_b / n_b + 0.5) AS BIGINT) END) AS shift
     FROM per
-    """,
+"""
+
+
+@register(
+    "streaming_embedding_drift",
+    _STREAM_DRIFT_ORACLE,
     doc="Embedding-space drift, live: the batch drift monitor runs "
     "UNCHANGED on an embedding STREAM — numpy partial sums are a "
     "stateless per-batch map and the per-dimension combine is a "
@@ -10429,6 +10435,31 @@ def streaming_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.curation import run_stream_embedding_drift
 
     return run_stream_embedding_drift(spark, sf_dir)
+
+
+@register(
+    "streaming_embedding_drift_incremental",
+    _STREAM_DRIFT_ORACLE,
+    doc="UPDATE-mode drift monitor (round-5 verdict #6) — the 100 TB "
+    "shape: per-dim running (n_a, n_b, s_a, s_b) sums live in the "
+    "streaming state store and each micro-batch FOLDS its bounded numpy "
+    "partials into the stored state (plans/ivm.py's "
+    "aggregate_state/merge_state split; derived means sit on top), "
+    "emitting only the dims it touched — no per-batch re-emit of the "
+    "whole table, state dim-bounded forever, history never re-scanned. "
+    "Harness hash-slices the fixture into 3 files, maxFilesPerTrigger=1 "
+    "forces 3 REAL micro-batches (asserted >= 2 non-empty), foreachBatch "
+    "records each dim-bounded update delta, and the final state must "
+    "equal the one-shot batch drift — the availableNow == batch oracle "
+    "across genuine incremental folds. streaming/curation.py::"
+    "run_stream_embedding_drift_incremental.",
+)
+def streaming_embedding_drift_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .streaming.curation import run_stream_embedding_drift_incremental
+
+    return run_stream_embedding_drift_incremental(spark, sf_dir)
 
 
 @register(

@@ -217,3 +217,108 @@ def run_stream_embedding_drift(
         q.awaitTermination()
         q.stop()
     return spark.table(query_name)
+
+
+def run_stream_embedding_drift_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 3,
+    query_name: str = "stream_embedding_drift_incr",
+) -> DataFrame:
+    """UPDATE-mode drift monitor (round-5 verdict #6): the 100 TB shape.
+
+    ``run_stream_embedding_drift`` proves the operator composes with a
+    stream, but complete mode re-EMITS the whole dim-table every batch.
+    Here the per-dim running sums live in Spark's streaming state store
+    — each micro-batch folds its bounded numpy partials into the stored
+    (n_a, n_b, s_a, s_b) per dim (exactly plans/ivm.py's
+    aggregate_state/merge_state split, with the derived means computed
+    on top of state), and update mode emits only the dims a batch
+    touched. State is dim-bounded forever; nothing re-scans history.
+
+    Harness: the fixture is hash-sliced into ``n_batches`` files
+    (deterministic xxhash64 over vec_id — union of slices == fixture),
+    maxFilesPerTrigger=1 forces one micro-batch per slice, and
+    foreachBatch records each update delta with its batch id. The final
+    state (last update per dim) must equal the one-shot batch result —
+    the availableNow == batch oracle across >= 2 real micro-batches.
+    Each per-batch delta is dim rows (64), so the recorded updates are
+    bounded by dim x n_batches regardless of corpus size.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import embedding_drift_by_cohort
+    from ..sources.tables import load_table
+
+    for q in spark.streams.active:
+        if q.name == query_name:
+            q.stop()
+
+    root = tempfile.mkdtemp(prefix="drift_incr_")
+    in_dir = os.path.join(root, "in")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(in_dir)
+    vecs = load_table(spark, sf_dir, "embeddings")
+    batched = vecs.withColumn(
+        "__b", F.pmod(F.xxhash64("vec_id"), F.lit(n_batches))
+    )
+    for b in range(n_batches):
+        part = os.path.join(root, f"part_{b}")
+        batched.filter(F.col("__b") == b).drop("__b").coalesce(1).write.parquet(
+            part
+        )
+        data = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
+        dst = os.path.join(in_dir, f"batch_{b:04d}.parquet")
+        shutil.move(os.path.join(part, data), dst)
+        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(in_dir)
+    )
+    cohort = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+        == 0
+    )
+    # ordered=False: sorting an update-mode streaming agg is illegal; the
+    # final state is sorted on the driver below (dim-bounded)
+    drift = embedding_drift_by_cohort(stream, cohort, ordered=False)
+
+    updates: list[tuple[int, list]] = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        # dim-bounded collect (<= 64 rows per batch): the update DELTA,
+        # not the corpus
+        updates.append((batch_id, batch_df.collect()))
+
+    with state_partitions(spark):
+        q = (
+            drift.writeStream.foreachBatch(process)
+            .outputMode("update")
+            .queryName(query_name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    n_nonempty = sum(1 for _, rows in updates if rows)
+    if n_nonempty < 2:
+        raise AssertionError(
+            f"incremental drift harness expected >= 2 micro-batches with "
+            f"updates, saw {n_nonempty}"
+        )
+    final: dict[int, tuple] = {}
+    for _, rows in sorted(updates, key=lambda u: u[0]):
+        for r in rows:
+            final[r["dim"]] = tuple(r)
+    out = [final[k] for k in sorted(final)]
+    return spark.createDataFrame(out, schema=drift.schema)
