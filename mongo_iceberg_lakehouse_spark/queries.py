@@ -12138,24 +12138,26 @@ PRIORITY: list[str] = [
     "join_customer_orders", "join_broadcast_region_revenue",
     "join_left_semi", "join_left_anti", "join_theta_pairs",
     "asof_join_purchase_view",
-    # aggregation (percentile stats rotate out to the local+sf1 gates;
-    # the family keeps rollup + the approx contract in-window)
-    "agg_rollup", "agg_approx",
+    # aggregation (rollup rotates to the tail in round 5 —
+    # sql_grouping_sets pins the grouping-set shape; the approx contract
+    # stays)
+    "agg_approx",
     # SQL semantics
     "sql_grouping_sets", "sql_correlated_subquery",
-    # scalars + reshape + set ops (datetime scalars rotate out; the
-    # family keeps the VARIANT json path + explode + pivot in-window)
+    # scalars + reshape + set ops (datetime scalars + pivot rotate out;
+    # the family keeps the VARIANT json path + explode in-window)
     "scalar_json_extract", "explode_word_counts",
-    "pivot_event_values", "union_by_name_drift",
+    "union_by_name_drift",
     # windows + sessions
     "window_running_sum", "window_rank_family", "sessionize_events",
     # TPC-H flagships
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
-    # dedup: exact, sub-document scrub, exact similarity join (cross-
-    # corpus decontamination form, round 4), SimHash (full portable
-    # oracle, round 4), embedding
-    "dedup_exact_hash", "dedup_containment_pairs", "dedup_span_scrub",
+    # dedup: exact, canonical-URL (round 5), sub-document scrub, exact
+    # similarity join (cross-corpus decontamination form), SimHash,
+    # embedding (containment pairs rotates to the tail — the Jaccard
+    # prefix-filter family keeps cross_corpus in-window)
+    "dedup_exact_hash", "dedup_url_canonical", "dedup_span_scrub",
     "dedup_cross_corpus_jaccard", "dedup_simhash", "embedding_neardup_topk",
     # similarity / retrieval / semantic dedup + the LSH accuracy contract
     # (its exact side value-checks the same brute-force plan
@@ -12165,20 +12167,29 @@ PRIORITY: list[str] = [
     # exact-ranked similarity op and takes the graded slot)
     "ann_lsh_recall_contract", "pairs_hard_negatives",
     "semdedup_embedding_prune", "embedding_outlier_filter",
-    # text quality + retrieval + curation classics (+ round-4 PII scrub
-    # and bigram-LM perplexity)
-    "text_pii_redaction", "text_bigram_perplexity", "quality_gopher_rules",
+    # text quality + retrieval + curation classics (bigram-LM perplexity
+    # rotates to the tail; round-5 URL/domain stage takes two slots —
+    # the broadcast-blocklist funnel and the WindowGroupLimit domain cap)
+    "text_pii_redaction", "quality_gopher_rules",
     "quality_fasttext_classifier",
+    "curation_domain_blocklist", "curation_domain_cap",
     "dsir_importance_weights", "tokenizer_bpe_pair_counts",
-    # multimodal
+    # multimodal (+ round-5 image-text alignment proxy)
     "multimodal_png_pixels", "multimodal_wav_samples",
-    # streaming
+    "multimodal_image_text_alignment",
+    # streaming (+ round-5 update-mode incremental drift; batch SCD2
+    # rotates to the tail — streaming_scd2_orders keeps the family)
     "streaming_window_counts", "streaming_scd2_orders",
+    "streaming_embedding_drift_incremental",
     # lakehouse mutation
-    "scd2_customer_priority", "merge_on_read_orders",
+    "merge_on_read_orders",
     # splits / mixing / training order / packing
     "train_order_shards", "pack_sequences_chop",
     # --- end of the 50-budget window; remaining families' siblings ---
+    # round-5 rotation: displaced window members (still locally
+    # oracle-checked + sf1-gated)
+    "agg_rollup", "pivot_event_values", "dedup_containment_pairs",
+    "text_bigram_perplexity", "scd2_customer_priority",
     "join_outer_counts", "join_interval_events", "join_lateral_topk_orders",
     "join_null_safe_eq", "join_salted_lineitem_orders",
     "agg_stats_percentile", "agg_cube", "agg_distinct_customers",
