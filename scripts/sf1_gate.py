@@ -64,13 +64,20 @@ def sf1_eligible(name: str, present: list[str]) -> bool:
 
 
 def run_gate(
-    sf_dir: str, timeout: int = 300, spark=None
+    sf_dir: str, timeout: int = 300, spark=None, only=None
 ) -> tuple[int, int, int]:
     """Run the gate; returns (fails, skips, total). Importable so the
     pytest -m scale wrapper (tests/test_scale_gates.py) shares this exact
-    code path with the CLI."""
+    code path with the CLI. ``only`` restricts to a name subset (the sf10
+    gate runs the scaling-curve set, not all 260 oracles — one decade up
+    from the full sf1 gate, value-checking the scale-critical families)."""
     present = gate_tables(sf_dir)
     names = sorted(n for n in REGISTRY if sf1_eligible(n, present))
+    if only is not None:
+        unknown = set(only) - set(REGISTRY)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        names = [n for n in names if n in set(only)]
     print(
         f"# {len(names)} sf1-eligible oracle queries over {present}",
         flush=True,
@@ -128,13 +135,24 @@ def run_gate(
 
 def main() -> int:
     timeout = 300
+    only = None
     args = sys.argv[1:]
     if "--timeout" in args:
         i = args.index("--timeout")
         timeout = int(args[i + 1])
         del args[i:i + 2]
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        del args[i:i + 2]
+    if "--curve" in args:
+        # the scaling-curve set (scripts/scaling_curve.py QUERIES)
+        from scripts.scaling_curve import QUERIES as CURVE
+
+        only = list(CURVE)
+        args.remove("--curve")
     sf_dir = args[0] if args else "/root/repo/.scale/sf1"
-    fails, _skips, _total = run_gate(sf_dir, timeout)
+    fails, _skips, _total = run_gate(sf_dir, timeout, only=only)
     return 1 if fails else 0
 
 
