@@ -109,6 +109,14 @@ HEADLINE = [
     # fourth-session additions (see BASELINE.md comparability note)
     "quality_repetition_signals",
     "text_collocations_lift",
+    # round-5 additions: the URL/domain curation stage + the image-text
+    # alignment proxy (see BASELINE.md comparability note; raw totals
+    # before/after this growth are not comparable — use
+    # subtotal_r1_shared / the anchor-normalized fields)
+    "curation_domain_blocklist",
+    "dedup_url_canonical",
+    "curation_domain_cap",
+    "multimodal_image_text_alignment",
 ]
 
 
