@@ -46,24 +46,37 @@ def pack_batches(
     )
 
     def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         (shard,) = key
         pdf = pdf.sort_values(
             ["tokens", "id"], ascending=[False, True], kind="mergesort"
         )
-        bins: list[int] = []  # remaining capacity per open bin
+        # remaining capacity per open bin, as a numpy array: the first-fit
+        # scan is the FFD hot loop (O(docs x bins) comparisons — a Python
+        # list scan went 22.8x/decade at the round-5 sf10 gate); a C-level
+        # argmax keeps the EXACT first-fit semantics (first index that
+        # fits) at ~ns per comparison. Capacity grows by doubling.
+        cap = np.zeros(1024, dtype=np.int64)
+        nb = 0
         assign = []
-        for tokens in pdf["tokens"]:
-            placed = False
-            # first-fit over open bins
-            for i, rem in enumerate(bins):
-                if tokens <= rem:
-                    bins[i] = rem - tokens
-                    assign.append(i)
-                    placed = True
-                    break
-            if not placed:
-                bins.append(max(budget - tokens, 0))
-                assign.append(len(bins) - 1)
+        for tokens in pdf["tokens"].to_numpy():
+            t = int(tokens)
+            idx = -1
+            if nb:
+                fits = cap[:nb] >= t
+                i = int(np.argmax(fits))
+                if fits[i]:
+                    idx = i
+            if idx >= 0:
+                cap[idx] -= t
+            else:
+                if nb == len(cap):
+                    cap = np.concatenate([cap, np.zeros_like(cap)])
+                cap[nb] = max(budget - t, 0)
+                idx = nb
+                nb += 1
+            assign.append(idx)
         pdf = pdf.assign(batch_id=[shard * _SHARD_SPAN + a for a in assign])
         return pdf[["id", "tokens", "batch_id"]]
 

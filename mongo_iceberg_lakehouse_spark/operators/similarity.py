@@ -346,7 +346,7 @@ def cosine_neardup_topk_ivf(
     embeddings: DataFrame,
     threshold: float,
     k: int = 3,
-    n_centroids: int = 32,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -362,7 +362,13 @@ def cosine_neardup_topk_ivf(
     equi-join of the two assignments on list id, so compute is
     ~n * n_probe * (n / n_centroids) dot products instead of n^2 —
     with n_centroids grown ~sqrt(n) (the IVF standard), that is
-    n^1.5-ish, and output stays <= n*k. Approximate by construction
+    n^1.5-ish, and output stays <= n*k. ``n_centroids=None`` (default)
+    applies that standard: ``max(32, ceil(sqrt(n/2)))`` from one cheap
+    count — round 5's sf10 decade caught the fixed-32 config going
+    97x/decade (list population grows linearly, so candidates grow
+    quadratically; 316 lists at 200k vectors restores the n^1.5 curve
+    and bounds each collected list row at ~n/sqrt(n) members).
+    Approximate by construction
     (a true neighbor homed in an unprobed list is missed): recall is
     measured against the exact variant in tests/test_ann_quality.py
     rather than oracle-checked. Home lists are disjoint, so no
@@ -372,6 +378,8 @@ def cosine_neardup_topk_ivf(
     """
     import numpy as np
 
+    if n_centroids is None:
+        n_centroids = max(32, math.ceil(math.sqrt(embeddings.count() / 2)))
     if centroids is not None:
         C = np.array(centroids, dtype=np.float64)
     else:

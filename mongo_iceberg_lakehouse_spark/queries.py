@@ -2337,8 +2337,12 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_neardup_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
+    # n_centroids=None => max(32, ceil(sqrt(n/2))) — the IVF standard.
+    # Round 5's sf10 decade caught the old fixed-32 config at 97x/decade
+    # (linear lists => quadratic candidates); sqrt-scaling restored n^1.5
+    # (263 s -> measured post-fix at sf10, docs/SCALING.md round-5 table).
     return S.cosine_neardup_topk_ivf(
-        e, threshold=0.4, k=3, n_centroids=32, n_probe=4
+        e, threshold=0.4, k=3, n_centroids=None, n_probe=4
     )
 
 
@@ -2367,18 +2371,22 @@ def embedding_neardup_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM top
     """,
     doc="Accuracy contract for the sub-quadratic near-dup production path "
-    "(embedding_neardup_topk_ivf's exact config: 32 lists, 4 probes, "
-    "threshold 0.4, k=3), closing the last uncontracted approximate "
-    "operator: over the md5 1/16 doc slice the engine computes the EXACT "
-    "per-doc top-3 (the blocked-BLAS variant, zero approximation) and "
-    "the IVF top-3, and emits the exact side's sliced pair count + "
-    "rank*id checksum — value-checked by a LINEAR anchors-x-all oracle "
-    "at every scale — plus ivf_neardup_recall_ok = IVF recall >= 0.25. "
-    "The deterministic sampled quantizer makes recall a pure function "
-    "of the data: measured 0.33-0.62 across sf0.001-sf1 (uniform random "
-    "fixtures probe 4/32 structureless lists — the hard case; sf1's "
-    "clustered mixtures reach 0.62). A broken home/probe assignment or "
-    "candidate equi-join sends recall to ~0, never just below the floor.",
+    "(embedding_neardup_topk_ivf's exact config: sqrt-scaled lists "
+    "[max(32, ceil(sqrt(n/2))) — round-5 fix], 4 probes, threshold 0.4, "
+    "k=3), closing the last uncontracted approximate operator: over the "
+    "md5 1/16 doc slice the engine computes the EXACT per-doc top-3 "
+    "(the blocked-BLAS variant, zero approximation) and the IVF top-3, "
+    "and emits the exact side's sliced pair count + rank*id checksum — "
+    "value-checked by a LINEAR anchors-x-all oracle at every scale — "
+    "plus ivf_neardup_recall_ok = IVF recall >= 0.25. The deterministic "
+    "sampled quantizer makes recall a pure function of the data: "
+    "measured 0.33-0.62 at sf0.001-0.1 (32 lists there — unchanged by "
+    "the fix; uniform random fixtures probing structureless lists are "
+    "the hard case) and 0.49 at sf1 under 100 lists (probed fraction "
+    "drops 12.5% -> 4%, but clustered mixtures keep near-neighbors in "
+    "shared home lists, so recall degrades gracefully, not with 1/lists). "
+    "A broken home/probe assignment or candidate equi-join sends recall "
+    "to ~0, never just below the floor.",
 )
 def neardup_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
@@ -2386,7 +2394,7 @@ def neardup_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.cosine_neardup_topk(e, threshold=0.4, k=3).filter(anc)
     ivf = (
         S.cosine_neardup_topk_ivf(
-            e, threshold=0.4, k=3, n_centroids=32, n_probe=4
+            e, threshold=0.4, k=3, n_centroids=None, n_probe=4
         )
         .filter(anc)
         .select("doc_id", "neighbor_id")

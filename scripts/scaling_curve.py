@@ -87,18 +87,41 @@ HEAVY_AT_SF10 = {
 }
 
 
+def _drop_checkpoint_blocks(spark) -> None:
+    """Unpersist every lingering RDD block between queries. Several
+    operators lazily localCheckpoint multi-consumer subtrees; in a long
+    sweep session those blocks pile up in the block manager and the
+    resulting memory pressure inflates LATER queries' timings (round-5
+    sf10 sweep measured text_collocations_lift at 82 s in-session vs
+    18 s standalone). Queries never share checkpointed frames, so
+    dropping them between measurements is safe and makes each timing
+    independent."""
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+    for rdd in jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
+
 def main() -> int:
+    only = os.environ.get("SCALING_ONLY")
+    queries = only.split(",") if only else QUERIES
+    scales_env = os.environ.get("SCALING_SCALES")
+    scales = (
+        [s for s in SCALES if s[0] in scales_env.split(",")]
+        if scales_env
+        else SCALES
+    )
     spark = get_spark(app_name="scaling-curve")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict[str, float]] = {}
     rows: dict[str, dict[str, int]] = {}
-    for sf, sf_dir, warm, reps, do_count in SCALES:
+    for sf, sf_dir, warm, reps, do_count in scales:
         if not os.path.isdir(sf_dir) and not os.path.exists(sf_dir):
             print(f"# skip sf{sf}: {sf_dir} missing", file=sys.stderr)
             continue
         timings: dict[str, float] = {}
         nrows: dict[str, int] = {}
-        for name in QUERIES:
+        for name in queries:
             fn = REGISTRY[name].fn
             heavy = sf.startswith("10") and name in HEAVY_AT_SF10
             n_reps = 1 if heavy else reps
@@ -127,6 +150,7 @@ def main() -> int:
                 file=sys.stderr,
                 flush=True,
             )
+            _drop_checkpoint_blocks(spark)
         results[sf] = timings
         rows[sf] = nrows
         print(
@@ -148,7 +172,7 @@ def main() -> int:
                 f"\n# sf{lo} -> sf{hi}: 10x data -> time ratio "
                 "(linear = ~10, sub-linear < 10):"
             )
-            for name in QUERIES:
+            for name in queries:
                 if name in results[lo] and name in results[hi]:
                     r = results[hi][name] / max(results[lo][name], 1e-9)
                     print(f"#   {name}: {r:.1f}x")
