@@ -1130,29 +1130,38 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "asof_join_purchase_view",
     """
-    WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
-               FROM events WHERE event_type = 'purchase'),
-    v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
-          FROM events WHERE event_type = 'view'),
-    m AS (
-      SELECT p.event_id, p.user_id,
-             v.event_id AS view_event_id, v.value AS view_value,
-             row_number() OVER (PARTITION BY p.event_id
-                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
-      FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts)
-    SELECT event_id, user_id, view_event_id, view_value FROM m WHERE rn = 1
-    UNION ALL
-    SELECT p.event_id, p.user_id, NULL, NULL
-    FROM p WHERE NOT EXISTS (SELECT 1 FROM v
-                             WHERE v.user_id = p.user_id AND v.ts <= p.ts)
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value, event_type
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ), w AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type = 'view'
+                             THEN struct_pack(id := event_id, v := value)
+                        END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END,
+                              event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS lv
+      FROM e
+    )
+    SELECT event_id, user_id, lv.id AS view_event_id, lv.v AS view_value
+    FROM w WHERE event_type = 'purchase'
     """,
     doc="As-of join (custom operator Spark lacks, SURVEY §2.3): each purchase "
     "matched to the user's latest view at-or-before it, ties on the exact "
     "timestamp broken to the max view id (DuckDB's native ASOF leaves the "
-    "tie pick unspecified, so the oracle is the explicit window "
-    "formulation — the sf1 events decade produced real ts collisions and "
-    "exposed the ambiguity). Implemented as union+window merge (one "
-    "shuffle per side, no range cross join).",
+    "tie pick unspecified, so the oracle is explicit — the sf1 events "
+    "decade produced real ts collisions and exposed the ambiguity). "
+    "Implemented as union+window merge (one shuffle per side, no range "
+    "cross join); round 5 rewrote the ORACLE into the same linear "
+    "union+window form (atomic struct payload through last_value IGNORE "
+    "NULLS): the old per-purchase ranked-join oracle was quadratic per "
+    "user and timed out at the sf10 gate (events densify 10x per user, "
+    "so pairs grew 100x) — proven row-identical to the old form at "
+    "sf0.01 before the swap.",
 )
 def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
