@@ -86,16 +86,34 @@ def run_gate(
     if own_spark:
         spark = get_spark(app_name="sf1-gate")
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in present:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet')"
-        )
+
+    def fresh_con():
+        # Fresh connection per query: sf10 showed a big oracle can OOM
+        # DuckDB and leave the shared connection's allocator poisoned for
+        # every later (tiny) query. Spill-to-disk + an explicit budget
+        # make large verification oracles out-of-core instead of fatal.
+        c = duckdb.connect()
+        c.execute("SET temp_directory='/tmp/duckdb_gate_spill'")
+        # 16GB + 8 threads, NOT bigger: DuckDB's list/LATERAL
+        # intermediates are partly untracked, and per-thread buffers
+        # multiply them — at sf10 the span-scrub oracle malloc-failed the
+        # whole box under 48GB x 32 threads but finishes in 36 s under
+        # this budget (the limit forces early spilling, which the
+        # untracked share then rides within).
+        c.execute("SET memory_limit='16GB'")
+        c.execute("SET threads=8")
+        for t in present:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
+
     fails = skips = 0
     for name in names:
         q = SCALE_PROBES.get(name, REGISTRY[name])
         df = q.fn(spark, sf_dir)
+        con = fresh_con()
         timed_out = [False]
 
         def watchdog():
@@ -123,6 +141,7 @@ def run_gate(
         if not ok:
             fails += 1
         print(f"{status} {name}: {msg} [{time.time()-t0:.1f}s]", flush=True)
+        con.close()
     print(
         f"\n{fails} failures, {skips} oracle-timeouts / {len(names)} "
         f"sf1-eligible queries at {sf_dir}",
