@@ -87,6 +87,17 @@ def run_gate(
         spark = get_spark(app_name="sf1-gate")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # DuckDB's out-of-core phase fragments into >64k mmaps on the biggest
+    # verification oracles (sf10 span-scrub) and the kernel default
+    # vm.max_map_count=65530 turns that into a spurious bad_alloc with
+    # 100+ GB free (diagnosed round 5 by watching /proc/self/maps hit the
+    # ceiling). Raise it best-effort; ignore failure (non-root hosts).
+    try:
+        with open("/proc/sys/vm/max_map_count", "w") as f:
+            f.write("1048576")
+    except OSError:
+        pass
+
     def fresh_con():
         # Fresh connection per query: sf10 showed a big oracle can OOM
         # DuckDB and leave the shared connection's allocator poisoned for
