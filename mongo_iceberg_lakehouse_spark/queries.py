@@ -10506,30 +10506,39 @@ def streaming_embedding_drift_incremental(
         (SELECT CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT) AS kk FROM z2)
       WHERE crn <= kk
     ), scored AS (
-      SELECT z2.vec_id, cent.cid, z2.codes, z2.n2, cent.cn2,
-             CAST(list_sum(list_transform(list_zip(z2.codes, cent.ccodes),
-                  p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) AS q
+      -- list_dot_product over int8 codes is EXACT (integer-valued
+      -- doubles: |q| <= 127*127*64 ~ 1.03e6 << 2^53) and runs at C
+      -- speed; the lambda/zip form exploded 64 elements per pair and
+      -- timed the sf10 gate out
+      SELECT z2.vec_id, cent.cid, cent.cn2,
+             CAST(list_dot_product(z2.codes, cent.ccodes) AS BIGINT) AS q
       FROM z2 CROSS JOIN cent
-    ), assign AS (
-      SELECT vec_id, cid, codes, n2 FROM (
-        SELECT vec_id, cid, codes, n2,
+    ), best AS (
+      -- keep the n x k window payload-free (carrying the codes list
+      -- through this sort pinned ~30 GB at sf10); codes re-join below
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
                row_number() OVER (
                  PARTITION BY vec_id
                  ORDER BY (CASE WHEN q >= 0 THEN CAST(q*q AS DOUBLE)/cn2
                                 ELSE -CAST(q*q AS DOUBLE)/cn2 END) DESC, cid
                ) AS rn
         FROM scored) WHERE rn = 1
-    ), dropped AS (
-      SELECT DISTINCT b.vec_id AS b_id
+    ), assign AS (
+      SELECT best.vec_id, best.cid, z2.codes, z2.n2
+      FROM best JOIN z2 ON best.vec_id = z2.vec_id
+    ), pairq AS (
+      -- dot computed ONCE per in-cluster pair (the predicate used to
+      -- recompute it three times)
+      SELECT b.vec_id AS b_id,
+             CAST(list_dot_product(a.codes, b.codes) AS BIGINT) AS d,
+             a.n2 AS an2, b.n2 AS bn2
       FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
       WHERE a.n2 > 0 AND b.n2 > 0
-        AND CAST(list_sum(list_transform(list_zip(a.codes, b.codes),
-                 p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) >= 0
-        AND CAST(list_sum(list_transform(list_zip(a.codes, b.codes),
-                 p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT)
-          * CAST(list_sum(list_transform(list_zip(a.codes, b.codes),
-                 p -> CAST(p[1] AS BIGINT) * p[2])) AS BIGINT) * 25
-          >= 4 * a.n2 * b.n2
+    ), dropped AS (
+      SELECT DISTINCT b_id
+      FROM pairq
+      WHERE d >= 0 AND d * d * 25 >= 4 * an2 * bn2
     )
     SELECT assign.vec_id, assign.cid AS cluster_id,
            (dropped.b_id IS NULL) AS keep
