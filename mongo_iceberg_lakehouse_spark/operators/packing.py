@@ -73,7 +73,13 @@ def pack_batches(
             else:
                 if nb == len(cap):
                     cap = np.concatenate([cap, np.zeros_like(cap)])
-                cap[nb] = max(budget - t, 0)
+                # An oversized doc (t > budget) leaves NEGATIVE capacity,
+                # so nothing joins its bin — not even a zero-token doc,
+                # which fits a zero-CAP bin and would push a multi-doc
+                # batch over budget (round-5 ADVICE item 3). A bin filled
+                # exactly to budget (cap 0) may still absorb t=0 docs:
+                # its sum stays == budget, which is within budget.
+                cap[nb] = budget - t
                 idx = nb
                 nb += 1
             assign.append(idx)

@@ -31,6 +31,8 @@ charter surface (SURVEY.md §2.11).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -41,7 +43,22 @@ from pyspark.sql import functions as F
 MULTI_LABEL_SUFFIXES: tuple[str, ...] = ("co.uk", "com.au", "co.jp")
 
 # Tracking parameters stripped by canonicalization (the C4/FineWeb set).
+# Entries ending in "_" are prefixes (utm_* family); the rest are exact
+# keys. The regex alternation below is BUILT from this tuple so the
+# constant and the pattern cannot drift (round-5 ADVICE item 1).
 TRACKING_PARAM_PREFIXES: tuple[str, ...] = ("utm_", "fbclid", "gclid", "ref")
+
+TRACKING_KEY_RE: str = "|".join(
+    re.escape(p) + "[a-z]+" if p.endswith("_") else re.escape(p)
+    for p in TRACKING_PARAM_PREFIXES
+)
+
+# Separator-anchored: a tracking key only matches immediately after '?' or
+# '&' (never mid-token, so semantic params like '?href=x' or '?xref=y'
+# survive), and a RUN of consecutive tracking params is consumed in one
+# match — Java and RE2 both resume scanning after the match end, so
+# without the '+' the second of two adjacent params would be skipped.
+TRACKING_PARAMS_RE: str = rf"([?&])(({TRACKING_KEY_RE})=[^&#]*&?)+"
 
 
 def synthetic_url(
@@ -132,7 +149,10 @@ def registrable_domain(host: Column) -> Column:
     is_multi = F.lit(False)
     for suf in MULTI_LABEL_SUFFIXES:
         is_multi = is_multi | host.endswith("." + suf)
-    take = F.when(is_multi, F.lit(3)).otherwise(F.lit(2))
+    # Clamp to the label count: hosts with <= take labels ('localhost',
+    # a bare 'co.uk') would otherwise produce slice start <= 0, which
+    # Spark rejects (0) or counts from the end (negative).
+    take = F.least(F.when(is_multi, F.lit(3)).otherwise(F.lit(2)), n)
     return F.array_join(F.slice(parts, n - take + 1, take), ".")
 
 
@@ -147,11 +167,10 @@ def canonical_url(url: Column) -> Column:
     u = F.regexp_replace(u, r"^www\.", "")
     u = F.regexp_replace(u, r":(80|443)(?=/|\?|#|$)", "")
     u = F.regexp_replace(u, r"#.*$", "")  # fragment
-    # tracking params: kill 'key=value' where key is a tracking prefix,
-    # then tidy separators left behind ('?&', '&&', trailing '?'/'&')
-    u = F.regexp_replace(
-        u, r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?", ""
-    )
+    # tracking params: kill runs of 'key=value' where key is a tracking
+    # key anchored to a '?'/'&' separator (keeps '?href=x' etc.), then
+    # tidy separators left behind ('?&', trailing '?'/'&')
+    u = F.regexp_replace(u, TRACKING_PARAMS_RE, "$1")
     u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"[?&]$", "")
     # trailing path slash goes whether the path ends the URL or a query
@@ -163,6 +182,8 @@ def canonical_url(url: Column) -> Column:
 # DuckDB mirrors (same regexes; DuckDB regexp_replace needs 'g' for
 # global, and RE2 supports the (?=...) lookahead used for ports... it does
 # NOT — RE2 has no lookahead, so the port rule is written as a capture).
+# The tracking-param alternation is substituted from TRACKING_KEY_RE so
+# the Spark and DuckDB patterns are one definition.
 CANONICAL_URL_SQL_STEPS = """
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -171,11 +192,11 @@ CANONICAL_URL_SQL_STEPS = """
         '^www\\.', ''),
         ':(80|443)(/|\\?|#|$)', '\\2'),
         '#.*$', ''),
-        '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?', '', 'g'),
+        '([?&])((__TRACKING_KEYS__)=[^&#]*&?)+', '\\1', 'g'),
         '\\?&', '?'),
         '[?&]$', ''),
         '/(\\?|$)', '\\1')
-"""
+""".replace("__TRACKING_KEYS__", TRACKING_KEY_RE)
 
 
 def parse_urls(

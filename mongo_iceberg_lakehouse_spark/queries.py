@@ -3177,9 +3177,12 @@ def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.packing import batch_summary, pack_batches
 
+    n_shards = 16
     d = _t(spark, sf_dir, "documents")
     docs = d.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
-    packed = pack_batches(docs, "doc_id", "n_tokens", budget=512, n_shards=16)
+    packed = pack_batches(
+        docs, "doc_id", "n_tokens", budget=512, n_shards=n_shards
+    )
     summary = batch_summary(packed, budget=512)
     src = docs.agg(
         F.count(F.lit(1)).cast("bigint").alias("src_docs"),
@@ -3204,7 +3207,7 @@ def pack_token_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p_tokens") == F.col("src_tokens"))
         ).alias("conservation_ok"),
         (F.col("over_budget") == 0).alias("budget_ok"),
-        (F.col("half_empty") <= 16).alias("fill_ok"),
+        (F.col("half_empty") <= n_shards).alias("fill_ok"),
     )
 
 

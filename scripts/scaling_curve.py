@@ -105,6 +105,13 @@ def _drop_checkpoint_blocks(spark) -> None:
 def main() -> int:
     only = os.environ.get("SCALING_ONLY")
     queries = only.split(",") if only else QUERIES
+    unknown = [n for n in queries if n not in REGISTRY]
+    if unknown:
+        print(
+            f"# unknown queries (not in REGISTRY): {', '.join(unknown)}",
+            flush=True,
+        )
+        return 2
     scales_env = os.environ.get("SCALING_SCALES")
     scales = (
         [s for s in SCALES if s[0] in scales_env.split(",")]

@@ -91,11 +91,23 @@ def run_gate(
     # verification oracles (sf10 span-scrub) and the kernel default
     # vm.max_map_count=65530 turns that into a spurious bad_alloc with
     # 100+ GB free (diagnosed round 5 by watching /proc/self/maps hit the
-    # ceiling). Raise it best-effort; ignore failure (non-root hosts).
+    # ceiling). SYSTEM-WIDE SIDE EFFECT (documented in README, gate
+    # section): only raised when the current value is lower, logged when
+    # applied, best-effort (non-root hosts skip silently).
+    _MAP_COUNT_FLOOR = 1048576
     try:
-        with open("/proc/sys/vm/max_map_count", "w") as f:
-            f.write("1048576")
-    except OSError:
+        with open("/proc/sys/vm/max_map_count") as f:
+            current = int(f.read().strip())
+        if current < _MAP_COUNT_FLOOR:
+            with open("/proc/sys/vm/max_map_count", "w") as f:
+                f.write(str(_MAP_COUNT_FLOOR))
+            print(
+                f"# raised vm.max_map_count {current} -> {_MAP_COUNT_FLOOR} "
+                "(system-wide, not restored; DuckDB out-of-core mmap "
+                "headroom)",
+                flush=True,
+            )
+    except (OSError, ValueError):
         pass
 
     def fresh_con():

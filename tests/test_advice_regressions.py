@@ -175,3 +175,132 @@ def test_hashed_linear_classifier_rejects_wrong_length_weights(spark):
     df = spark.createDataFrame([(1, "hello world")], "id int, text string")
     with pytest.raises(ValueError, match="weights_micros"):
         hashed_linear_classifier(df, n_buckets=128, weights_micros=[1, 2, 3])
+
+
+# ---- round-5 ADVICE items ------------------------------------------------
+
+
+def test_canonical_url_keeps_semantic_params_containing_ref(spark):
+    # ADVICE r5 item 1: the old unanchored tracking regex matched mid-token
+    # ('?href=x' contains 'ref='), mangling semantic params. Tracking keys
+    # must only match immediately after a '?'/'&' separator, and a RUN of
+    # adjacent tracking params must be fully consumed.
+    from mongo_iceberg_lakehouse_spark.operators.web import (
+        TRACKING_KEY_RE,
+        TRACKING_PARAM_PREFIXES,
+        canonical_url,
+    )
+
+    cases = [
+        # semantic params that CONTAIN a tracking key survive intact
+        ("https://ex.com/p?href=x", "ex.com/p?href=x"),
+        ("https://ex.com/p?xref=y", "ex.com/p?xref=y"),
+        ("https://ex.com/p?preference=1", "ex.com/p?preference=1"),
+        # adjacent tracking params all go (Java/RE2 resume after match end,
+        # so a non-run regex would skip the second one)
+        ("https://ex.com/p?utm_a=1&utm_b=2", "ex.com/p"),
+        ("https://ex.com/p?utm_a=1&id=2&utm_b=3", "ex.com/p?id=2"),
+        # tracking key mid-query, semantic neighbors kept either side
+        ("https://ex.com/p?id=1&fbclid=x&keep=2", "ex.com/p?id=1&keep=2"),
+        # lone tracking param: empty '?' is tidied away
+        ("https://ex.com/p?ref=abc", "ex.com/p"),
+        # 'ref' is an exact key: 'refid' is NOT a tracking param
+        ("https://ex.com/p?refid=5", "ex.com/p?refid=5"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    out = df.select("want", canonical_url(F.col("url")).alias("got"))
+    bad = [(r["want"], r["got"]) for r in out.collect() if r["want"] != r["got"]]
+    assert not bad, bad
+    # the alternation is BUILT from the constant (no drift)
+    for p in TRACKING_PARAM_PREFIXES:
+        assert p.rstrip("_") in TRACKING_KEY_RE
+
+
+def test_canonical_url_spark_matches_duckdb_on_semantic_refs(spark):
+    # the DuckDB mirror shares the anchored pattern via TRACKING_KEY_RE
+    from mongo_iceberg_lakehouse_spark.operators.web import (
+        CANONICAL_URL_SQL_STEPS,
+        canonical_url,
+    )
+
+    urls = [
+        "https://ex.com/p?href=x",
+        "https://ex.com/p?utm_a=1&utm_b=2",
+        "https://ex.com/p?utm_a=1&id=2&utm_b=3",
+        "https://ex.com/p?id=1&fbclid=x&keep=2#frag",
+        "http://www.ex.co.uk:443/art/3/?ref=r",
+        "https://ex.com/p?refid=5",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonical_url(F.col("url")).alias("c"))
+        .orderBy("c")
+        .collect()
+    ]
+    con = duckdb.connect()
+    expr = CANONICAL_URL_SQL_STEPS.format(url="url")
+    vals = ", ".join(f"('{u}')" for u in urls)
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {expr} AS c FROM (VALUES {vals}) t(url) ORDER BY c"
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want
+
+
+def test_registrable_domain_short_hosts(spark):
+    # ADVICE r5 item 2: hosts with <= take labels crashed (slice start 0)
+    # or wrapped (negative start). Clamp: the whole host IS the domain.
+    from mongo_iceberg_lakehouse_spark.operators.web import registrable_domain
+
+    cases = [
+        ("localhost", "localhost"),
+        ("co.uk", "co.uk"),          # bare multi-label suffix (take=3, n=2)
+        ("a.co.uk", "a.co.uk"),
+        ("www.a.co.uk", "a.co.uk"),
+        ("sub.ex.com", "ex.com"),
+        ("ex.com", "ex.com"),
+    ]
+    df = spark.createDataFrame(cases, "host string, want string")
+    out = df.select("want", registrable_domain(F.col("host")).alias("got"))
+    bad = [(r["want"], r["got"]) for r in out.collect() if r["want"] != r["got"]]
+    assert not bad, bad
+
+
+def test_ffd_oversized_bin_rejects_zero_token_docs(spark):
+    # ADVICE r5 item 3: a zero-token doc "fits" a cap-0 bin, so an
+    # oversized doc's bin could become a multi-doc over-budget batch.
+    # Oversized bins now carry negative capacity: nothing joins them.
+    from mongo_iceberg_lakehouse_spark.operators.packing import (
+        batch_summary,
+        pack_batches,
+    )
+
+    rows = [(i, t) for i, t in enumerate([900, 0, 0, 100, 100, 0, 50])]
+    df = spark.createDataFrame(rows, "id int, tokens int")
+    packed = pack_batches(df, "id", "tokens", budget=512, n_shards=1)
+    summary = batch_summary(packed, budget=512).collect()
+    for b in summary:
+        if b["n_docs"] > 1:
+            assert b["n_tokens"] <= 512, summary
+    # conservation still holds
+    assert sum(b["n_tokens"] for b in summary) == 1150
+    assert sum(b["n_docs"] for b in summary) == 7
+    # a bin filled EXACTLY to budget may still absorb a t=0 doc (sum stays
+    # == budget); only the over-budget bin is sealed
+    over = [b for b in summary if b["n_tokens"] > 512]
+    assert len(over) == 1 and over[0]["n_docs"] == 1
+
+
+def test_scaling_curve_validates_only_names(monkeypatch, capsys):
+    # ADVICE r5 item 5: SCALING_ONLY typos must fail fast with the names,
+    # not KeyError mid-sweep.
+    import scripts.scaling_curve as sc
+
+    monkeypatch.setenv("SCALING_ONLY", "tpch_q1_pricing_summary,nope_q")
+    rc = sc.main()
+    assert rc == 2
+    assert "nope_q" in capsys.readouterr().out
