@@ -177,6 +177,7 @@ def cosine_neardup_blocked(
     vec_col: str = "embedding",
     num_blocks: int | None = None,
     target_rows_per_block: int = 4096,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine >= threshold via block-nested-loop + BLAS.
 
@@ -192,13 +193,14 @@ def cosine_neardup_blocked(
     of 64-dim float64 is a ~2 MB block — two of them plus the sim matrix stay
     comfortably in task memory, and block count (hence task count) then grows
     with the corpus instead of being a fixed fan-out that under-splits big
-    inputs or over-splits small ones. Pass an explicit value to skip the
-    count job (e.g. when the caller already knows n).
+    inputs or over-splits small ones. Pass an explicit value — or the
+    ``n_rows`` statistic (parquet footer sum / Iceberg manifest count) —
+    to skip the count job entirely.
     """
     import numpy as np
 
     if num_blocks is None:
-        n = embeddings.count()
+        n = n_rows if n_rows is not None else embeddings.count()
         num_blocks = max(2, min(1024, math.ceil(n / target_rows_per_block)))
 
     blocked = embeddings.select(
@@ -250,6 +252,7 @@ def cosine_neardup_topk(
     vec_col: str = "embedding",
     num_blocks: int | None = None,
     target_rows_per_block: int = 4096,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Emission-bounded near-duplicate search: each doc's top-``k`` most
     similar neighbors with cosine >= threshold, as
@@ -283,7 +286,7 @@ def cosine_neardup_topk(
     import numpy as np
 
     if num_blocks is None:
-        n = embeddings.count()
+        n = n_rows if n_rows is not None else embeddings.count()
         num_blocks = max(2, min(1024, math.ceil(n / target_rows_per_block)))
     thr_micro = int(math.floor(threshold * 1e6))
 
@@ -351,6 +354,7 @@ def cosine_neardup_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SUB-QUADRATIC emission-bounded near-dup: per-doc approximate top-k
     neighbors (cosine >= threshold) through an IVF coarse quantizer — the
@@ -379,7 +383,8 @@ def cosine_neardup_topk_ivf(
     import numpy as np
 
     if n_centroids is None:
-        n_centroids = max(32, math.ceil(math.sqrt(embeddings.count() / 2)))
+        n = n_rows if n_rows is not None else embeddings.count()
+        n_centroids = max(32, math.ceil(math.sqrt(n / 2)))
     if centroids is not None:
         C = np.array(centroids, dtype=np.float64)
     else:

@@ -38,7 +38,7 @@ from .operators import text as T
 from .operators import web as WB
 from .operators.multimodal import attach_payload, extract_features
 from .session import tune
-from .sources.tables import load_table
+from .sources.tables import load_table, table_rowcount
 from .streaming.events import run_windowed_counts_available_now
 
 
@@ -2296,7 +2296,9 @@ def ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    return S.cosine_neardup_blocked(e, threshold=0.4)
+    return S.cosine_neardup_blocked(
+        e, threshold=0.4, n_rows=table_rowcount(sf_dir, "embeddings")
+    )
 
 
 @register(
@@ -2329,7 +2331,9 @@ def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    return S.cosine_neardup_topk(e, threshold=0.4, k=3)
+    return S.cosine_neardup_topk(
+        e, threshold=0.4, k=3, n_rows=table_rowcount(sf_dir, "embeddings")
+    )
 
 
 @register(
@@ -2351,7 +2355,8 @@ def embedding_neardup_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (linear lists => quadratic candidates); sqrt-scaling restored n^1.5
     # (263 s -> measured post-fix at sf10, docs/SCALING.md round-5 table).
     return S.cosine_neardup_topk_ivf(
-        e, threshold=0.4, k=3, n_centroids=None, n_probe=4
+        e, threshold=0.4, k=3, n_centroids=None, n_probe=4,
+        n_rows=table_rowcount(sf_dir, "embeddings"),
     )
 
 
@@ -2400,10 +2405,13 @@ def embedding_neardup_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def neardup_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     anc = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
-    exact = S.cosine_neardup_topk(e, threshold=0.4, k=3).filter(anc)
+    n_emb = table_rowcount(sf_dir, "embeddings")
+    exact = S.cosine_neardup_topk(
+        e, threshold=0.4, k=3, n_rows=n_emb
+    ).filter(anc)
     ivf = (
         S.cosine_neardup_topk_ivf(
-            e, threshold=0.4, k=3, n_centroids=None, n_probe=4
+            e, threshold=0.4, k=3, n_centroids=None, n_probe=4, n_rows=n_emb
         )
         .filter(anc)
         .select("doc_id", "neighbor_id")
@@ -9044,7 +9052,9 @@ def dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import dedup_survivors_by_quality
 
     e = _t(spark, sf_dir, "embeddings")
-    pairs = S.cosine_neardup_blocked(e, threshold=0.4).select("id_a", "id_b")
+    pairs = S.cosine_neardup_blocked(
+        e, threshold=0.4, n_rows=table_rowcount(sf_dir, "embeddings")
+    ).select("id_a", "id_b")
     scored = e.select(
         "vec_id",
         F.pmod(F.col("vec_id") * 2654435761, F.lit(1000003)).alias("q"),
@@ -10564,7 +10574,9 @@ def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     e = _t(spark, sf_dir, "embeddings")
-    k = max(1, math.ceil(math.sqrt(e.count() / 2.0)))
+    # k from the cached footer statistic — no sizing count() job
+    n = table_rowcount(sf_dir, "embeddings")
+    k = max(1, math.ceil(math.sqrt(n / 2.0)))
     return S.semdedup_prune(e, k=k, threshold_num=2, threshold_den=5)
 
 
@@ -11083,10 +11095,13 @@ def text_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1 (1.4 -> 2.2 s — exchange cost > per-partition CPU), so
     # gate it on corpus size. count() over parquet is a cheap columnless
     # scan job (not a free footer read), so check partition count first:
-    # at production scale the source has >= par splits and the count()
-    # job never runs at all.
+    # at production scale the source has >= par splits; the size test
+    # reads the cached parquet footer statistic, never a count() job.
     par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par and d.count() >= 20_000:
+    if (
+        d.rdd.getNumPartitions() < par
+        and table_rowcount(sf_dir, "documents") >= 20_000
+    ):
         d = d.repartition(par)
     ws = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
     d2 = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 3)
@@ -11446,7 +11461,9 @@ def _probe_survivors_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").filter(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin("0", "1")
     )
-    pairs = S.cosine_neardup_blocked(e, threshold=0.4).select("id_a", "id_b")
+    pairs = S.cosine_neardup_blocked(
+        e, threshold=0.4, n_rows=table_rowcount(sf_dir, "embeddings")
+    ).select("id_a", "id_b")
     scored = e.select(
         "vec_id",
         F.pmod(F.col("vec_id") * 2654435761, F.lit(1000003)).alias("q"),
@@ -11878,7 +11895,8 @@ def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     e = _t(spark, sf_dir, "embeddings")
-    k = max(1, math.ceil(math.sqrt(e.count() / 2.0)))
+    n = table_rowcount(sf_dir, "embeddings")
+    k = max(1, math.ceil(math.sqrt(n / 2.0)))
     return S.cluster_balanced_sample(e, k=k, per_cluster=4)
 
 

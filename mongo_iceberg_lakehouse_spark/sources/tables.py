@@ -12,11 +12,16 @@ correctness oracle bit-identical on timestamp values.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from ..session import tune
+
+# (sf_dir, table) -> exact row count, from parquet footer metadata.
+_ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
 
 FIXTURE_TABLES = (
     "region",
@@ -47,6 +52,34 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # `ts div 1000` truncates ns -> us exactly like DuckDB's CAST
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def table_rowcount(sf_dir: str, name: str) -> int:
+    """Exact fixture-table row count from parquet FOOTER metadata — a
+    driver-side read of a few KB per file, no Spark job at all (round-5
+    verdict item 6: SemDeDup / IVF / blocked-ANN auto-sizing each paid an
+    extra columnless count() scan to pick k). Cached per (sf_dir, table)
+    for the process lifetime; at cluster scale the same statistic comes
+    from the table format's manifest (Iceberg snapshot summary) or the
+    catalog's ANALYZE stats. Handles both a single parquet file and a
+    Spark-written directory of part files."""
+    key = (sf_dir, name)
+    if key not in _ROWCOUNT_CACHE:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, fn)
+                        ).metadata.num_rows
+        else:
+            total = pq.ParquetFile(path).metadata.num_rows
+        _ROWCOUNT_CACHE[key] = total
+    return _ROWCOUNT_CACHE[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
