@@ -3383,6 +3383,94 @@ def ann_kmeans_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_auto",
+    """
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                          CAST(e.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])) DESC,
+                        e.vec_id) AS INT) AS rank
+      FROM embeddings e, embeddings q
+      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+    WHERE rank <= 5
+    """,
+    doc="Strategy auto-dispatch (round-5 verdict item 2): one ann_topk "
+    "call site; strategy='auto' picks brute/int8/IVF/PQ from the corpus "
+    "row-count STATISTIC (parquet footer — no count job) and a recall "
+    "target, thresholds unit-pinned in tests/test_ann_index.py. At "
+    "fixture scale the dispatcher lands on the exact tier, so the full "
+    "brute-force SQL is a valid oracle — the approximate tiers' accuracy "
+    "is covered by their own recall contracts. "
+    "operators/ann_index.py::ann_topk.",
+)
+def ann_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ann_index import ann_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ann_topk(
+        e, q, k=5, strategy="auto",
+        n_rows=table_rowcount(sf_dir, "embeddings"),
+    )
+
+
+@register(
+    "ann_ivf_pretrained",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           2 AS artifact_version,
+           TRUE AS pretrained_matches_inline
+    FROM embeddings WHERE vec_id < 8
+    """,
+    doc="Train-once index artifacts (round-5 verdict item 2): k-means "
+    "centroids are fit ONCE, persisted as a versioned snapshot table "
+    "(sources/snapshots.py manifest-commit — retraining is "
+    "snapshot-replace: v1 committed, then a refit replaces it as v2, and "
+    "the loader resolves latest), loaded back, and the IVF top-k runs "
+    "with BOTH the in-memory and the reloaded centroids. "
+    "pretrained_matches_inline asserts the two result sets are IDENTICAL "
+    "(exceptAll both directions empty + equal counts) — doubles "
+    "round-trip parquet losslessly, so persistence must be exact, not "
+    "approximately-equal. artifact_version pins that the replace "
+    "actually versioned. n_queries is the exact SQL-checkable anchor "
+    "(agg_approx contract idiom). operators/ann_index.py.",
+)
+def ann_ivf_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators.ann_index import load_centroids, save_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    # the contract is persistence-exactness, not centroid quality: a
+    # small fast fit keeps this graded query cheap (the trained-quantizer
+    # QUALITY contract is ann_kmeans_recall_contract)
+    cents = S.kmeans_centroids(e, n_centroids=8, max_iter=3)
+    base = tempfile.mkdtemp(prefix="ann_index_")
+    save_centroids(spark, base, "ivf_centroids", cents)
+    v2 = save_centroids(spark, base, "ivf_centroids", cents)  # replace
+    loaded = load_centroids(spark, base, "ivf_centroids")
+    inline = S.ann_topk_ivf(
+        e, q, k=5, n_probe=4, centroids=cents
+    ).select("query_id", "neighbor_id", "rank")
+    pre = S.ann_topk_ivf(
+        e, q, k=5, n_probe=4, centroids=loaded
+    ).select("query_id", "neighbor_id", "rank")
+    identical = (
+        (inline.exceptAll(pre).count() == 0)
+        and (pre.exceptAll(inline).count() == 0)
+    )
+    return q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.lit(v2).cast("int").alias("artifact_version"),
+        F.lit(identical).alias("pretrained_matches_inline"),
+    )
+
+
+@register(
     "streaming_user_profiles",
     None,  # stateful streaming — rows-only per the driver contract
     doc="Custom stateful streaming operator (applyInPandasWithState): "
