@@ -12256,6 +12256,186 @@ def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "web_curation_pipeline",
+    f"""
+    WITH u AS (SELECT doc_id, n_chars, text,
+                      {WB.SYNTHETIC_URL_SQL} AS url
+               FROM documents),
+    h AS (SELECT doc_id, n_chars, text, url,
+                 regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host
+          FROM u),
+    dom AS (SELECT doc_id, n_chars, text, url, {_DOMAIN_SQL} AS domain
+            FROM h),
+    blk AS (SELECT *, domain NOT IN {BLOCKED_DOMAINS!r} AS unblocked
+            FROM dom),
+    canon AS (SELECT *,
+                     {WB.CANONICAL_URL_SQL_STEPS.format(url="url")}
+                       AS canon_url
+              FROM blk),
+    rn_url AS (SELECT doc_id,
+                      row_number() OVER (PARTITION BY canon_url
+                                         ORDER BY doc_id) AS rn
+               FROM canon WHERE unblocked),
+    rk_dom AS (SELECT c.doc_id,
+                      row_number() OVER (PARTITION BY c.domain
+                                         ORDER BY c.n_chars DESC,
+                                                  c.doc_id) AS rk
+               FROM canon c JOIN rn_url r ON c.doc_id = r.doc_id
+               WHERE c.unblocked AND r.rn = 1),
+    f AS (SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), t -> t <> '')
+                   AS tk
+          FROM documents),
+    s AS (SELECT doc_id,
+                 md5(array_to_string(tk, ' ')) AS fingerprint,
+                 (len(tk) >= 10 AND
+                  (CASE WHEN len(tk) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(tk,
+                          t -> t IN ('the','a','of','and','to','in','is')))
+                          AS DOUBLE) / len(tk) END) < 0.5) AS is_q,
+                 len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is'))) AS c_en,
+                 len(list_filter(tk, t -> t IN ('el','la','de','los','las','que','y'))) AS c_es,
+                 len(list_filter(tk, t -> t IN ('der','die','das','und','ist','nicht'))) AS c_de,
+                 len(list_filter(tk, t -> t IN ('le','la','les','et','des','est'))) AS c_fr,
+                 len(list_filter(tk, t -> t IN ('的','是','了','在','我'))) AS c_zh
+          FROM f),
+    st AS (SELECT doc_id, fingerprint,
+                  CASE WHEN NOT is_q THEN 'drop_quality'
+                       WHEN (CASE WHEN greatest(c_en,c_es,c_de,c_fr,c_zh) = 0 THEN 'und'
+                                  WHEN c_en = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'en'
+                                  WHEN c_es = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'es'
+                                  WHEN c_de = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'de'
+                                  WHEN c_fr = greatest(c_en,c_es,c_de,c_fr,c_zh) THEN 'fr'
+                                  ELSE 'zh' END) NOT IN ('en') THEN 'drop_lang'
+                       ELSE NULL END AS early
+           FROM s),
+    rn_fp AS (SELECT k.doc_id,
+                     row_number() OVER (PARTITION BY st.fingerprint
+                                        ORDER BY k.doc_id) AS rn
+              FROM rk_dom k JOIN st ON k.doc_id = st.doc_id
+              WHERE k.rk <= 5 AND st.early IS NULL),
+    fin AS (SELECT b.doc_id,
+                   CASE WHEN NOT b.unblocked THEN 'drop_blocklist'
+                        WHEN ru.rn > 1 THEN 'drop_url_dup'
+                        WHEN rd.rk > 5 THEN 'drop_domain_cap'
+                        WHEN st.early IS NOT NULL THEN st.early
+                        WHEN rf.rn > 1 THEN 'drop_exact_dup'
+                        ELSE 'pool' END AS status
+            FROM blk b
+            LEFT JOIN rn_url ru ON b.doc_id = ru.doc_id
+            LEFT JOIN rk_dom rd ON b.doc_id = rd.doc_id
+            LEFT JOIN st ON b.doc_id = st.doc_id
+            LEFT JOIN rn_fp rf ON b.doc_id = rf.doc_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (status = 'drop_blocklist') AS BIGINT)
+             AS drop_blocklist_docs,
+           CAST(count(*) FILTER (status = 'drop_url_dup') AS BIGINT)
+             AS drop_url_dup_docs,
+           CAST(count(*) FILTER (status = 'drop_domain_cap') AS BIGINT)
+             AS drop_domain_cap_docs,
+           CAST(count(*) FILTER (status = 'drop_quality') AS BIGINT)
+             AS drop_quality_docs,
+           CAST(count(*) FILTER (status = 'drop_lang') AS BIGINT)
+             AS drop_lang_docs,
+           CAST(count(*) FILTER (status = 'drop_exact_dup') AS BIGINT)
+             AS drop_exact_dup_docs,
+           CAST(count(*) FILTER (status = 'pool') AS BIGINT)
+             AS post_exact_pool_docs,
+           TRUE AS neardup_split_ok,
+           TRUE AS blocklist_parity_ok,
+           TRUE AS cap_invariant_ok
+    FROM fin
+    """,
+    doc="FULL web-crawl funnel with lineage (round-5 verdict item 3): "
+    "blocklist -> canonical-URL dedup -> per-domain cap -> quality -> "
+    "lang -> exact dedup -> MinHash near-dup, each stage competing only "
+    "among the previous stage's survivors (a blocked page can't win a "
+    "URL group; the cap ranks only URL-unique pages). Contract form "
+    "(docs_curation_pipeline idiom): the oracle recomputes EVERY "
+    "SQL-expressible stage count from scratch — blocklist, URL-dup, "
+    "domain-cap, quality, lang, exact-dup drops and the post-exact "
+    "pool; neardup_split_ok asserts the non-SQL LSH stage only "
+    "PARTITIONS the pool (kept + drop_near_dup == pool); "
+    "blocklist_parity_ok asserts per-document agreement between the "
+    "pipeline's stage-1 decisions and the STANDALONE "
+    "domain_blocklist_filter operator; cap_invariant_ok asserts no "
+    "domain exceeds the cap among final keeps. Plan: broadcast "
+    "blocklist (corpus never shuffles there), one labeled window per "
+    "dedup key (canon_url/domain/fingerprint — three inherent "
+    "shuffles), LSH last on the smallest pool. "
+    "plans/webpipeline.py::curate_web_documents.",
+)
+def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.webpipeline import curate_web_documents
+
+    d = _t(spark, sf_dir, "documents").withColumn("url", WB.synthetic_url())
+    blocked = spark.createDataFrame(
+        [(b,) for b in BLOCKED_DOMAINS], "blocked_domain string"
+    )
+    log = curate_web_documents(d, blocked, cap=5)
+    # parity vs the STANDALONE stage-1 operator
+    standalone = WB.domain_blocklist_filter(
+        WB.parse_urls(d), blocked
+    ).select("doc_id", F.col("kept").alias("__sa_kept"))
+    j = log.join(standalone, "doc_id")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.sum((F.col("status") == s).cast("long"))
+            .cast("bigint")
+            .alias(f"{s}_docs")
+            for s in (
+                "drop_blocklist",
+                "drop_url_dup",
+                "drop_domain_cap",
+                "drop_quality",
+                "drop_lang",
+                "drop_exact_dup",
+            )
+        ],
+        F.sum(F.col("status").isin("kept", "drop_near_dup").cast("long"))
+        .cast("bigint")
+        .alias("post_exact_pool_docs"),
+        F.sum(
+            ((F.col("status") == "drop_blocklist") != ~F.col("__sa_kept"))
+            .cast("long")
+        ).alias("__blk_mismatch"),
+    )
+    cap_viol = (
+        log.filter(F.col("status") == "kept")
+        .groupBy("domain")
+        .count()
+        .filter(F.col("count") > 5)
+        .count()
+    )
+    return agg.select(
+        "n_docs",
+        "drop_blocklist_docs",
+        "drop_url_dup_docs",
+        "drop_domain_cap_docs",
+        "drop_quality_docs",
+        "drop_lang_docs",
+        "drop_exact_dup_docs",
+        "post_exact_pool_docs",
+        # near-dup may only split the pool: every pool doc is kept or
+        # near-dropped and their counts sum to the pool (guaranteed by
+        # construction only if the near set stayed inside the pool)
+        (
+            F.col("post_exact_pool_docs")
+            == F.col("n_docs")
+            - F.col("drop_blocklist_docs")
+            - F.col("drop_url_dup_docs")
+            - F.col("drop_domain_cap_docs")
+            - F.col("drop_quality_docs")
+            - F.col("drop_lang_docs")
+            - F.col("drop_exact_dup_docs")
+        ).alias("neardup_split_ok"),
+        (F.col("__blk_mismatch") == 0).alias("blocklist_parity_ok"),
+        F.lit(cap_viol == 0).alias("cap_invariant_ok"),
+    )
+
+
 PRIORITY: list[str] = [
     # --- first 50: one or two FULL-ORACLE representatives of EVERY
     # operator family, so a driver run budget-capped at 50 still grades
