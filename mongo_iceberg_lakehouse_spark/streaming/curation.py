@@ -236,21 +236,28 @@ def run_stream_embedding_drift_incremental(
     on top of state), and update mode emits only the dims a batch
     touched. State is dim-bounded forever; nothing re-scans history.
 
-    Harness: the fixture is hash-sliced into ``n_batches`` files
-    (deterministic xxhash64 over vec_id — union of slices == fixture),
-    maxFilesPerTrigger=1 forces one micro-batch per slice, and
-    foreachBatch records each update delta with its batch id. The final
-    state (last update per dim) must equal the one-shot batch result —
-    the availableNow == batch oracle across >= 2 real micro-batches.
-    Each per-batch delta is dim rows (64), so the recorded updates are
-    bounded by dim x n_batches regardless of corpus size.
+    Harness: the fixture is hash-sliced into ``n_batches`` groups of
+    scale-proportional file counts (one deterministic xxhash64 slot per
+    vec_id split into (batch, file) — union of slices == fixture),
+    written in ONE partitionBy pass (the round-5 sf10 decade measured
+    ~80% of the row in the old per-slice coalesce(1) writes: n_batches
+    full scans, each landing on a single task). All files of a slice
+    share an mtime strictly below the next slice's, so
+    maxFilesPerTrigger = files-per-slice yields exactly one micro-batch
+    per slice at every scale; foreachBatch records each update delta
+    with its batch id. The final state (last update per dim) must equal
+    the one-shot batch result — the availableNow == batch oracle across
+    >= 2 real micro-batches. Each per-batch delta is dim rows (64), so
+    the recorded updates are bounded by dim x n_batches regardless of
+    corpus size.
     """
+    import glob
     import os
     import shutil
     import tempfile
 
     from ..operators.similarity import embedding_drift_by_cohort
-    from ..sources.tables import load_table
+    from ..sources.tables import load_table, table_rowcount
 
     for q in spark.streams.active:
         if q.name == query_name:
@@ -261,22 +268,35 @@ def run_stream_embedding_drift_incremental(
     ckpt = os.path.join(root, "ckpt")
     os.makedirs(in_dir)
     vecs = load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    k = max(1, min(par, table_rowcount(sf_dir, "embeddings") // 50_000))
+    # one hash slot per row, split into (slice, file): uniform over the
+    # product, both derived from a single xxhash64 (div/mod decorrelate)
+    slot = F.pmod(F.xxhash64("vec_id"), F.lit(n_batches * k))
     batched = vecs.withColumn(
-        "__b", F.pmod(F.xxhash64("vec_id"), F.lit(n_batches))
-    )
+        "__b", (slot % n_batches).cast("int")
+    ).withColumn("__f", (slot / n_batches).cast("int"))
+    slices = os.path.join(root, "slices")
+    # one scan, one shuffle, parallel writers; partitionBy keeps exactly
+    # one file per (slice, file) pair and drops the helper columns
+    batched.repartition(n_batches * k, "__b", "__f").write.partitionBy(
+        "__b", "__f"
+    ).parquet(slices)
+    per_slice: list[int] = []
     for b in range(n_batches):
-        part = os.path.join(root, f"part_{b}")
-        batched.filter(F.col("__b") == b).drop("__b").coalesce(1).write.parquet(
-            part
-        )
-        data = [f for f in os.listdir(part) if f.endswith(".parquet")][0]
-        dst = os.path.join(in_dir, f"batch_{b:04d}.parquet")
-        shutil.move(os.path.join(part, data), dst)
-        os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+        fs = sorted(glob.glob(os.path.join(slices, f"__b={b}", "*", "*.parquet")))
+        per_slice.append(len(fs))
+        for i, src in enumerate(fs):
+            dst = os.path.join(in_dir, f"batch_{b:04d}_{i:02d}.parquet")
+            shutil.move(src, dst)
+            os.utime(dst, (1_700_000_000 + b, 1_700_000_000 + b))
+    # equal counts -> one trigger per slice; a rare empty (b, f) pair
+    # falls back to per-file triggers (SPLITS a slice, never merges two)
+    mft = k if all(c == k for c in per_slice) else 1
 
     stream = (
         spark.readStream.schema(vecs.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", mft)
         .option("latestFirst", "false")
         .parquet(in_dir)
     )
