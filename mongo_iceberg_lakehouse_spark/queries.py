@@ -12446,61 +12446,69 @@ PRIORITY: list[str] = [
     # multimodal, streaming, lakehouse mutation, splits / mixing.
     # (Round 2 cut exactly at entry 50, which under the old ordering was
     # all relational parity and no LLM-pipeline surface at all.)
+    # Round-6 rotation policy (verdict #5): 173/270 registry queries had
+    # never held a driver-graded slot; this rotation brings in TEN
+    # first-time-graded queries from four zero-history families (graph,
+    # lakehouse mutation, statistics, retrieval) plus the three round-6
+    # additions, displacing family-redundant mates (every family keeps
+    # >= 1 representative; the displaced stay oracle-checked locally and
+    # in the sf1 gate).
     # reference parity
     "gold_sales_report", "bronze_verify_count", "silver_struct_evolution",
     "window_dedup_latest", "topk_orders", "filter_scan_pushdown",
-    # join shapes
+    # join shapes (semi + theta rotate to the tail; anti keeps the
+    # existence-join family, asof keeps the ordered-join family)
     "join_customer_orders", "join_broadcast_region_revenue",
-    "join_left_semi", "join_left_anti", "join_theta_pairs",
-    "asof_join_purchase_view",
-    # aggregation (rollup rotates to the tail in round 5 —
-    # sql_grouping_sets pins the grouping-set shape; the approx contract
-    # stays)
+    "join_left_anti", "asof_join_purchase_view",
+    # aggregation
     "agg_approx",
-    # SQL semantics
-    "sql_grouping_sets", "sql_correlated_subquery",
-    # scalars + reshape + set ops (datetime scalars + pivot rotate out;
-    # the family keeps the VARIANT json path + explode in-window)
-    "scalar_json_extract", "explode_word_counts",
-    "union_by_name_drift",
-    # windows + sessions
-    "window_running_sum", "window_rank_family", "sessionize_events",
-    # TPC-H flagships
+    # SQL semantics (correlated subquery rotates out)
+    "sql_grouping_sets",
+    # scalars + reshape + set ops (json-extract rotates out)
+    "explode_word_counts", "union_by_name_drift",
+    # windows + sessions (rank family rotates out)
+    "window_running_sum", "sessionize_events",
+    # TPC-H flagships (q6 rotates out)
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    # dedup: exact, canonical-URL (round 5), sub-document scrub, exact
-    # similarity join (cross-corpus decontamination form), SimHash,
-    # embedding (containment pairs rotates to the tail — the Jaccard
-    # prefix-filter family keeps cross_corpus in-window)
+    # dedup (simhash rotates out; the banding family keeps cross_corpus)
     "dedup_exact_hash", "dedup_url_canonical", "dedup_span_scrub",
-    "dedup_cross_corpus_jaccard", "dedup_simhash", "embedding_neardup_topk",
-    # similarity / retrieval / semantic dedup + the LSH accuracy contract
-    # (its exact side value-checks the same brute-force plan
-    # ann_topk_blocked exercised, so the contract covers both; blocked
-    # and the JL projection stay oracle-checked locally + in the sf1 gate)
-    # (maxsim rotates to the tail; hard-negative mining is the newest
-    # exact-ranked similarity op and takes the graded slot)
+    "dedup_cross_corpus_jaccard", "embedding_neardup_topk",
+    # similarity / semantic dedup (outlier filter rotates out) + the
+    # round-6 dispatcher and train-once artifact contract
     "ann_lsh_recall_contract", "pairs_hard_negatives",
-    "semdedup_embedding_prune", "embedding_outlier_filter",
-    # text quality + retrieval + curation classics (bigram-LM perplexity
-    # rotates to the tail; round-5 URL/domain stage takes two slots —
-    # the broadcast-blocklist funnel and the WindowGroupLimit domain cap)
+    "semdedup_embedding_prune", "ann_topk_auto", "ann_ivf_pretrained",
+    # text quality + curation (fasttext classifier rotates out) + the
+    # round-6 composed web funnel
     "text_pii_redaction", "quality_gopher_rules",
-    "quality_fasttext_classifier",
     "curation_domain_blocklist", "curation_domain_cap",
     "dsir_importance_weights", "tokenizer_bpe_pair_counts",
-    # multimodal (+ round-5 image-text alignment proxy)
-    "multimodal_png_pixels", "multimodal_wav_samples",
-    "multimodal_image_text_alignment",
-    # streaming (+ round-5 update-mode incremental drift; batch SCD2
-    # rotates to the tail — streaming_scd2_orders keeps the family)
-    "streaming_window_counts", "streaming_scd2_orders",
-    "streaming_embedding_drift_incremental",
-    # lakehouse mutation
-    "merge_on_read_orders",
-    # splits / mixing / training order / packing
-    "train_order_shards", "pack_sequences_chop",
+    "web_curation_pipeline",
+    # retrieval — FIRST-TIME graded family
+    "text_bm25_topk", "rag_context_assembly",
+    # statistics — FIRST-TIME graded family
+    "stat_ab_welch_ttest", "stat_spearman_by_segment",
+    # graph — FIRST-TIME graded family
+    "pagerank_customer_handoff", "graph_triangle_count",
+    # multimodal (wav rotates out; png + alignment keep both modalities)
+    "multimodal_png_pixels", "multimodal_image_text_alignment",
+    # streaming (tumbling-window counts rotates out; SCD2 + incremental
+    # drift keep the stateful + update-mode shapes)
+    "streaming_scd2_orders", "streaming_embedding_drift_incremental",
+    # lakehouse mutation — FIRST-TIME graded members (merge-on-read
+    # rotates out after its round-4/5 window history)
+    "catalog_time_travel", "wap_audit_publish", "snapshot_diff_orders",
+    "incremental_gold_orders",
+    # splits / mixing / packing (train_order_shards rotates out)
+    "pack_sequences_chop",
     # --- end of the 50-budget window; remaining families' siblings ---
+    # round-6 rotation: displaced window members (still locally
+    # oracle-checked + sf1-gated)
+    "join_left_semi", "join_theta_pairs", "sql_correlated_subquery",
+    "scalar_json_extract", "window_rank_family",
+    "tpch_q6_forecast_revenue", "dedup_simhash",
+    "embedding_outlier_filter", "quality_fasttext_classifier",
+    "multimodal_wav_samples", "streaming_window_counts",
+    "merge_on_read_orders", "train_order_shards",
     # round-5 rotation: displaced window members (still locally
     # oracle-checked + sf1-gated)
     "agg_rollup", "pivot_event_values", "dedup_containment_pairs",
@@ -12525,17 +12533,17 @@ PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "streaming_view_click_join", "streaming_segment_counts",
     "streaming_dedup_events",
-    "snapshot_diff_orders", "incremental_gold_orders",
     "governance_pseudonymized_rollup", "spatial_radius_pairs",
     "sample_stratified_events", "markov_event_transitions",
     # round-2 additions: finance/ops analytics, retrieval pipeline,
     # governance workflows, heavier dedup/lakehouse ops at the tail
+    # (snapshot_diff / incremental_gold / rag_context / wap_audit /
+    # catalog_time_travel moved INTO the round-6 graded window)
     "cohort_ltv_curve", "bitmap_week_overlap", "timeseries_decay_score",
     "seasonal_baseline_bands", "concurrency_by_hour",
     "text_unigram_cross_entropy", "embedding_covariance_matrix",
-    "rag_context_assembly", "governance_erasure_propagation",
-    "wap_audit_publish",
-    "dedup_survivors_quality", "catalog_time_travel",
+    "governance_erasure_propagation",
+    "dedup_survivors_quality",
 ]
 
 
