@@ -117,6 +117,12 @@ HEADLINE = [
     "dedup_url_canonical",
     "curation_domain_cap",
     "multimodal_image_text_alignment",
+    # round-6 additions: the composed web funnel (blocklist -> URL dedup
+    # -> domain cap -> quality -> lang -> exact -> near dedup in one
+    # lineage pass) and the ANN strategy dispatcher (exact tier at this
+    # corpus size). Same comparability note as above.
+    "web_curation_pipeline",
+    "ann_topk_auto",
 ]
 
 

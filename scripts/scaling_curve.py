@@ -63,6 +63,9 @@ QUERIES = [
     "multimodal_image_text_alignment",
     "streaming_embedding_drift_incremental",
     "pack_token_batches",
+    # round-6 additions: composed web funnel + ANN strategy dispatcher
+    "web_curation_pipeline",
+    "ann_topk_auto",
 ]
 
 # (sf label, dir, separate warm-up run, timed reps, count rows)
@@ -75,6 +78,10 @@ SCALES = [
     # warmed the JVM by then; per-plan codegen is noise at sf10
     # magnitudes). NOT a silent cap: logged per run below.
     ("10(synthetic)", "/root/repo/.scale/sf10", False, 2, True),
+    # sf100 (~20 GB: 5M docs / 2M embeddings / 100M events / 600M
+    # lineitem): single rep, no count pass (a count re-executes the
+    # query). NOT a silent cap: logged per run below.
+    ("100(synthetic)", "/root/repo/.scale/sf100", False, 1, False),
 ]
 
 # Semantically-quadratic / n^1.5-by-design compute (documented in
@@ -82,6 +89,15 @@ SCALES = [
 # them): single execution at sf10, and skip the row-count pass.
 HEAVY_AT_SF10 = {
     "semdedup_embedding_prune",
+    "embedding_neardup_blocked",
+    "embedding_neardup_topk",
+}
+
+# The two EXACT-quadratic truth baselines would cost hours at sf100
+# (measured 197 s / 258 s at sf10 x their ~45x / ~28x decade exponents);
+# their sub-quadratic production alternates (IVF / LSH / int8) run the
+# full decade instead. Skips are logged, never silent.
+SKIP_AT_SF100 = {
     "embedding_neardup_blocked",
     "embedding_neardup_topk",
 }
@@ -130,6 +146,15 @@ def main() -> int:
         nrows: dict[str, int] = {}
         for name in queries:
             fn = REGISTRY[name].fn
+            if sf.startswith("100") and name in SKIP_AT_SF100:
+                print(
+                    f"# sf{sf} {name}: SKIPPED (exact-quadratic truth "
+                    "baseline — hours at this scale; production "
+                    "alternates run instead)",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                continue
             heavy = sf.startswith("10") and name in HEAVY_AT_SF10
             n_reps = 1 if heavy else reps
             if heavy:
@@ -173,7 +198,11 @@ def main() -> int:
             ),
             flush=True,
         )
-    for lo, hi in [("0.1", "1(synthetic)"), ("1(synthetic)", "10(synthetic)")]:
+    for lo, hi in [
+        ("0.1", "1(synthetic)"),
+        ("1(synthetic)", "10(synthetic)"),
+        ("10(synthetic)", "100(synthetic)"),
+    ]:
         if lo in results and hi in results:
             print(
                 f"\n# sf{lo} -> sf{hi}: 10x data -> time ratio "
