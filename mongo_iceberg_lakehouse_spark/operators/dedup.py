@@ -1006,11 +1006,21 @@ def span_scrub(
     Plan shape (all JVM HOFs + two shuffles on bounded keys):
       1. per-doc span windows with 1-based start positions — sequence +
          slice inside one let_-bound split (no O(L^2) re-split);
-      2. groupBy(span) -> (distinct-doc count, min doc) — the duplicated-
-         span dictionary; an ordinary shuffle agg, map-side combinable;
-      3. occurrences join the dictionary on the span string (equi-join;
-         at 100 TB the key becomes xxhash64 of the window so the shuffle
-         carries 8-byte keys — string form kept for the SQL oracle),
+      2. groupBy(span hash) -> (distinct-doc count, min doc) — the
+         duplicated-span dictionary; an ordinary shuffle agg, map-side
+         combinable. The key is xxhash64 OF the window, computed inside
+         the narrow span projection, so the shuffle carries 8-byte keys
+         instead of ~40-byte span strings — the string itself is never
+         needed downstream (the rebuild uses positions). The round-6
+         sf100 decade forced this: the string-keyed occurrence shuffle
+         (~1B spans x ~50 B) overran a 56 GB /tmp; hashed keys cut the
+         occurrence row to (id, pos, hash) = 20 B. A 64-bit collision
+         (odds ~1e-2 over 1e9 distinct spans) could scrub one extra
+         window — the standard content-dedup tradeoff (MinHash et al.);
+         the fixtures' DuckDB oracle compares REBUILT TEXT and stays
+         green at every gate scale, so the fixture corpus is
+         collision-clean;
+      3. occurrences join the dictionary on the span hash (equi-join),
          non-canonical hits explode to covered word positions;
       4. covered positions collect_set back to ONE array row per doc,
          then an equi-join on id into the source (join strategy left to
@@ -1034,13 +1044,15 @@ def span_scrub(
         n_sp = F.greatest(F.size(w) - (span_n - 1), F.lit(0))
         return F.when(
             n_sp == 0,
-            F.array().cast("array<struct<s:int,span:string>>"),
+            F.array().cast("array<struct<s:int,h:bigint>>"),
         ).otherwise(
             F.transform(
                 F.sequence(F.lit(1), n_sp),
                 lambda i: F.struct(
                     i.cast("int").alias("s"),
-                    F.array_join(F.slice(w, i, span_n), " ").alias("span"),
+                    F.xxhash64(
+                        F.array_join(F.slice(w, i, span_n), " ")
+                    ).alias("h"),
                 ),
             )
         )
@@ -1055,19 +1067,19 @@ def span_scrub(
     occ = (
         spanned.select("__id", F.explode_outer("__sp").alias("__o"))
         .filter(F.col("__o").isNotNull())
-        .select("__id", F.col("__o.s").alias("__s"), F.col("__o.span").alias("__span"))
+        .select("__id", F.col("__o.s").alias("__s"), F.col("__o.h").alias("__h"))
     )
     dup = (
-        occ.groupBy("__span")
+        occ.groupBy("__h")
         .agg(
             F.countDistinct("__id").alias("__nd"),
             F.min("__id").alias("__canon"),
         )
         .filter(F.col("__nd") >= min_docs)
-        .select("__span", "__canon")
+        .select("__h", "__canon")
     )
     removed = (
-        occ.join(dup, "__span")
+        occ.join(dup, "__h")
         .filter(F.col("__id") != F.col("__canon"))
         .select(
             "__id",

@@ -693,13 +693,26 @@ def repetition_signals(
 
     Shape at scale: ONE corpus scan — unigrams, bigrams, and trigrams
     leave the tokenizer in a single labeled explode feeding one map-side-
-    combinable (id, n, gram) count whose shuffle Exchange is REUSED by
+    combinable (id, n, key) count whose shuffle Exchange is REUSED by
     all three consumers (stats / argmax / dup sum — ReuseExchange, so the
     text is never re-tokenized); per-doc stats (n_words, tok_chars) come
     from the n=1 slice of that same table, the bigram argmax is a
     doc-partitioned (NEVER global) row_number, and everything meets in
-    two id-key joins. Every wide stage keys on doc ids or (id, gram),
+    two id-key joins. Every wide stage keys on doc ids or (id, key),
     both well distributed.
+
+    Shuffle payload (round-6 sf100 decade): each gram class carries only
+    what its consumer needs — unigrams have NO identity (stats just sums
+    counts and char mass), so same-LENGTH unigrams merge in the map-side
+    combine (a ~200-token doc collapses to ~15 length-bucket rows);
+    trigrams need identity (the c >= 2 dup filter) but never their text,
+    so they ship xxhash64 + length; only bigrams keep the string — the
+    winner is an output column and the count-tie break is bigram-ASC,
+    which the DuckDB oracle must reproduce. Cuts the exploded shuffle
+    roughly in half at any scale with bit-identical output (a within-doc
+    trigram 64-bit collision — odds ~1e-15 per doc — could merge two
+    trigram counts; the oracle compares outputs and stays green at every
+    gate scale).
 
     Returns (id, n_words, tok_chars, top_bigram, top_bigram_frac_micros,
     dup_trigram_frac_micros, rep_top2_ok, rep_dup3_ok,
@@ -709,17 +722,35 @@ def repetition_signals(
     from pyspark.sql import Window
 
     def grams(ws: Column) -> Column:
+        null_s = F.lit(None).cast("string")
+        null_h = F.lit(None).cast("bigint")
         return F.concat(
             F.transform(
-                ws, lambda w: F.struct(F.lit(1).alias("n"), w.alias("g"))
+                ws,
+                lambda w: F.struct(
+                    F.lit(1).alias("n"),
+                    null_s.alias("g"),
+                    F.length(w).cast("int").alias("l"),
+                    null_h.alias("h"),
+                ),
             ),
             F.transform(
                 word_ngrams(ws, 2),
-                lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+                lambda g: F.struct(
+                    F.lit(2).alias("n"),
+                    g.alias("g"),
+                    F.length(g).cast("int").alias("l"),
+                    null_h.alias("h"),
+                ),
             ),
             F.transform(
                 word_ngrams(ws, 3),
-                lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
+                lambda g: F.struct(
+                    F.lit(3).alias("n"),
+                    null_s.alias("g"),
+                    F.length(g).cast("int").alias("l"),
+                    F.xxhash64(g).alias("h"),
+                ),
             ),
         )
 
@@ -738,7 +769,13 @@ def repetition_signals(
                 "__g"
             ),
         )
-        .groupBy("__id", F.col("__g.n").alias("n"), F.col("__g.g").alias("g"))
+        .groupBy(
+            "__id",
+            F.col("__g.n").alias("n"),
+            F.col("__g.g").alias("g"),
+            F.col("__g.l").alias("l"),
+            F.col("__g.h").alias("h"),
+        )
         .agg(F.count(F.lit(1)).alias("c"))
     )
     # Three consumers (stats / top2 / dup3) — same multi-consumer cut as
@@ -749,9 +786,9 @@ def repetition_signals(
 
     one = F.when(F.col("n") == 1, F.col("c")).otherwise(F.lit(0))
     # the zero-token doc's (null, null) row must still sum to 0, so the
-    # char term guards on n == 1 rather than multiplying length(null)
+    # char term guards on n == 1 rather than multiplying null lengths
     one_chars = F.when(
-        F.col("n") == 1, F.col("c") * F.length("g")
+        F.col("n") == 1, F.col("c") * F.col("l")
     ).otherwise(F.lit(0))
     stats = counts.groupBy("__id").agg(
         F.sum(one).cast("int").alias("n_words"),
@@ -765,13 +802,13 @@ def repetition_signals(
         .select(
             "__id",
             F.col("g").alias("top_bigram"),
-            (F.col("c") * (F.length("g") - 1)).alias("__top2_chars"),
+            (F.col("c") * (F.col("l") - 1)).alias("__top2_chars"),
         )
     )
     dup3 = (
         counts.filter((F.col("n") == 3) & (F.col("c") >= 2))
         .groupBy("__id")
-        .agg(F.sum(F.col("c") * (F.length("g") - 2)).alias("__dup3_chars"))
+        .agg(F.sum(F.col("c") * (F.col("l") - 2)).alias("__dup3_chars"))
     )
     joined = stats.join(top2, "__id", "left").join(dup3, "__id", "left")
     tc = F.col("tok_chars")
