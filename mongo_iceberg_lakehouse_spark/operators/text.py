@@ -674,7 +674,6 @@ def repetition_signals(
     text_col: str = "text",
     top2_max_micros: int = 200_000,
     dup3_max_micros: int = 300_000,
-    single_scan: bool = True,
 ) -> DataFrame:
     """Gopher repetition filters (Rae et al. 2021 A1.1, the n-gram half
     that ``gopher_quality_rules`` doesn't cover): per document,
@@ -691,138 +690,125 @@ def repetition_signals(
     spaces subtracted); denominators are the document's total token
     chars. All ratios integer micro-units (knife-edge discipline).
 
-    Shape at scale: ONE corpus scan — unigrams, bigrams, and trigrams
-    leave the tokenizer in a single labeled explode feeding one map-side-
-    combinable (id, n, key) count whose shuffle Exchange is REUSED by
-    all three consumers (stats / argmax / dup sum — ReuseExchange, so the
-    text is never re-tokenized); per-doc stats (n_words, tok_chars) come
-    from the n=1 slice of that same table, the bigram argmax is a
-    doc-partitioned (NEVER global) row_number, and everything meets in
-    two id-key joins. Every wide stage keys on doc ids or (id, key),
-    both well distributed.
+    Shape at scale (round-6 rewrite): the statistic is PER-DOCUMENT, so
+    it never needed a shuffle — each doc's bigram/trigram run counts
+    come from one array_sort + one aggregate() fold over its own grams,
+    a pure narrow projection. ZERO Exchange, zero checkpoint, O(doc)
+    state per row: the previous labeled-explode form shuffled one row
+    per gram (~2B rows at the sf100 decade) and overran both a 24-80 GB
+    heap and a 56 GB /tmp; the narrow form measures the SAME wall time
+    at sf10 (25.9 s vs 25.5 s — the fold is interpreted but the explode
+    paid for itself in shuffle IO) and is disk-free at every scale.
 
-    Shuffle payload (round-6 sf100 decade): each gram class carries only
-    what its consumer needs — unigrams have NO identity (stats just sums
-    counts and char mass), so same-LENGTH unigrams merge in the map-side
-    combine (a ~200-token doc collapses to ~15 length-bucket rows);
-    trigrams need identity (the c >= 2 dup filter) but never their text,
-    so they ship xxhash64 + length; only bigrams keep the string — the
-    winner is an output column and the count-tie break is bigram-ASC,
-    which the DuckDB oracle must reproduce. Cuts the exploded shuffle
-    roughly in half at any scale with bit-identical output (a within-doc
-    trigram 64-bit collision — odds ~1e-15 per doc — could merge two
-    trigram counts; the oracle compares outputs and stays green at every
-    gate scale).
+    Tiebreak correctness: the fold runs over the SORTED bigram array, so
+    runs arrive in ascending string order and only a STRICTLY longer run
+    replaces the incumbent — the kept winner is exactly the min-string
+    among max-count bigrams, matching the SQL oracle's
+    (count desc, bigram asc) order.
 
     Returns (id, n_words, tok_chars, top_bigram, top_bigram_frac_micros,
     dup_trigram_frac_micros, rep_top2_ok, rep_dup3_ok,
     passes_repetition); docs with < 2 tokens have NULL top_bigram and
     zero fractions.
     """
-    from pyspark.sql import Window
-
-    def grams(ws: Column) -> Column:
-        null_s = F.lit(None).cast("string")
-        null_h = F.lit(None).cast("bigint")
-        return F.concat(
-            F.transform(
-                ws,
-                lambda w: F.struct(
-                    F.lit(1).alias("n"),
-                    null_s.alias("g"),
-                    F.length(w).cast("int").alias("l"),
-                    null_h.alias("h"),
-                ),
-            ),
-            F.transform(
-                word_ngrams(ws, 2),
-                lambda g: F.struct(
-                    F.lit(2).alias("n"),
-                    g.alias("g"),
-                    F.length(g).cast("int").alias("l"),
-                    null_h.alias("h"),
-                ),
-            ),
-            F.transform(
-                word_ngrams(ws, 3),
-                lambda g: F.struct(
-                    F.lit(3).alias("n"),
-                    null_s.alias("g"),
-                    F.length(g).cast("int").alias("l"),
-                    F.xxhash64(g).alias("h"),
-                ),
-            ),
-        )
-
-    # explode_outer and KEEP the null row: a zero-token document still
-    # yields one (id, null, null) count row, so it survives to the output
-    # with n_words = 0 instead of vanishing.
-    # same repartition-to-parallelism spread as bigram_lift_topk
-    # (measured at sf1: 10.0 s -> 3.2 s)
+    # CPU-bound narrow fold: spread across cores even when the source is
+    # one input split (same idiom as bigram_lift_topk)
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
-    counts = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.explode_outer(let_(tokens(F.col(text_col)), grams)).alias(
-                "__g"
+
+    def build(w: Column) -> Column:
+        bg = F.array_sort(word_ngrams(w, 2))
+        tg = F.array_sort(word_ngrams(w, 3))
+        # bigram argmax fold: (prev, run, best, bc) over the sorted array
+        bstate = F.aggregate(
+            bg,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("int").alias("run"),
+                F.lit(None).cast("string").alias("best"),
+                F.lit(0).cast("int").alias("bc"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                F.when(
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                        F.lit(1)
+                    )
+                    > acc["bc"],
+                    x,
+                )
+                .otherwise(acc["best"])
+                .alias("best"),
+                F.greatest(
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                        F.lit(1)
+                    ),
+                    acc["bc"],
+                ).alias("bc"),
             ),
         )
-        .groupBy(
-            "__id",
-            F.col("__g.n").alias("n"),
-            F.col("__g.g").alias("g"),
-            F.col("__g.l").alias("l"),
-            F.col("__g.h").alias("h"),
+        # duplicated-trigram char mass: a run reaching 2 contributes the
+        # first occurrence retroactively (2x), each further one 1x —
+        # total c * (len - 2) per trigram with c >= 2
+        tstate = F.aggregate(
+            tg,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("int").alias("run"),
+                F.lit(0).cast("bigint").alias("mass"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .alias("run"),
+                (
+                    acc["mass"]
+                    + F.when(
+                        (x == acc["prev"]) & (acc["run"] + 1 == 2),
+                        (F.length(x) - 2).cast("bigint") * 2,
+                    )
+                    .when(
+                        (x == acc["prev"]) & (acc["run"] + 1 > 2),
+                        (F.length(x) - 2).cast("bigint"),
+                    )
+                    .otherwise(F.lit(0))
+                ).alias("mass"),
+            ),
         )
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    # Three consumers (stats / top2 / dup3) — same multi-consumer cut as
-    # bigram_lift_topk: one scan + tokenize, not three specialized ones.
-    # Measured at the sf1 decade (see PERF_NOTES #7): see A/B note there.
-    if single_scan:
-        counts = counts.localCheckpoint(eager=False)
+        return F.struct(
+            F.size(w).cast("int").alias("n_words"),
+            F.aggregate(
+                w, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+            ).alias("tok_chars"),
+            bstate["best"].alias("top_bigram"),
+            bstate["bc"].cast("bigint").alias("top_cnt"),
+            tstate["mass"].alias("dup3_chars"),
+        )
 
-    one = F.when(F.col("n") == 1, F.col("c")).otherwise(F.lit(0))
-    # the zero-token doc's (null, null) row must still sum to 0, so the
-    # char term guards on n == 1 rather than multiplying null lengths
-    one_chars = F.when(
-        F.col("n") == 1, F.col("c") * F.col("l")
-    ).otherwise(F.lit(0))
-    stats = counts.groupBy("__id").agg(
-        F.sum(one).cast("int").alias("n_words"),
-        F.sum(one_chars).cast("bigint").alias("tok_chars"),
-    )
-    w2 = Window.partitionBy("__id").orderBy(F.col("c").desc(), F.col("g"))
-    top2 = (
-        counts.filter(F.col("n") == 2)
-        .withColumn("__rn", F.row_number().over(w2))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "__id",
-            F.col("g").alias("top_bigram"),
-            (F.col("c") * (F.col("l") - 1)).alias("__top2_chars"),
-        )
-    )
-    dup3 = (
-        counts.filter((F.col("n") == 3) & (F.col("c") >= 2))
-        .groupBy("__id")
-        .agg(F.sum(F.col("c") * (F.col("l") - 2)).alias("__dup3_chars"))
-    )
-    joined = stats.join(top2, "__id", "left").join(dup3, "__id", "left")
+    r = df.select(
+        F.col(id_col).alias("__id"),
+        let_(tokens(F.col(text_col)), build).alias("__r"),
+    ).select("__id", "__r.*")
     tc = F.col("tok_chars")
+    top2_chars = F.col("top_cnt") * (F.length("top_bigram") - 1)
     top_frac = F.when(
-        F.col("__top2_chars").isNull() | (tc == 0), F.lit(0).cast("bigint")
+        F.col("top_bigram").isNull() | (tc == 0), F.lit(0).cast("bigint")
     ).otherwise(
-        F.floor((F.lit(1_000_000) * F.col("__top2_chars")) / tc + F.lit(0.5))
+        F.floor((F.lit(1_000_000) * top2_chars) / tc + F.lit(0.5))
     )
     dup_frac = F.when(
-        F.col("__dup3_chars").isNull() | (tc == 0), F.lit(0).cast("bigint")
+        tc == 0, F.lit(0).cast("bigint")
     ).otherwise(
-        F.floor((F.lit(1_000_000) * F.col("__dup3_chars")) / tc + F.lit(0.5))
+        F.floor(
+            (F.lit(1_000_000) * F.col("dup3_chars")) / tc + F.lit(0.5)
+        )
     )
-    out = joined.withColumn("top_bigram_frac_micros", top_frac).withColumn(
+    out = r.withColumn("top_bigram_frac_micros", top_frac).withColumn(
         "dup_trigram_frac_micros", dup_frac
     )
     rep2_ok = F.col("top_bigram_frac_micros") <= top2_max_micros

@@ -89,9 +89,16 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in STATIC_CONFS.items():
         builder = builder.config(k, v)
-    # Local-mode default: one shuffle partition per core; AQE coalesces below
-    # this at runtime, so oversizing is cheap. On a cluster, override upward.
-    builder = builder.config("spark.sql.shuffle.partitions", str(int(cpus) * 2))
+    # Local-mode default: two shuffle partitions per core; AQE coalesces
+    # below this at runtime, so oversizing is cheap. At big synthetic SFs
+    # (or on a cluster) override upward via SPARK_GRAFT_SHUFFLE_PARTITIONS
+    # so each reduce task's hash-agg/sort state fits in memory — the
+    # round-6 sf100 decade OOM'd 64-partition reduces carrying ~16M rows
+    # per task; 512 bounds the task state ~2M rows at that scale.
+    shuffle_parts = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(int(cpus) * 2)
+    )
+    builder = builder.config("spark.sql.shuffle.partitions", shuffle_parts)
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
     if extra_confs:
