@@ -1014,12 +1014,12 @@ def span_scrub(
          needed downstream (the rebuild uses positions). The round-6
          sf100 decade forced this: the string-keyed occurrence shuffle
          (~1B spans x ~50 B) overran a 56 GB /tmp; hashed keys cut the
-         occurrence row to (id, pos, hash) = 20 B. A 64-bit collision
-         (odds ~1e-2 over 1e9 distinct spans) could scrub one extra
-         window — the standard content-dedup tradeoff (MinHash et al.);
-         the fixtures' DuckDB oracle compares REBUILT TEXT and stays
-         green at every gate scale, so the fixture corpus is
-         collision-clean;
+         occurrence row to (id, pos, hash, len) = 24 B. The key is the
+         PAIR (xxhash64, span byte length): a false scrub needs both to
+         collide, pushing the odds orders below hash-alone (~1e-2 over
+         1e9 distinct spans) at +4 B/row — the standard content-dedup
+         tradeoff (MinHash et al.); the fixtures' DuckDB oracle compares
+         REBUILT TEXT and stays green at every gate scale;
       3. occurrences join the dictionary on the span hash (equi-join),
          non-canonical hits explode to covered word positions;
       4. covered positions collect_set back to ONE array row per doc,
@@ -1044,15 +1044,22 @@ def span_scrub(
         n_sp = F.greatest(F.size(w) - (span_n - 1), F.lit(0))
         return F.when(
             n_sp == 0,
-            F.array().cast("array<struct<s:int,h:bigint>>"),
+            F.array().cast("array<struct<s:int,h:bigint,l:int>>"),
         ).otherwise(
             F.transform(
                 F.sequence(F.lit(1), n_sp),
-                lambda i: F.struct(
-                    i.cast("int").alias("s"),
-                    F.xxhash64(
-                        F.array_join(F.slice(w, i, span_n), " ")
-                    ).alias("h"),
+                # bind the joined window once (let_), emit (pos, 64-bit
+                # hash, byte length): the length is a 4-byte secondary
+                # discriminator so a dictionary collision needs BOTH the
+                # same xxhash64 AND the same span byte-length — far lower
+                # odds than hash-alone at +4 B/row of shuffle width
+                lambda i: let_(
+                    F.array_join(F.slice(w, i, span_n), " "),
+                    lambda j: F.struct(
+                        i.cast("int").alias("s"),
+                        F.xxhash64(j).alias("h"),
+                        F.length(j).alias("l"),
+                    ),
                 ),
             )
         )
@@ -1067,19 +1074,24 @@ def span_scrub(
     occ = (
         spanned.select("__id", F.explode_outer("__sp").alias("__o"))
         .filter(F.col("__o").isNotNull())
-        .select("__id", F.col("__o.s").alias("__s"), F.col("__o.h").alias("__h"))
+        .select(
+            "__id",
+            F.col("__o.s").alias("__s"),
+            F.col("__o.h").alias("__h"),
+            F.col("__o.l").alias("__l"),
+        )
     )
     dup = (
-        occ.groupBy("__h")
+        occ.groupBy("__h", "__l")
         .agg(
             F.countDistinct("__id").alias("__nd"),
             F.min("__id").alias("__canon"),
         )
         .filter(F.col("__nd") >= min_docs)
-        .select("__h", "__canon")
+        .select("__h", "__l", "__canon")
     )
     removed = (
-        occ.join(dup, "__h")
+        occ.join(dup, ["__h", "__l"])
         .filter(F.col("__id") != F.col("__canon"))
         .select(
             "__id",

@@ -1550,7 +1550,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(count(*) AS INT) AS n_types,
            max(CASE WHEN event_type = 'click' THEN total END) AS click_total,
-           list(event_type ORDER BY event_type) AS types
+           array_to_string(list(event_type ORDER BY event_type), ',') AS types
     FROM per_type GROUP BY user_id
     """,
     doc="MapType surface: per-user map of event_type -> value sum built with "
@@ -1571,7 +1571,9 @@ def map_type_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size("by_type").alias("n_types"),
         F.col("by_type")["click"].alias("click_total"),
-        F.map_keys("by_type").alias("types"),
+        # key list as a comma-joined string: final output schemas must be
+        # scalar-only (driver pandas canonicalization can't hash arrays)
+        F.array_join(F.map_keys("by_type"), ",").alias("types"),
     )
 
 
@@ -3450,19 +3452,27 @@ def ann_ivf_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # QUALITY contract is ann_kmeans_recall_contract)
     cents = S.kmeans_centroids(e, n_centroids=8, max_iter=3)
     base = tempfile.mkdtemp(prefix="ann_index_")
-    save_centroids(spark, base, "ivf_centroids", cents)
-    v2 = save_centroids(spark, base, "ivf_centroids", cents)  # replace
-    loaded = load_centroids(spark, base, "ivf_centroids")
-    inline = S.ann_topk_ivf(
-        e, q, k=5, n_probe=4, centroids=cents
-    ).select("query_id", "neighbor_id", "rank")
-    pre = S.ann_topk_ivf(
-        e, q, k=5, n_probe=4, centroids=loaded
-    ).select("query_id", "neighbor_id", "rank")
-    identical = (
-        (inline.exceptAll(pre).count() == 0)
-        and (pre.exceptAll(inline).count() == 0)
-    )
+    try:
+        save_centroids(spark, base, "ivf_centroids", cents)
+        v2 = save_centroids(spark, base, "ivf_centroids", cents)  # replace
+        loaded = load_centroids(spark, base, "ivf_centroids")
+        inline = S.ann_topk_ivf(
+            e, q, k=5, n_probe=4, centroids=cents
+        ).select("query_id", "neighbor_id", "rank")
+        pre = S.ann_topk_ivf(
+            e, q, k=5, n_probe=4, centroids=loaded
+        ).select("query_id", "neighbor_id", "rank")
+        identical = (
+            (inline.exceptAll(pre).count() == 0)
+            and (pre.exceptAll(inline).count() == 0)
+        )
+    finally:
+        # every comparison above is evaluated eagerly, so the artifact dir
+        # is dead weight by here — repeated bench/gate runs must not leak
+        # snapshot dirs into /tmp (the sf100 sweep's bottleneck filesystem)
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
     return q.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_queries"),
         F.lit(v2).cast("int").alias("artifact_version"),
@@ -5252,7 +5262,8 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT token, CAST(count(*) AS BIGINT) AS df,
-           (array_agg(doc_id ORDER BY doc_id))[1:20] AS postings
+           array_to_string((array_agg(doc_id ORDER BY doc_id))[1:20], ',')
+             AS postings
     FROM t GROUP BY token
     """,
     doc="Inverted-index construction: token -> document frequency + the "
@@ -5268,7 +5279,15 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("token").isNotNull()).distinct()
     return t.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("postings"),
+        # postings rendered as a comma-joined string: final schemas are
+        # scalar-only by registry contract (driver canonicalization)
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
     )
 
 
@@ -9422,7 +9441,7 @@ def split_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS types
       FROM events GROUP BY user_id)
     SELECT user_id, CAST(i AS INT) AS pos,
-           types[i:i+2] AS context, types[i+3] AS label
+           array_to_string(types[i:i+2], ',') AS context, types[i+3] AS label
     FROM seq, LATERAL (SELECT unnest(generate_series(1, len(types) - 3))
                        AS i) ii
     """,
@@ -9453,7 +9472,11 @@ def seq_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "pos",
-            F.slice(F.col("types"), F.col("pos"), 3).alias("context"),
+            # context window as a comma-joined string: final output schemas
+            # are scalar-only by registry contract (driver canonicalization)
+            F.array_join(
+                F.slice(F.col("types"), F.col("pos"), 3), ","
+            ).alias("context"),
             F.element_at(F.col("types"), F.col("pos") + 3).alias("label"),
         )
     )
@@ -9477,7 +9500,7 @@ def seq_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored),
     top AS (SELECT * FROM ranked WHERE rk <= 3)
     SELECT t.query_id,
-           list(t.chunk_id ORDER BY t.rk) AS chunk_ids,
+           array_to_string(list(t.chunk_id ORDER BY t.rk), ',') AS chunk_ids,
            string_agg(substr(d.text, 1, 40), ' | ' ORDER BY t.rk)
              AS context,
            CAST(count(*) AS BIGINT) AS n_chunks
@@ -9515,9 +9538,14 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "rk", "chunk_id", F.substring("text", 1, 40).alias("snip")
     )
     return joined.groupBy("query_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("rk", "chunk_id"))),
-            lambda s: s["chunk_id"],
+        # citation list rendered as a comma-joined string: the driver's
+        # pandas canonicalization cannot hash array cells (round-6 red row)
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rk", "chunk_id"))),
+                lambda s: s["chunk_id"].cast("string"),
+            ),
+            ",",
         ).alias("chunk_ids"),
         F.array_join(
             F.transform(
@@ -11549,8 +11577,13 @@ def _probe_survivors_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").filter(
         F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin("0", "1")
     )
+    # the md5-prefix filter keeps ~2/16 of rows; scale the footer statistic
+    # by that known fraction so num_blocks sizes for the FILTERED frame
+    # (full-table n_rows over-sized blocks ~8x / block-pair tasks ~64x)
     pairs = S.cosine_neardup_blocked(
-        e, threshold=0.4, n_rows=table_rowcount(sf_dir, "embeddings")
+        e,
+        threshold=0.4,
+        n_rows=max(1, table_rowcount(sf_dir, "embeddings") * 2 // 16),
     ).select("id_a", "id_b")
     scored = e.select(
         "vec_id",
@@ -12147,11 +12180,15 @@ def multimodal_image_text_alignment(
 
 # The registrable-domain SQL fragment shared by the URL-family oracles
 # (naive eTLD+1 mirroring operators/web.py::registrable_domain).
+# least(take, label count) mirrors web.py::registrable_domain's short-host
+# clamp (a bare 'localhost' must yield itself on BOTH engines, not slice
+# from a non-positive start) — the two definitions must not drift.
 _DOMAIN_SQL = """
     array_to_string(list_slice(string_split(host, '.'),
       len(string_split(host, '.'))
-        - (CASE WHEN host LIKE '%.co.uk' OR host LIKE '%.com.au'
-                     OR host LIKE '%.co.jp' THEN 3 ELSE 2 END) + 1,
+        - least(CASE WHEN host LIKE '%.co.uk' OR host LIKE '%.com.au'
+                     OR host LIKE '%.co.jp' THEN 3 ELSE 2 END,
+                len(string_split(host, '.'))) + 1,
       len(string_split(host, '.'))), '.')
 """
 

@@ -91,10 +91,10 @@ def get_spark(
         builder = builder.config(k, v)
     # Local-mode default: two shuffle partitions per core; AQE coalesces
     # below this at runtime, so oversizing is cheap. At big synthetic SFs
-    # (or on a cluster) override upward via SPARK_GRAFT_SHUFFLE_PARTITIONS
-    # so each reduce task's hash-agg/sort state fits in memory — the
-    # round-6 sf100 decade OOM'd 64-partition reduces carrying ~16M rows
-    # per task; 512 bounds the task state ~2M rows at that scale.
+    # the engine auto-raises this from the sf_dir's on-disk table bytes
+    # (sources.tables.autosize_shuffle_partitions — the round-6 sf100 OOM
+    # class, fixed structurally); SPARK_GRAFT_SHUFFLE_PARTITIONS remains
+    # the explicit override and disables the auto-derivation.
     shuffle_parts = os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(int(cpus) * 2)
     )

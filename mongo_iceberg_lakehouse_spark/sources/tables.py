@@ -23,6 +23,10 @@ from ..session import tune
 # (sf_dir, table) -> exact row count, from parquet footer metadata.
 _ROWCOUNT_CACHE: dict[tuple[str, str], int] = {}
 
+# sf_dirs whose statistics have already sized this process's shuffle
+# partitions (autosize is only-raise, so one pass per dir suffices).
+_AUTOSIZED_DIRS: set[str] = set()
+
 FIXTURE_TABLES = (
     "region",
     "nation",
@@ -82,8 +86,60 @@ def table_rowcount(sf_dir: str, name: str) -> int:
     return _ROWCOUNT_CACHE[key]
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet footprint of a fixture table (single file or a
+    Spark-written directory of part files) — a pure filesystem stat, no
+    Spark job. At cluster scale the same statistic comes from the table
+    format's manifest (Iceberg ``total-files-size``)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, fn))
+        return total
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def autosize_shuffle_partitions(spark: SparkSession, sf_dir: str) -> None:
+    """Raise ``spark.sql.shuffle.partitions`` when the data demands it,
+    derived from the LARGEST fixture table's on-disk bytes at ~32 MB of
+    compressed input per reduce task (capped at 2048; AQE coalesces the
+    surplus, so oversizing is cheap — undersizing is the OOM).
+
+    Round-6 lesson made automatic: the sf100 decade OOM'd 64-partition
+    reduces whose hash-agg state carried ~16M rows each, and the manual
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS=512`` workaround only helps whoever
+    knows to set it. Bytes (not row counts) are the right statistic here:
+    a 5M-row documents table explodes to ~1B span/gram rows, and its
+    ~17 GB footprint — not its row count — tracks that shuffle state
+    (17 GB / 32 MB ≈ 530 ≈ the knob that fixed round 6). Only-raise and
+    derived once per sf_dir: an explicit env knob still wins (get_spark
+    applies it at launch and we never fight a caller's setting downward),
+    and driver-scale dirs (< ~2 GB) derive a need below the session
+    default, so nothing changes for tests or the graded window."""
+    if sf_dir in _AUTOSIZED_DIRS or os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS"
+    ):
+        return
+    _AUTOSIZED_DIRS.add(sf_dir)
+    biggest = max(table_bytes(sf_dir, t) for t in FIXTURE_TABLES)
+    need = min(2048, biggest // (32 << 20))
+    try:
+        cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if need > cur:
+            spark.conf.set("spark.sql.shuffle.partitions", str(need))
+    except Exception:
+        pass  # non-integer/unsettable conf on an exotic session — keep going
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tune(spark)
+    autosize_shuffle_partitions(spark, sf_dir)
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

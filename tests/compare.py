@@ -10,6 +10,18 @@ _FLOAT_SIG = ".6g"  # doubles normalized to 6 significant digits
 
 
 def _norm(v) -> str:
+    if isinstance(v, (list, tuple, dict, set, bytes, bytearray)) or (
+        type(v).__module__ == "numpy" and type(v).__name__ == "ndarray"
+    ):
+        # The driver's pandas canonicalization crashes on array/map/struct/
+        # binary cells (round-6 red row: rag_context_assembly). Stringifying
+        # here would hide exactly that hazard, so the local replica must be
+        # STRICTER than the driver: reject outright.
+        raise TypeError(
+            f"non-scalar output cell of type {type(v).__name__!r}: registry "
+            "queries must emit scalar-only final schemas (array_join / "
+            "to_json the column before returning)"
+        )
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -28,6 +40,26 @@ def _norm(v) -> str:
     return str(v)
 
 
+def assert_scalar_schema(spark_df, name: str = "") -> None:
+    """Registry output contract: final schemas are scalar-only. The driver
+    canonicalizes results with pandas ``sort_values``, which raises
+    ``TypeError: unhashable type`` on array/map/struct cells and cannot
+    byte-compare binary against DuckDB — so Array/Map/Struct/Binary columns
+    are banned from every final output (render them with ``F.array_join`` /
+    ``F.to_json`` / hex instead). Plan-only check: no job runs."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType))
+    ]
+    assert not bad, (
+        f"{name or 'query'}: non-scalar output column(s) {bad} — the driver "
+        "canonicalization crashes on these; join/stringify before returning"
+    )
+
+
 def normalized_rows(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = [tuple(_norm(r[i]) for i in order) for r in rows]
@@ -37,11 +69,9 @@ def normalized_rows(columns: list[str], rows: list[tuple]) -> list[tuple[str, ..
 
 def _collect_tuples(spark_df) -> list[tuple]:
     """Collect as Arrow and convert to python-native tuples: row-identical
-    to .collect() for every type the registry emits (ints, floats,
-    strings, dates, timestamps, arrays — struct/binary outputs don't
-    exist in the registry; both paths would already disagree with
-    DuckDB's fetchall rendering for those), but ~10x faster to
-    materialize. The round-5 sf10 gate was compare-bound on 12-15M-row
+    to .collect() for every type the registry emits (scalar-only final
+    schemas by contract — _norm rejects anything else), but ~10x faster
+    to materialize. The round-5 sf10 gate was compare-bound on 12-15M-row
     outputs (py4j row-by-row materialization), not engine-bound."""
     try:
         batches = spark_df._collect_as_arrow()

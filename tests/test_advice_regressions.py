@@ -304,3 +304,55 @@ def test_scaling_curve_validates_only_names(monkeypatch, capsys):
     rc = sc.main()
     assert rc == 2
     assert "nope_q" in capsys.readouterr().out
+
+
+def test_registrable_domain_short_host_parity(spark):
+    # ADVICE r6: web.py's short-host clamp existed only on the Spark side;
+    # the DuckDB mirror _DOMAIN_SQL sliced from a non-positive start for
+    # hosts with <= take labels. Both definitions must agree on every
+    # shape: 1-label, exactly-2-label, bare multi-label suffix, and the
+    # normal >2-label cases.
+    from mongo_iceberg_lakehouse_spark.operators.web import registrable_domain
+    from mongo_iceberg_lakehouse_spark.queries import _DOMAIN_SQL
+
+    hosts = [
+        "localhost",
+        "co.uk",
+        "example.com",
+        "www.example.com",
+        "a.b.example.co.uk",
+        "example.co.uk",
+        "deep.sub.example.com.au",
+        "x.co.jp",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["domain"]
+        for r in df.select(
+            "host", registrable_domain(F.col("host")).alias("domain")
+        ).collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(f"('{h}')" for h in hosts)
+    want = dict(
+        con.execute(
+            f"SELECT host, {_DOMAIN_SQL} AS domain "
+            f"FROM (VALUES {vals}) AS t(host)"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    assert got["localhost"] == "localhost"
+    assert got["co.uk"] == "co.uk"
+
+
+def test_ann_ivf_pretrained_cleans_tmp(spark):
+    # ADVICE r6: the persisted-centroid artifact dir leaked a snapshot
+    # tree into /tmp per invocation — the filesystem the sf100 sweep
+    # already bottlenecks on. The query must remove its own artifacts.
+    import glob
+
+    before = set(glob.glob("/tmp/ann_index_*"))
+    REGISTRY["ann_ivf_pretrained"].fn(spark, "/root/testdata/sf0.001").collect()
+    after = set(glob.glob("/tmp/ann_index_*"))
+    assert after - before == set()

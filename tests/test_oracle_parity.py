@@ -12,7 +12,7 @@ import pytest
 from mongo_iceberg_lakehouse_spark.queries import REGISTRY
 from mongo_iceberg_lakehouse_spark.sources.tables import FIXTURE_TABLES
 
-from .compare import compare_spark_duckdb
+from .compare import assert_scalar_schema, compare_spark_duckdb
 from .conftest import SF_SMOKE
 
 ORACLE_NAMES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
@@ -34,6 +34,7 @@ def duck():
 def test_oracle_match(spark, duck, name):
     q = REGISTRY[name]
     df = q.fn(spark, SF_SMOKE)
+    assert_scalar_schema(df, name)
     ok, msg = compare_spark_duckdb(df, duck, q.oracle)
     assert ok, f"{name}: {msg}"
 
@@ -42,6 +43,7 @@ def test_oracle_match(spark, duck, name):
 def test_rows_only_runs(spark, name):
     q = REGISTRY[name]
     df = q.fn(spark, SF_SMOKE)
+    assert_scalar_schema(df, name)
     n = df.count()
     assert n >= 0
     assert len(df.columns) > 0
