@@ -12483,61 +12483,77 @@ PRIORITY: list[str] = [
     # multimodal, streaming, lakehouse mutation, splits / mixing.
     # (Round 2 cut exactly at entry 50, which under the old ordering was
     # all relational parity and no LLM-pipeline surface at all.)
-    # Round-6 rotation policy (verdict #5): 173/270 registry queries had
-    # never held a driver-graded slot; this rotation brings in TEN
-    # first-time-graded queries from four zero-history families (graph,
-    # lakehouse mutation, statistics, retrieval) plus the three round-6
-    # additions, displacing family-redundant mates (every family keeps
-    # >= 1 representative; the displaced stay oracle-checked locally and
-    # in the sf1 gate).
+    # Round-7 rotation (verdict #5): NINE rotate in — the three repaired
+    # array-output queries (first driver grading after the scalar-schema
+    # fix), dedup_minhash_lsh (the flagship LSH operator had NEVER held a
+    # graded slot), four more zero-history families (graph propagation,
+    # sketches, time-series gapfill, weighted sampling), and
+    # merge_on_read_orders returning to re-certify lakehouse mutation.
+    # Nine family-redundant mates displace to the tail (every family
+    # keeps >= 1 representative; displaced stay locally oracle-checked).
     # reference parity
     "gold_sales_report", "bronze_verify_count", "silver_struct_evolution",
     "window_dedup_latest", "topk_orders", "filter_scan_pushdown",
-    # join shapes (semi + theta rotate to the tail; anti keeps the
-    # existence-join family, asof keeps the ordered-join family)
-    "join_customer_orders", "join_broadcast_region_revenue",
+    # join shapes (equi-join shape stays covered by broadcast + TPC-H;
+    # anti keeps the existence-join family, asof the ordered-join family)
+    "join_broadcast_region_revenue",
     "join_left_anti", "asof_join_purchase_view",
     # aggregation
     "agg_approx",
-    # SQL semantics (correlated subquery rotates out)
+    # SQL semantics
     "sql_grouping_sets",
-    # scalars + reshape + set ops (json-extract rotates out)
-    "explode_word_counts", "union_by_name_drift",
-    # windows + sessions (rank family rotates out)
-    "window_running_sum", "sessionize_events",
-    # TPC-H flagships (q6 rotates out)
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    # dedup (simhash rotates out; the banding family keeps cross_corpus)
-    "dedup_exact_hash", "dedup_url_canonical", "dedup_span_scrub",
+    # scalars + reshape + set ops (+ map surface, repaired round-7)
+    "explode_word_counts", "union_by_name_drift", "map_type_ops",
+    # windows + sessions
+    "sessionize_events",
+    # TPC-H flagship
+    "tpch_q1_pricing_summary",
+    # dedup (exact-hash rotates out — url_canonical keeps the exact
+    # family; the MinHash family gets its FIRST graded slot via the
+    # recall CONTRACT, which runs the LSH operator internally AND
+    # value-checks its recall against exact Jaccard — a full oracle
+    # where the raw pair emitter would only be a rows-only check)
+    "dedup_url_canonical", "dedup_span_scrub",
+    "dedup_minhash_recall_contract",
     "dedup_cross_corpus_jaccard", "embedding_neardup_topk",
-    # similarity / semantic dedup (outlier filter rotates out) + the
-    # round-6 dispatcher and train-once artifact contract
+    # similarity / semantic dedup + the round-6 dispatcher and
+    # train-once artifact contract
     "ann_lsh_recall_contract", "pairs_hard_negatives",
     "semdedup_embedding_prune", "ann_topk_auto", "ann_ivf_pretrained",
-    # text quality + curation (fasttext classifier rotates out) + the
-    # round-6 composed web funnel
+    # text quality + curation + the composed web funnel
     "text_pii_redaction", "quality_gopher_rules",
-    "curation_domain_blocklist", "curation_domain_cap",
+    "curation_domain_blocklist",
     "dsir_importance_weights", "tokenizer_bpe_pair_counts",
     "web_curation_pipeline",
-    # retrieval — FIRST-TIME graded family
-    "text_bm25_topk", "rag_context_assembly",
-    # statistics — FIRST-TIME graded family
-    "stat_ab_welch_ttest", "stat_spearman_by_segment",
-    # graph — FIRST-TIME graded family
-    "pagerank_customer_handoff", "graph_triangle_count",
-    # multimodal (wav rotates out; png + alignment keep both modalities)
-    "multimodal_png_pixels", "multimodal_image_text_alignment",
-    # streaming (tumbling-window counts rotates out; SCD2 + incremental
-    # drift keep the stateful + update-mode shapes)
+    # retrieval (+ inverted index, repaired round-7, first grading)
+    "text_bm25_topk", "rag_context_assembly", "text_inverted_index",
+    # statistics + sketches (spearman rotates out; distinct-sketch
+    # rollup gets its first grading)
+    "stat_ab_welch_ttest", "sketch_rollup_distinct",
+    # graph (triangle count rotates out; label propagation first grading)
+    "pagerank_customer_handoff", "graph_label_propagation",
+    # multimodal (alignment rotates out after two green gradings)
+    "multimodal_png_pixels",
+    # streaming (SCD2 + incremental drift keep the stateful +
+    # update-mode shapes)
     "streaming_scd2_orders", "streaming_embedding_drift_incremental",
-    # lakehouse mutation — FIRST-TIME graded members (merge-on-read
-    # rotates out after its round-4/5 window history)
-    "catalog_time_travel", "wap_audit_publish", "snapshot_diff_orders",
+    # time series — FIRST-TIME graded family
+    "timeseries_gapfill_locf",
+    # lakehouse mutation (snapshot diff rotates out; merge-on-read
+    # returns to re-certify the write path)
+    "catalog_time_travel", "wap_audit_publish", "merge_on_read_orders",
     "incremental_gold_orders",
-    # splits / mixing / packing (train_order_shards rotates out)
-    "pack_sequences_chop",
+    # splits / mixing / packing (+ weighted sampling, first grading;
+    # sequence-example builder repaired round-7, first grading)
+    "pack_sequences_chop", "sample_weighted_docs", "seq_training_examples",
     # --- end of the 50-budget window; remaining families' siblings ---
+    # round-7 rotation: displaced window members (still locally
+    # oracle-checked + sf1-gated)
+    "join_customer_orders", "tpch_q3_shipping_priority",
+    "dedup_exact_hash", "curation_domain_cap",
+    "stat_spearman_by_segment", "graph_triangle_count",
+    "snapshot_diff_orders", "multimodal_image_text_alignment",
+    "window_running_sum",
     # round-6 rotation: displaced window members (still locally
     # oracle-checked + sf1-gated)
     "join_left_semi", "join_theta_pairs", "sql_correlated_subquery",
@@ -12545,7 +12561,7 @@ PRIORITY: list[str] = [
     "tpch_q6_forecast_revenue", "dedup_simhash",
     "embedding_outlier_filter", "quality_fasttext_classifier",
     "multimodal_wav_samples", "streaming_window_counts",
-    "merge_on_read_orders", "train_order_shards",
+    "train_order_shards",
     # round-5 rotation: displaced window members (still locally
     # oracle-checked + sf1-gated)
     "agg_rollup", "pivot_event_values", "dedup_containment_pairs",
