@@ -123,6 +123,14 @@ HEADLINE = [
     # corpus size). Same comparability note as above.
     "web_curation_pipeline",
     "ann_topk_auto",
+    # round-7 additions: the repaired scalar-schema queries (array output
+    # rendered as joined strings — retrieval assembly, inverted index,
+    # sequence-example builder) plus the first-graded iterative graph
+    # operator. Same comparability note as above.
+    "rag_context_assembly",
+    "text_inverted_index",
+    "seq_training_examples",
+    "graph_label_propagation",
 ]
 
 
