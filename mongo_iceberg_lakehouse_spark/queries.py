@@ -8446,6 +8446,81 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_binaryfile_ingest",
+    """
+    WITH d AS (
+      SELECT i AS doc_id,
+             CAST(4 + i % 13 AS INT) AS width,
+             CAST(4 + (i * 7) % 11 AS INT) AS height
+      FROM generate_series(0, 255) AS t(i)
+    ), cells AS (
+      SELECT doc_id, width, height, r, c
+      FROM d,
+           unnest(generate_series(0, height - 1)) AS tr(r),
+           unnest(generate_series(0, width - 1)) AS tc(c)
+    )
+    SELECT doc_id, width, height,
+           CAST(width AS BIGINT) * height AS n_pixels,
+           CAST(sum((doc_id * 31 + r * 7 + c * 3) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id * 31 + r * 7 + c * 3 + 11) % 256) AS BIGINT)
+             AS sum_g,
+           CAST(sum((doc_id * 31 + r * 7 + c * 3 + 22) % 256) AS BIGINT)
+             AS sum_b,
+           TRUE AS is_png
+    FROM cells GROUP BY doc_id, width, height
+    """,
+    doc="Raw-asset lake ingest via Spark's built-in binaryFile source "
+    "(sources/files.py): 256 deterministic PNG files land as loose files "
+    "in a directory, the scan lists them with pathGlobFilter='*.png' (a "
+    "decoy manifest.txt in the same dir is pruned at LISTING time, never "
+    "opened — predicate pushdown for raw assets), the asset id is parsed "
+    "from the file path, and the content bytes go through the REAL "
+    "stdlib PNG decoder. The oracle recomputes every per-channel pixel "
+    "sum arithmetically, so a single corrupted byte anywhere in the "
+    "write-list-read-decode chain mismatches. binaryFile rows are "
+    "split-proof (one blob = one row); at 100 TB parallelism is "
+    "files-per-task and listing fans out over executors.",
+)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.files import ingest_png_assets
+
+    tune(spark)
+    return ingest_png_assets(spark)
+
+
+@register(
+    "source_text_roundtrip",
+    """
+    SELECT doc_id % 10 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents GROUP BY doc_id % 10
+    """,
+    doc="Line-oriented text sink + source round trip (sources/files.py): "
+    "the documents corpus is written with df.write.text as tab-prefixed "
+    "lines (fixture text is newline-free, so the format is lossless), "
+    "read back with spark.read.text, ids split out, and bucket-level "
+    "content statistics compared against the ORIGINAL parquet table — "
+    "any line lost, duplicated, or altered by the sink/source pair "
+    "mismatches the oracle. The text source splits by line across "
+    "maxPartitionBytes ranges, so a 100 TB corpus parallelizes without "
+    "any per-file bookkeeping.",
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.files import read_text_corpus, write_text_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    path = write_text_corpus(d, sf_dir, "doc_id", "text")
+    back = read_text_corpus(spark, path)
+    return back.groupBy((F.col("doc_id") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+    )
+
+
+@register(
     "multimodal_image_ahash_dedup",
     """
     WITH d AS (

@@ -78,3 +78,58 @@ def test_iceberg_runtime_probe(spark):
         )
         is not None
     )
+
+
+def test_binaryfile_glob_prunes_at_listing(spark):
+    # binaryFile + pathGlobFilter: the decoy manifest.txt sits in the same
+    # dir but must never appear — pruned during listing, not post-filtered.
+    from mongo_iceberg_lakehouse_spark.sources.files import (
+        read_binary_files,
+        write_png_assets,
+    )
+
+    path = write_png_assets(8)
+    all_files = read_binary_files(spark, path)
+    pngs = read_binary_files(spark, path, glob="*.png")
+    assert all_files.count() == 9  # 8 assets + 1 decoy
+    assert pngs.count() == 8
+    assert pngs.filter(F.col("path").endswith(".txt")).count() == 0
+    # the source exposes file metadata alongside the blob
+    assert {"path", "modificationTime", "length", "content"} <= set(
+        all_files.columns
+    )
+
+
+def test_binaryfile_ingest_decodes_real_pixels(spark):
+    # Content bytes must survive the write-list-read chain exactly: the
+    # decoded per-channel sums match the pure-function-of-id arithmetic.
+    from mongo_iceberg_lakehouse_spark.sources.files import ingest_png_assets
+
+    out = {r["doc_id"]: r for r in ingest_png_assets(spark, 16).collect()}
+    assert len(out) == 16
+    for i, r in out.items():
+        w, h = 4 + i % 13, 4 + (i * 7) % 11
+        assert (r["width"], r["height"]) == (w, h)
+        want_r = sum(
+            (i * 31 + rr * 7 + cc * 3) % 256
+            for rr in range(h)
+            for cc in range(w)
+        )
+        assert r["sum_r"] == want_r and r["is_png"]
+
+
+def test_text_roundtrip_lossless(spark):
+    # write.text -> read.text must reproduce every (doc_id, text) pair.
+    from mongo_iceberg_lakehouse_spark.sources.files import (
+        read_text_corpus,
+        write_text_corpus,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = write_text_corpus(d, "/root/testdata/sf0.001", "doc_id", "text")
+    back = read_text_corpus(spark, path)
+    assert back.count() == d.count()
+    assert d.exceptAll(back).count() == 0
+    assert back.exceptAll(d).count() == 0
