@@ -9634,6 +9634,126 @@ def rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maintenance_compact_small_files",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS revenue,
+           32 AS files_before, 1 AS files_after,
+           TRUE AS content_identical, 2 AS latest_version
+    FROM orders WHERE o_totalprice > 0
+    """,
+    doc="Small-file compaction (Iceberg rewrite_data_files / Delta "
+    "OPTIMIZE analog, sources/maintenance.py): a snapshot deliberately "
+    "written as 32 small files is rewritten shuffle-FREE (coalesce is a "
+    "narrow dependency) into target-size files and committed as a NEW "
+    "version through the standard write-then-manifest protocol — "
+    "compaction is itself a crash-safe snapshot commit, old versions "
+    "stay readable. The oracle pins the exact file counts (32 -> 1 at "
+    "gate scales), bit-identical content (exceptAll both ways), the "
+    "version lineage, and the row/revenue anchors. At 100 TB this is "
+    "the difference between scan cost = bytes and scan cost = "
+    "files-opened.",
+)
+def maintenance_compact_small_files(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .sources.maintenance import compact_snapshot
+    from .sources.snapshots import read_snapshot, write_snapshot
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).filter(F.col("o_totalprice") > 0)
+    base = tempfile.mkdtemp(prefix="maint_compact_")
+    try:
+        write_snapshot(o.repartition(32), base, "orders_c")
+        stats = compact_snapshot(
+            spark, base, "orders_c", target_bytes=1 << 30
+        )
+        before = read_snapshot(spark, base, "orders_c", stats["src_version"])
+        after = read_snapshot(spark, base, "orders_c", stats["new_version"])
+        identical = (
+            before.exceptAll(after).count() == 0
+            and after.exceptAll(before).count() == 0
+        )
+    finally:
+        # every fact above is computed eagerly; the returned frame reads
+        # only the source table, so the snapshot store can go now
+        shutil.rmtree(base, ignore_errors=True)
+    return o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.lit(stats["files_before"]).cast("int").alias("files_before"),
+        F.lit(stats["files_after"]).cast("int").alias("files_after"),
+        F.lit(identical).alias("content_identical"),
+        F.lit(stats["new_version"]).cast("int").alias("latest_version"),
+    )
+
+
+@register(
+    "maintenance_expire_snapshots",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS revenue,
+           '2,3' AS remaining_versions,
+           TRUE AS expired_unreadable, TRUE AS space_reclaimed
+    FROM orders WHERE o_totalprice > 100
+    """,
+    doc="Snapshot expiry (Iceberg expire_snapshots / Delta VACUUM analog, "
+    "sources/maintenance.py): three committed versions, keep_last=2 — "
+    "the expired version's one-row manifest files are deleted FIRST (a "
+    "racing reader either resolves old-manifest-with-data or nothing, "
+    "never a dangling manifest), its data directory second (space "
+    "reclaim, measured). The oracle pins the surviving version list, "
+    "that time travel to the expired version now raises, that bytes "
+    "were actually reclaimed, and the latest version's row/revenue "
+    "anchors against the source table.",
+)
+def maintenance_expire_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .sources.maintenance import expire_snapshots
+    from .sources.snapshots import read_snapshot, write_snapshot
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).filter(F.col("o_totalprice") > 0)
+    hi = o.filter(F.col("o_totalprice") > 100)
+    base = tempfile.mkdtemp(prefix="maint_expire_")
+    try:
+        write_snapshot(o, base, "orders_e")          # v1
+        write_snapshot(o, base, "orders_e")          # v2
+        write_snapshot(hi, base, "orders_e")         # v3 (latest)
+        out = expire_snapshots(spark, base, "orders_e", keep_last=2)
+        try:
+            read_snapshot(spark, base, "orders_e", 1).count()
+            expired_unreadable = False
+        except ValueError:
+            expired_unreadable = True
+        remaining = ",".join(str(v) for v in out["remaining"])
+        reclaimed = out["bytes_reclaimed"] > 0
+        latest = read_snapshot(spark, base, "orders_e")
+        facts = latest.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return o.limit(1).select(
+        F.lit(int(facts["n_rows"])).cast("bigint").alias("n_rows"),
+        F.lit(float(facts["revenue"])).alias("revenue"),
+        F.lit(remaining).alias("remaining_versions"),
+        F.lit(expired_unreadable).alias("expired_unreadable"),
+        F.lit(reclaimed).alias("space_reclaimed"),
+    )
+
+
+@register(
     "wap_audit_publish",
     """
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
