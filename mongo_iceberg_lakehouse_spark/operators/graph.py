@@ -214,6 +214,81 @@ def label_propagation(
     return labels.select("node", F.col("label").alias("community"))
 
 
+def connected_components(
+    edges: DataFrame,
+    *,
+    max_iter: int = 30,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Connected components over the undirected graph: every node ends up
+    labelled with the SMALLEST node id in its component. Returns
+    ``(node, component)`` for every node that appears in the edge list.
+
+    This is the consolidation step of every dedup pipeline — pair
+    emitters (MinHash bands, exact-fingerprint chains, containment) give
+    EDGES; keeping one canonical document per duplicate GROUP needs the
+    transitive closure of those edges.
+
+    Algorithm: hash-to-min with pointer jumping. Each round every node's
+    label becomes ``min(own label, label of its label, min over
+    neighbors' labels)``; the pointer-jump term (label of label) halves
+    chain depth per round, so convergence is O(log diameter) rounds —
+    a million-long chain closes in ~20 rounds where pure neighbor
+    propagation (hash-min alone) would need a million. Per round: two
+    equi-joins + one map-side-combinable min agg; labels only ever
+    DECREASE, so the per-round label sum is a strictly-monotone
+    convergence metric — the loop early-stops the round it stalls (one
+    1-row collect per round, the bounded-aggregate idiom).
+    ``localCheckpoint`` every round truncates the self-referential plan
+    exactly as in :func:`pagerank` / :func:`label_propagation`.
+    """
+    und = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    sym.count()
+    p = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("mn"))
+        .select("node", F.least("node", "mn").alias("component"))
+    )
+    prev_sum: int | None = None
+    for _ in range(max_iter):
+        jump = (
+            p.alias("a")
+            .join(p.alias("b"), F.col("a.component") == F.col("b.node"))
+            .select(F.col("a.node").alias("node"), F.col("b.component").alias("cand"))
+        )
+        via_nbr = (
+            sym.alias("e")
+            .join(p.alias("q"), F.col("e.dst") == F.col("q.node"))
+            .select(F.col("e.src").alias("node"), F.col("q.component").alias("cand"))
+        )
+        p = (
+            p.select("node", F.col("component").alias("cand"))
+            .unionByName(jump)
+            .unionByName(via_nbr)
+            .groupBy("node")
+            .agg(F.min("cand").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        s = p.agg(F.sum("component")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    sym.unpersist()
+    return p
+
+
 def bfs_levels(
     edges: DataFrame,
     seeds: DataFrame,

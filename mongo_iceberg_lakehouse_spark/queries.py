@@ -5842,6 +5842,51 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_connected_components_dupes",
+    """
+    SELECT CAST(min(doc_id) AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents
+    GROUP BY md5(array_to_string((string_split(text, ' '))[1:8], ' '))
+    HAVING count(*) > 1
+    """,
+    doc="Duplicate-group consolidation via connected components — the "
+    "step between a pair emitter and survivor selection: docs sharing an "
+    "8-word prefix fingerprint (boilerplate-header clustering; full-text "
+    "md5 finds zero dups in this corpus) are strung into CHAINS (each "
+    "doc linked only to its predecessor inside its group, so the "
+    "transitive closure is non-trivial), and "
+    "operators/graph.py::connected_components (hash-to-min + pointer "
+    "jumping, O(log diameter) rounds, monotone label-sum early stop) "
+    "must recover every full group: component = min doc id, exact "
+    "member count and id sum per group. The oracle computes the "
+    "ground-truth groups directly from the fingerprint, so any under- "
+    "or over-merging by the iterative closure mismatches exactly.",
+)
+def graph_connected_components_dupes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
+    w = Window.partitionBy(fp).orderBy("doc_id")
+    edges = (
+        d.select(
+            F.lag("doc_id").over(w).alias("src"),
+            F.col("doc_id").alias("dst"),
+        )
+        .where(F.col("src").isNotNull())
+    )
+    cc = connected_components(edges)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("node").cast("bigint").alias("sum_ids"),
+    )
+
+
+@register(
     "drift_psi_order_price",
     """
     WITH b AS (

@@ -140,3 +140,52 @@ def test_bfs_seed_not_in_graph_is_dist_zero(spark):
     seeds = spark.createDataFrame([(99,), (1,)], "node long")
     got = {r["node"]: r["dist"] for r in bfs_levels(e, seeds, max_hops=3).collect()}
     assert got == {99: 0, 1: 0, 2: 1}
+
+
+def test_connected_components_chain_and_islands(spark):
+    # one 6-node chain (0-1-2-3-4-5), one triangle (10,11,12), one pair
+    from mongo_iceberg_lakehouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (12, 10),
+         (20, 21)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert {got[n] for n in (0, 1, 2, 3, 4, 5)} == {0}
+    assert {got[n] for n in (10, 11, 12)} == {10}
+    assert {got[n] for n in (20, 21)} == {20}
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    # a 200-node chain: pure hash-min needs ~200 rounds; pointer jumping
+    # must close it inside the 30-round cap
+    from mongo_iceberg_lakehouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    got = connected_components(edges, max_iter=30)
+    comps = got.select("component").distinct().collect()
+    assert [r["component"] for r in comps] == [0]
+    assert got.count() == 201
+
+
+def test_connected_components_direction_invariant(spark):
+    from mongo_iceberg_lakehouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    fwd = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rev = spark.createDataFrame([(3, 2), (2, 1)], "src long, dst long")
+    a = {(r["node"], r["component"]) for r in connected_components(fwd).collect()}
+    b = {(r["node"], r["component"]) for r in connected_components(rev).collect()}
+    assert a == b == {(1, 1), (2, 1), (3, 1)}
