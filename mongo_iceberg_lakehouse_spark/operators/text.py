@@ -657,8 +657,18 @@ def bigram_lift_topk(
         .join(uni.select(F.col("w").alias("__w2"), F.col("c").alias("c_b")), "__w2")
         .crossJoin(F.broadcast(n_total))
         .withColumn(
+            # DECIMAL(38,0) intermediates: the numerator reaches ~5.6e23 at
+            # the sf100 decade (1e6 x c_ab x N with stopword-scale counts),
+            # overflowing int64 — the round-7 sf100 sweep caught it live.
+            # Decimal multiply is exact below 38 digits and `div` on
+            # decimals returns the exact BIGINT quotient, so every value
+            # at every prior gate scale is bit-identical to the int64 form
+            # (oracle mirrors with HUGEINT).
             "lift_micros",
-            F.expr("(1000000 * c_ab * n_total) div (c_a * c_b)"),
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * c_ab * n_total)"
+                " div (CAST(c_a AS DECIMAL(38,0)) * c_b)"
+            ),
         )
     )
     return (

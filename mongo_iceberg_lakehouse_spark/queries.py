@@ -10448,7 +10448,8 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING count(*) >= 5
     )
     SELECT bigram, c_ab, a.c AS c_a, b.c AS c_b,
-           CAST((1000000 * c_ab * n_total) // (a.c * b.c) AS BIGINT)
+           CAST((CAST(1000000 AS HUGEINT) * c_ab * n_total)
+                // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT)
              AS lift_micros
     FROM bg, n, uni a, uni b
     WHERE a.w = string_split(bigram, ' ')[1]
