@@ -10458,16 +10458,20 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     doc="Collocation extraction: top-20 bigrams by lift = P(ab)/(P(a)P(b)) "
-    "with support >= 5, ranked in EXACT BIGINT micro-units ((1e6*c_ab*N) "
-    "div (c_a*c_b)) — ln is monotone so lift order IS PMI order and no "
-    "float/log enters the compare. Doc-local bigram explode -> map-side-"
-    "combinable counts; vocab-sized count tables join on word keys; "
-    "orderBy().limit() fuses to TakeOrderedAndProject. "
-    "operators/text.py::bigram_lift_topk.",
+    "with support >= 5, ranked in EXACT micro-units computed in "
+    "DECIMAL(38,0)/HUGEINT (the int64 numerator overflowed at sf100) — "
+    "ln is monotone so lift order IS PMI order and no float/log enters "
+    "the compare. Round-7 plan: HASH-KEYED count shuffle (8 B xxhash64 "
+    "keys, never gram strings — the string-keyed form went 36.8x/decade "
+    "at sf100 on ~45 GB of mostly-unique gram strings), min_count "
+    "survivors broadcast back to recover strings and to restrict the "
+    "unigram count table to their component words. "
+    "operators/text.py::bigram_lift_topk_hashed (string-keyed original "
+    "kept as the A/B baseline).",
 )
 def text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return T.bigram_lift_topk(d, "doc_id", "text", min_count=5, k=20)
+    return T.bigram_lift_topk_hashed(d, "doc_id", "text", min_count=5, k=20)
 
 
 @register(

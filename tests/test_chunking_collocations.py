@@ -194,3 +194,17 @@ def test_partition_pruning_reaches_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "event_type" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_bigram_lift_hashed_matches_string_path(spark):
+    # Round-7: the hash-keyed-shuffle form must be row-identical to the
+    # string-keyed original (same top-k, counts, and exact lift values).
+    from mongo_iceberg_lakehouse_spark.operators.text import (
+        bigram_lift_topk,
+        bigram_lift_topk_hashed,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = bigram_lift_topk(d, "doc_id", "text", min_count=5, k=20).collect()
+    b = bigram_lift_topk_hashed(d, "doc_id", "text", min_count=5, k=20).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
