@@ -84,7 +84,14 @@ def run_gate(
     )
     own_spark = spark is None
     if own_spark:
-        spark = get_spark(app_name="sf1-gate")
+        spark = get_spark(
+            app_name="sf1-gate",
+            # the gate COLLECTS full query outputs to hash-compare; at
+            # sf100 a 5M-row rebuilt-text output serializes to multiple
+            # GB, over the 1g maxResultSize default (round-7: span_scrub
+            # false-FAILed the gate on the harness limit, not the engine)
+            extra_confs={"spark.driver.maxResultSize": "16g"},
+        )
     spark.sparkContext.setLogLevel("ERROR")
 
     # DuckDB's out-of-core phase fragments into >64k mmaps on the biggest
