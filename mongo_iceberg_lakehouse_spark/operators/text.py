@@ -618,8 +618,11 @@ def bigram_lift_topk_hashed(
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
+    # NOT checkpointed: materializing the tokenized corpus would write
+    # ~corpus-size token arrays to block storage (tens of GB at sf100 on
+    # one box); re-scanning parquet + re-splitting per pass is a few
+    # seconds of CPU per decade and keeps the operator disk-footprint-free
     toks = df.select(tokens(F.col(text_col)).alias("__ws"))
-    toks = toks.localCheckpoint(eager=False)  # tokenize once, scan thrice
 
     bg_h = toks.select(
         F.explode_outer(
