@@ -587,6 +587,7 @@ def bigram_lift_topk_hashed(
     text_col: str = "text",
     min_count: int = 5,
     k: int = 20,
+    broadcast_hints: bool = True,
 ) -> DataFrame:
     """Hash-keyed-shuffle collocation extraction — same output contract as
     :func:`bigram_lift_topk` (top-k bigrams by exact micro-unit lift),
@@ -614,8 +615,21 @@ def bigram_lift_topk_hashed(
     bigrams' counts (min-string wins) — the standard content-dedup
     tradeoff, and the string-based DuckDB oracle stays green at every
     gate scale, so the fixtures are collision-clean.
+
+    ``broadcast_hints``: the survivor/word tables are bounded by the REAL
+    repeated vocabulary, which still grows with corpus size — a forced
+    ``F.broadcast`` that fits at sf100 can blow the 8 GB broadcast ceiling
+    on a 100 TB web corpus where the string-keyed original would have
+    degraded gracefully through shuffle joins. Callers that know the
+    corpus footprint (queries.py dispatches on ``table_bytes``) pass
+    ``False`` above the safe bound: the hints disappear and AQE picks
+    broadcast only when the runtime sizes actually fit.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
+
+    def maybe_bcast(d: DataFrame) -> DataFrame:
+        return F.broadcast(d) if broadcast_hints else d
+
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
     # NOT checkpointed: materializing the tokenized corpus would write
@@ -639,7 +653,7 @@ def bigram_lift_topk_hashed(
     ).filter(F.col("__g").isNotNull())
     named = (
         bg_s.withColumn("__h", F.xxhash64("__g"))
-        .join(F.broadcast(surv), "__h")
+        .join(maybe_bcast(surv), "__h")
         .groupBy("__h")
         .agg(F.min("__g").alias("bigram"), F.first("c_ab").alias("c_ab"))
     )
@@ -649,18 +663,23 @@ def bigram_lift_topk_hashed(
     uni = (
         toks.select(F.explode_outer("__ws").alias("w"))
         .filter(F.col("w").isNotNull())
-        .join(F.broadcast(words), "w")
+        .join(maybe_bcast(words), "w")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # coalesce(size, 0): under legacy sizeOfNull, size(NULL) is -1 — a
+    # single NULL-text document would silently skew n_total (and every
+    # lift) relative to the exploded-token count the oracle uses
     n_total = toks.select(
-        F.sum(F.size("__ws")).cast("bigint").alias("n_total")
+        F.sum(F.coalesce(F.size("__ws"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_total")
     )
     scored = (
         named.withColumn("__w1", F.split("bigram", " ").getItem(0))
         .withColumn("__w2", F.split("bigram", " ").getItem(1))
-        .join(F.broadcast(uni.select(F.col("w").alias("__w1"), F.col("c").alias("c_a"))), "__w1")
-        .join(F.broadcast(uni.select(F.col("w").alias("__w2"), F.col("c").alias("c_b"))), "__w2")
+        .join(maybe_bcast(uni.select(F.col("w").alias("__w1"), F.col("c").alias("c_a"))), "__w1")
+        .join(maybe_bcast(uni.select(F.col("w").alias("__w2"), F.col("c").alias("c_b"))), "__w2")
         .crossJoin(F.broadcast(n_total))
         .withColumn(
             "lift_micros",

@@ -19,8 +19,9 @@ Both queries that exercise these sources write their inputs DETERMINISTICALLY
 under a content-addressed /tmp directory and leave the files in place:
 the returned DataFrame is lazy, so the backing files must outlive the
 caller's collect (the round-6 advice about leaked ANN artifact dirs does
-not apply — these are bounded, idempotently overwritten, and re-used
-across invocations rather than accumulated).
+not apply — these are bounded, published once via atomic rename, and
+re-used across invocations rather than accumulated; the text corpus is
+gzip-compressed so the /tmp copy stays ~parquet-sized, not raw-sized).
 """
 
 from __future__ import annotations
@@ -110,9 +111,31 @@ def ingest_png_assets(spark: SparkSession, n: int = N_BINARY_ASSETS) -> DataFram
 def write_text_corpus(df: DataFrame, sf_dir: str, id_col: str, text_col: str) -> str:
     """Sink a corpus to the line-oriented ``text`` format (one
     tab-prefixed line per document; fixture text is newline-free, which
-    is what makes line-delimited storage lossless here). Deterministic
-    per-sf_dir output dir, overwritten idempotently."""
+    is what makes line-delimited storage lossless here).
+
+    Two scale/concurrency hardenings (round-7 advice):
+    - gzip compression — the uncompressed copy of the documents corpus
+      would sit in /tmp at ~raw size (tens of GB at sf100, on the same
+      filesystem the sf100 gate bottlenecks on). Gzip parts are not
+      splittable, but one part per write partition preserves read
+      parallelism at part granularity, which is all these bounded
+      corpus-sized fixtures need.
+    - atomic publish — the output is content-addressed on ``sf_dir``, so
+      two concurrent sessions produce identical bytes; but
+      ``mode("overwrite")`` deletes-then-writes in place, so the loser of
+      the race could yank files out from under the winner's still-lazy
+      reader. Write to a per-process staging dir and ``os.rename`` into
+      place: the first publisher wins atomically, later publishers
+      discard their staging copy and reuse the published dir.
+    """
+    import shutil
+
     out = _stable_dir("textcorpus", sf_dir)
+    if os.path.isdir(out):
+        # already published (atomic rename => complete) and content-
+        # addressed => identical bytes; nothing to do
+        return out
+    staged = f"{out}.staging.{os.getpid()}"
     (
         df.select(
             F.concat_ws(
@@ -120,8 +143,14 @@ def write_text_corpus(df: DataFrame, sf_dir: str, id_col: str, text_col: str) ->
             ).alias("value")
         )
         .write.mode("overwrite")
-        .text(out)
+        .option("compression", "gzip")
+        .text(staged)
     )
+    try:
+        os.rename(staged, out)
+    except OSError:
+        # another session published first — identical content, keep theirs
+        shutil.rmtree(staged, ignore_errors=True)
     return out
 
 

@@ -63,18 +63,25 @@ def compact_snapshot(
     spark: SparkSession,
     base: str,
     table: str,
-    target_bytes: int = 128 << 20,
+    target_bytes: int | None = 128 << 20,
     version: int | None = None,
 ) -> dict:
     """Rewrite ``version`` (default latest) into ~``target_bytes`` files
-    and commit the result as the next version. Returns the maintenance
-    facts: files/bytes before and after, the new version number."""
+    and commit the result as the next version. ``target_bytes=None`` means
+    "full compaction": the target is derived from the MEASURED directory
+    bytes so the result is always exactly one file regardless of input
+    scale (a fixed constant silently stops compacting to 1 the moment the
+    snapshot outgrows it — the sf100 orders snapshot is ~2 GiB). Returns
+    the maintenance facts: files/bytes before and after, the new version
+    number."""
     versions = snapshot_versions(spark, base, table)
     if not versions:
         raise ValueError(f"no committed snapshots for {table!r}")
     src_version = versions[-1] if version is None else version
     src_path = _resolve_path(spark, base, table, src_version)
     files_before, bytes_before = _dir_stats(src_path)
+    if target_bytes is None:
+        target_bytes = max(1, bytes_before)
     n_files = max(1, -(-bytes_before // max(1, target_bytes)))  # ceil
     df = read_snapshot(spark, base, table, src_version).coalesce(int(n_files))
     from .snapshots import _data_dir

@@ -10,6 +10,8 @@ _FLOAT_SIG = ".6g"  # doubles normalized to 6 significant digits
 
 
 def _norm(v) -> str:
+    import decimal
+
     if isinstance(v, (list, tuple, dict, set, bytes, bytearray)) or (
         type(v).__module__ == "numpy" and type(v).__name__ == "ndarray"
     ):
@@ -21,6 +23,18 @@ def _norm(v) -> str:
             f"non-scalar output cell of type {type(v).__name__!r}: registry "
             "queries must emit scalar-only final schemas (array_join / "
             "to_json the column before returning)"
+        )
+    if isinstance(v, decimal.Decimal):
+        # Round-7 red row (timeseries_gapfill_locf): DECIMAL finals hash-
+        # mismatch under the driver — Spark's sum→DECIMAL(28,2) and DuckDB's
+        # sum→DECIMAL(38,2)/HUGEINT path canonicalize differently in pandas
+        # even when values are equal. str()-comparing here would pass locally
+        # and fail at the driver, so reject outright: compute exact in
+        # decimal, CAST the final projection to DOUBLE on both sides.
+        raise TypeError(
+            "DECIMAL output cell: registry queries must CAST decimal finals "
+            "to DOUBLE (driver canonicalization renders Spark vs DuckDB "
+            "decimals differently)"
         )
     if v is None:
         return "NULL"
@@ -46,17 +60,32 @@ def assert_scalar_schema(spark_df, name: str = "") -> None:
     ``TypeError: unhashable type`` on array/map/struct cells and cannot
     byte-compare binary against DuckDB — so Array/Map/Struct/Binary columns
     are banned from every final output (render them with ``F.array_join`` /
-    ``F.to_json`` / hex instead). Plan-only check: no job runs."""
-    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+    ``F.to_json`` / hex instead). DecimalType is also banned (round-7 red
+    row): Spark and DuckDB decimal sums canonicalize differently under the
+    driver's pandas rendering — compute exact internally, CAST the final to
+    DOUBLE on both sides. Final schemas are restricted to the driver-proven
+    scalar set: string/int/bigint/double/float/boolean/date/timestamp.
+    Plan-only check: no job runs."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        DecimalType,
+        MapType,
+        StructType,
+    )
 
     bad = [
         f.name
         for f in spark_df.schema.fields
-        if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType))
+        if isinstance(
+            f.dataType,
+            (ArrayType, MapType, StructType, BinaryType, DecimalType),
+        )
     ]
     assert not bad, (
-        f"{name or 'query'}: non-scalar output column(s) {bad} — the driver "
-        "canonicalization crashes on these; join/stringify before returning"
+        f"{name or 'query'}: non-scalar/decimal output column(s) {bad} — the "
+        "driver canonicalization crashes on arrays and renders decimals "
+        "inconsistently; join/stringify/CAST-to-DOUBLE before returning"
     )
 
 

@@ -21,6 +21,7 @@
 from __future__ import annotations
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from mongo_iceberg_lakehouse_spark.operators.dedup import (
@@ -356,3 +357,31 @@ def test_ann_ivf_pretrained_cleans_tmp(spark):
     REGISTRY["ann_ivf_pretrained"].fn(spark, "/root/testdata/sf0.001").collect()
     after = set(glob.glob("/tmp/ann_index_*"))
     assert after - before == set()
+
+
+@pytest.mark.parametrize(
+    "qname,prefix",
+    [
+        ("hypertable_rollup_tail", "rollup_"),
+        ("layout_partition_pruning", "part_prune_"),
+        ("layout_zorder_pruning", "layout_q_"),
+        ("wap_audit_publish", "wap_"),
+        ("join_bucketed_colocated", "bucketed_"),
+        ("catalog_time_travel", "snapshots_"),
+    ],
+)
+def test_snapshotting_queries_clean_tmp(spark, qname, prefix):
+    # r7 verdict #2: the ann_ivf fix landed but the same mkdtemp-without-
+    # cleanup pattern lived on at these sites — repeated bench/gate runs
+    # leaked one snapshot dir per invocation into the /tmp the sf100
+    # gate exhausts. Each query must collect/checkpoint eagerly and
+    # remove its own store before returning.
+    import glob
+
+    before = set(glob.glob(f"/tmp/{prefix}*"))
+    df = REGISTRY[qname].fn(spark, "/root/testdata/sf0.001")
+    after = set(glob.glob(f"/tmp/{prefix}*"))
+    assert after - before == set()
+    # the returned frame must still be collectable AFTER its backing
+    # store is gone (eager materialization is part of the contract)
+    assert df.count() >= 0
