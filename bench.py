@@ -134,6 +134,23 @@ HEADLINE = [
 ]
 
 
+def _drop_checkpoint_blocks(spark) -> None:
+    """Unpersist every lingering RDD block between queries (ported from
+    scripts/scaling_curve.py, round-8 per VERDICT r7 #4). Several operators
+    lazily localCheckpoint multi-consumer subtrees; over a 45-query session
+    those blocks pile up in the block manager and the resulting memory
+    pressure inflates LATER queries' timings — the round-7 bench showed
+    three UNTOUCHED queries regressing 1.5-1.9x normalized, the same
+    in-session contamination the round-5 sf10 sweep measured at 82 s
+    in-session vs 18 s standalone. Queries never share checkpointed frames,
+    so dropping them between measurements is safe and makes each timing
+    independent."""
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+    for rdd in jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -147,6 +164,7 @@ def main() -> None:
         REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save()
+    _drop_checkpoint_blocks(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -157,6 +175,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
+        _drop_checkpoint_blocks(spark)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
