@@ -12831,14 +12831,17 @@ PRIORITY: list[str] = [
     # multimodal, streaming, lakehouse mutation, splits / mixing.
     # (Round 2 cut exactly at entry 50, which under the old ordering was
     # all relational parity and no LLM-pipeline surface at all.)
-    # Round-7 rotation (verdict #5): NINE rotate in — the three repaired
-    # array-output queries (first driver grading after the scalar-schema
-    # fix), dedup_minhash_lsh (the flagship LSH operator had NEVER held a
-    # graded slot), four more zero-history families (graph propagation,
-    # sketches, time-series gapfill, weighted sampling), and
-    # merge_on_read_orders returning to re-certify lakehouse mutation.
-    # Nine family-redundant mates displace to the tail (every family
-    # keeps >= 1 representative; displaced stay locally oracle-checked).
+    # Round-8 rotation (verdict r7 #5): TEN rotate in, ALL first-time-
+    # graded zero-history families — connected components (the round-7
+    # operator), hypertable rollup + TWAP (time-series), PSI + KS drift
+    # (statistics), skyline dominance, GDPR erasure propagation, UDTF
+    # surface, table maintenance (compaction), and binaryFile raw-asset
+    # ingest (which runs the PNG decode end-to-end, keeping multimodal
+    # covered as multimodal_png_pixels displaces). timeseries_gapfill_locf
+    # STAYS for its re-grade after the DECIMAL->DOUBLE fix (the round-7
+    # red row). Ten family-redundant multi-green mates displace to the
+    # tail (every family keeps >= 1 representative; displaced stay
+    # locally oracle-checked + sf1-gated).
     # reference parity
     "gold_sales_report", "bronze_verify_count", "silver_struct_evolution",
     "window_dedup_latest", "topk_orders", "filter_scan_pushdown",
@@ -12846,10 +12849,11 @@ PRIORITY: list[str] = [
     # anti keeps the existence-join family, asof the ordered-join family)
     "join_broadcast_region_revenue",
     "join_left_anti", "asof_join_purchase_view",
-    # aggregation
-    "agg_approx",
-    # SQL semantics
+    # SQL semantics (agg_approx displaces after 5 greens; approx-distinct
+    # stays graded via sketch_rollup_distinct)
     "sql_grouping_sets",
+    # analytics: skyline dominance — first grading
+    "skyline_parts",
     # scalars + reshape + set ops (+ map surface, repaired round-7)
     "explode_word_counts", "union_by_name_drift", "map_type_ops",
     # windows + sessions
@@ -12863,38 +12867,53 @@ PRIORITY: list[str] = [
     # where the raw pair emitter would only be a rows-only check)
     "dedup_url_canonical", "dedup_span_scrub",
     "dedup_minhash_recall_contract",
-    "dedup_cross_corpus_jaccard", "embedding_neardup_topk",
     # similarity / semantic dedup + the round-6 dispatcher and
-    # train-once artifact contract
+    # train-once artifact contract (cross_corpus + neardup_topk displace
+    # after 4 greens each)
     "ann_lsh_recall_contract", "pairs_hard_negatives",
     "semdedup_embedding_prune", "ann_topk_auto", "ann_ivf_pretrained",
-    # text quality + curation + the composed web funnel
-    "text_pii_redaction", "quality_gopher_rules",
+    # text quality + curation + the composed web funnel (gopher + dsir
+    # displace after 5 greens; sampling stays via sample_weighted_docs)
+    "text_pii_redaction",
     "curation_domain_blocklist",
-    "dsir_importance_weights", "tokenizer_bpe_pair_counts",
+    "tokenizer_bpe_pair_counts",
     "web_curation_pipeline",
-    # retrieval (+ inverted index, repaired round-7, first grading)
+    # retrieval
     "text_bm25_topk", "rag_context_assembly", "text_inverted_index",
-    # statistics + sketches (spearman rotates out; distinct-sketch
-    # rollup gets its first grading)
-    "stat_ab_welch_ttest", "sketch_rollup_distinct",
-    # graph (triangle count rotates out; label propagation first grading)
-    "pagerank_customer_handoff", "graph_label_propagation",
-    # multimodal (alignment rotates out after two green gradings)
-    "multimodal_png_pixels",
-    # streaming (SCD2 + incremental drift keep the stateful +
-    # update-mode shapes)
-    "streaming_scd2_orders", "streaming_embedding_drift_incremental",
-    # time series — FIRST-TIME graded family
-    "timeseries_gapfill_locf",
-    # lakehouse mutation (snapshot diff rotates out; merge-on-read
-    # returns to re-certify the write path)
+    # statistics: PSI + KS drift — first gradings (welch displaces)
+    "drift_psi_order_price", "drift_ks_order_price",
+    # sketches
+    "sketch_rollup_distinct",
+    # graph (pagerank displaces after 2 greens; connected components —
+    # the round-7 operator — first grading)
+    "graph_label_propagation", "graph_connected_components_dupes",
+    # multimodal via raw-asset ingest: binaryFile listing-pruned scan +
+    # the REAL stdlib PNG decode — first grading (png_pixels displaces)
+    "source_binaryfile_ingest",
+    # streaming (scd2 displaces after 5 greens; update-mode stays)
+    "streaming_embedding_drift_incremental",
+    # time series: gapfill STAYS for the post-fix re-grade; rollup+tail
+    # rewrite and TWAP — first gradings
+    "timeseries_gapfill_locf", "hypertable_rollup_tail",
+    "timeseries_twap_user",
+    # lakehouse mutation + maintenance (compaction — first grading)
     "catalog_time_travel", "wap_audit_publish", "merge_on_read_orders",
-    "incremental_gold_orders",
-    # splits / mixing / packing (+ weighted sampling, first grading;
-    # sequence-example builder repaired round-7, first grading)
-    "pack_sequences_chop", "sample_weighted_docs", "seq_training_examples",
+    "incremental_gold_orders", "maintenance_compact_small_files",
+    # governance — first grading
+    "governance_erasure_propagation",
+    # UDTF surface — first grading
+    "udtf_sentence_split",
+    # splits / mixing / packing (pack_sequences_chop displaces after 4
+    # greens; the family keeps both newer reps)
+    "sample_weighted_docs", "seq_training_examples",
     # --- end of the 50-budget window; remaining families' siblings ---
+    # round-8 rotation: displaced window members (still locally
+    # oracle-checked + sf1-gated)
+    "agg_approx", "dedup_cross_corpus_jaccard", "embedding_neardup_topk",
+    "quality_gopher_rules", "dsir_importance_weights",
+    "stat_ab_welch_ttest", "pagerank_customer_handoff",
+    "multimodal_png_pixels", "streaming_scd2_orders",
+    "pack_sequences_chop",
     # round-7 rotation: displaced window members (still locally
     # oracle-checked + sf1-gated)
     "join_customer_orders", "tpch_q3_shipping_priority",
@@ -12943,7 +12962,7 @@ PRIORITY: list[str] = [
     "cohort_ltv_curve", "bitmap_week_overlap", "timeseries_decay_score",
     "seasonal_baseline_bands", "concurrency_by_hour",
     "text_unigram_cross_entropy", "embedding_covariance_matrix",
-    "governance_erasure_propagation",
+    # (governance_erasure_propagation moved INTO the round-8 window)
     "dedup_survivors_quality",
 ]
 
