@@ -8605,6 +8605,69 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_jdbc_gold_report",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="The reference's gold-report JDBC sink (S7, spark_jobs/"
+    "gold_reporting.py:125-135 writes the final aggregate to Postgres in "
+    "overwrite mode) executed over a REAL wire path in this image: the "
+    "per-status order report is written through spark.write.jdbc into an "
+    "embedded Derby database — the JDBC driver stock Spark ships for the "
+    "Hive metastore — and read back through spark.read.jdbc, so dialect "
+    "resolution, DDL type mapping, batched inserts, and overwrite mode "
+    "all actually execute (against Postgres only the url/driver strings "
+    "change). The returned frame is the READ-BACK, so any value the sink "
+    "altered mismatches the oracle. Report-sized output: a single-"
+    "connection sink is correct here; corpus-sized JDBC writes would "
+    "instead batch per partition (numPartitions on the writer). The "
+    "Derby db is shut down and removed before return (tmp-leak "
+    "contract); jar-less images fall back to returning the aggregate "
+    "directly.",
+)
+def sink_jdbc_gold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .sources.connectors import (
+        DERBY_EMBEDDED_DRIVER,
+        derby_embedded_available,
+        derby_shutdown,
+        read_jdbc,
+        write_jdbc,
+    )
+
+    report = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    if not derby_embedded_available(spark):  # pragma: no cover
+        return report
+    base = tempfile.mkdtemp(prefix="jdbc_sink_")
+    db = f"{base}/gold"
+    try:
+        url = f"jdbc:derby:{db};create=true"
+        write_jdbc(report, url, "gold_report", driver=DERBY_EMBEDDED_DRIVER)
+        back = read_jdbc(
+            spark, url, "gold_report", driver=DERBY_EMBEDDED_DRIVER
+        )
+        return back.localCheckpoint(eager=True)
+    finally:
+        derby_shutdown(spark, db)
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
     "multimodal_image_ahash_dedup",
     """
     WITH d AS (
@@ -12878,8 +12941,11 @@ PRIORITY: list[str] = [
     "curation_domain_blocklist",
     "tokenizer_bpe_pair_counts",
     "web_curation_pipeline",
-    # retrieval
-    "text_bm25_topk", "rag_context_assembly", "text_inverted_index",
+    # retrieval (bm25 displaces after 3 greens; two reps stay)
+    "rag_context_assembly", "text_inverted_index",
+    # JDBC sink e2e over embedded Derby (reference S7's real wire path,
+    # new this round) — first grading
+    "sink_jdbc_gold_report",
     # statistics: PSI + KS drift — first gradings (welch displaces)
     "drift_psi_order_price", "drift_ks_order_price",
     # sketches
@@ -12913,7 +12979,7 @@ PRIORITY: list[str] = [
     "quality_gopher_rules", "dsir_importance_weights",
     "stat_ab_welch_ttest", "pagerank_customer_handoff",
     "multimodal_png_pixels", "streaming_scd2_orders",
-    "pack_sequences_chop",
+    "pack_sequences_chop", "text_bm25_topk",
     # round-7 rotation: displaced window members (still locally
     # oracle-checked + sf1-gated)
     "join_customer_orders", "tpch_q3_shipping_priority",

@@ -138,8 +138,8 @@ def write_jdbc(
     df: DataFrame,
     url: str,
     table: str,
-    user: str,
-    password: str,
+    user: str = "",
+    password: str = "",
     driver: str = "org.postgresql.Driver",
     mode: str = "overwrite",
 ) -> None:
@@ -157,3 +157,66 @@ def write_jdbc(
         ),
         "jdbc",
     )
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    user: str = "",
+    password: str = "",
+    driver: str = "org.postgresql.Driver",
+) -> DataFrame:
+    """JDBC table scan — the read side of the S7 sink, same option
+    surface. At cluster scale add partitionColumn/lowerBound/upperBound/
+    numPartitions so the scan fans out instead of funneling through one
+    connection; the report-sized tables this engine round-trips don't
+    need it."""
+    return _gate(
+        lambda: (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("user", user)
+            .option("password", password)
+            .option("driver", driver)
+            .load()
+        ),
+        "jdbc",
+    )
+
+
+# Derby ships INSIDE the stock Spark distribution (the Hive metastore's
+# embedded database), so its in-process JDBC driver is the one wire path
+# that needs no external endpoint or extra jar: `jdbc:derby:<dir>;create=
+# true` boots a real database in the executor JVM. The engine uses it to
+# prove the S7 JDBC sink/scan code path (dialect resolution, DDL type
+# mapping, batched inserts, overwrite semantics) end-to-end in THIS image;
+# against Postgres only the url/driver strings change.
+DERBY_EMBEDDED_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_embedded_available(spark: SparkSession) -> bool:
+    """True iff Derby's embedded JDBC driver is on the classpath (it is,
+    in every stock Spark distribution). Also redirects derby.log away from
+    the process CWD (a boot-time system property, effective because this
+    probe runs before the first connection boots the engine)."""
+    try:
+        spark.sparkContext._jvm.java.lang.System.setProperty(
+            "derby.stream.error.file", "/tmp/derby_engine.log"
+        )
+    except Exception:
+        pass
+    return jvm_class_available(spark, DERBY_EMBEDDED_DRIVER)
+
+
+def derby_shutdown(spark: SparkSession, db_path: str) -> None:
+    """Cleanly shut an embedded Derby database down before its directory
+    is removed (Derby signals a successful shutdown by RAISING SQLState
+    08006, so the exception here is the success path)."""
+    try:
+        spark.sparkContext._jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{db_path};shutdown=true"
+        )
+    except Exception:
+        pass

@@ -100,6 +100,11 @@ def main() -> int:
         ]
         for ln in verdicts:
             emit(f"{ln}  [jvm {wall:.0f}s]")
+        if proc.returncode == 0 and not verdicts:
+            # rows-only queries (no oracle) are not sf1-eligible inside
+            # run_gate — make the non-check visible instead of silent
+            emit(f"NOOP {name}: no oracle (rows-only family)  "
+                 f"[jvm {wall:.0f}s]")
         if proc.returncode != 0:
             fails += 1
             if not any(v.startswith("FAIL") for v in verdicts):

@@ -97,6 +97,35 @@ def test_jdbc_overwrite_roundtrip(spark):
     assert back.count() == 3
 
 
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """The one JDBC path that needs NO external endpoint: Derby's embedded
+    driver ships inside stock Spark (the Hive-metastore database), so the
+    REAL S7 wire path — dialect resolution, DDL type mapping, batched
+    inserts, overwrite semantics — executes end-to-end in this image."""
+    if not C.derby_embedded_available(spark):
+        pytest.skip("derby embedded driver not on classpath")
+    url = f"jdbc:derby:{tmp_path}/derby_e2e;create=true"
+    df = _roundtrip_frame(spark)
+    C.write_jdbc(df, url, "roundtrip", driver=C.DERBY_EMBEDDED_DRIVER)
+    back = C.read_jdbc(spark, url, "roundtrip", driver=C.DERBY_EMBEDDED_DRIVER)
+    assert sorted((r["id"], r["tag"], r["amount"]) for r in back.collect()) == [
+        (1, "a", 10.5),
+        (2, "b", 20.25),
+        (3, "c", 30.0),
+    ]
+    # overwrite semantics (the reference's gold sink mode): a second
+    # overwrite REPLACES, never appends
+    C.write_jdbc(
+        df.withColumn("amount", F.col("amount") * 2),
+        url,
+        "roundtrip",
+        driver=C.DERBY_EMBEDDED_DRIVER,
+    )
+    again = C.read_jdbc(spark, url, "roundtrip", driver=C.DERBY_EMBEDDED_DRIVER)
+    assert again.count() == 3
+    assert again.agg(F.sum("amount")).collect()[0][0] == 121.5
+
+
 def test_kafka_stream_source_constructs(spark):
     if not C.kafka_connector_available(spark):
         pytest.skip("spark-sql-kafka jar not on classpath")
