@@ -233,3 +233,59 @@ def test_hard_negatives_broadcast_and_partial_topk(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_erasure_propagation_broadcasts_victims(spark):
+    # GDPR cascade: the bounded victim set must ride to every fact scan as
+    # a broadcast (anti/semi joins) — a shuffled existence join would
+    # re-partition the 100 TB orders fact to delete 1/16 of customers.
+    # The BroadcastNestedLoopJoin is the final 1-row scalar assembly, not
+    # a data-sized product.
+    plan = _plan(spark, "governance_erasure_propagation", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_twap_single_user_shuffle(spark):
+    # Time-weighted average price: ONE hash exchange on user_id feeds both
+    # the ordered interval window and the final per-user aggregate — the
+    # agg must reuse the window's partitioning, never re-shuffle.
+    plan = _plan(spark, "timeseries_twap_user", mode="simple")
+    import re
+
+    user_exchanges = len(re.findall(r"hashpartitioning\(user_id", plan))
+    assert user_exchanges == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_drift_windows_only_on_bounded_aggregate(spark):
+    # PSI/KS: the raw orders table must collapse through ONE map-side-
+    # combinable aggregation to <=1000 bin rows; every Window/global sort
+    # runs after that collapse. A Window keyed on the raw table would be
+    # the single-partition scale-killer.
+    for name in ("drift_psi_order_price", "drift_ks_order_price"):
+        plan = _plan(spark, name, mode="formatted")
+        # partial+final pair over the big scan
+        assert plan.count("HashAggregate") >= 2, name
+        # the Window operators sit above the aggregate (the formatted
+        # plan lists children after parents: the first Window index must
+        # come after the first HashAggregate index in tree order)
+        assert "Window" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_rollup_tail_unions_sealed_and_raw(spark):
+    # rollup + hot tail: the sealed side reads the materialized (bounded)
+    # rollup, the raw side re-aggregates ONLY the tail scan — both sides
+    # partial-aggregate before the union's final agg.
+    plan = _plan(spark, "hypertable_rollup_tail", mode="simple")
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sentence_split_udtf_is_narrow(spark):
+    # UDTF surface: the generator must run as a narrow per-partition op —
+    # no exchange between the documents scan and the UDTF eval.
+    plan = _plan(spark, "udtf_sentence_split", mode="simple")
+    assert "CartesianProduct" not in plan
