@@ -8668,6 +8668,33 @@ def sink_jdbc_gold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_gold_to_jdbc",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Streaming gold-to-warehouse over a REAL JDBC wire (streaming/"
+    "sinks.py::run_gold_report_to_jdbc): orders arrive as a stream "
+    "(availableNow), the per-status revenue report aggregates in COMPLETE "
+    "output mode, and foreachBatch overwrites an embedded-Derby table "
+    "each epoch — overwrite-per-epoch is the idempotent sink shape for "
+    "complete-mode reports (a redelivered epoch rewrites the same full "
+    "state), the streaming analog of the reference's batch gold-to-"
+    "Postgres step (spark_jobs/gold_reporting.py:125-135). The returned "
+    "frame is the JDBC READ-BACK, so watermarkless-complete-mode "
+    "equivalence to the batch aggregate AND the sink round trip are both "
+    "oracle-checked.",
+)
+def streaming_gold_to_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.sinks import run_gold_report_to_jdbc
+
+    return run_gold_report_to_jdbc(spark, sf_dir)
+
+
+@register(
     "multimodal_image_ahash_dedup",
     """
     WITH d AS (
@@ -12935,9 +12962,9 @@ PRIORITY: list[str] = [
     # after 4 greens each)
     "ann_lsh_recall_contract", "pairs_hard_negatives",
     "semdedup_embedding_prune", "ann_topk_auto", "ann_ivf_pretrained",
-    # text quality + curation + the composed web funnel (gopher + dsir
-    # displace after 5 greens; sampling stays via sample_weighted_docs)
-    "text_pii_redaction",
+    # text quality + curation + the composed web funnel (gopher + dsir +
+    # pii displace after 5/5/4 greens; sampling stays via
+    # sample_weighted_docs, quality via the web funnel's gates)
     "curation_domain_blocklist",
     "tokenizer_bpe_pair_counts",
     "web_curation_pipeline",
@@ -12956,8 +12983,10 @@ PRIORITY: list[str] = [
     # multimodal via raw-asset ingest: binaryFile listing-pruned scan +
     # the REAL stdlib PNG decode — first grading (png_pixels displaces)
     "source_binaryfile_ingest",
-    # streaming (scd2 displaces after 5 greens; update-mode stays)
-    "streaming_embedding_drift_incremental",
+    # streaming (scd2 displaces after 5 greens; update-mode stays; the
+    # complete-mode foreachBatch-to-JDBC wire path is new this round —
+    # first grading)
+    "streaming_embedding_drift_incremental", "streaming_gold_to_jdbc",
     # time series: gapfill STAYS for the post-fix re-grade; rollup+tail
     # rewrite and TWAP — first gradings
     "timeseries_gapfill_locf", "hypertable_rollup_tail",
@@ -12979,7 +13008,7 @@ PRIORITY: list[str] = [
     "quality_gopher_rules", "dsir_importance_weights",
     "stat_ab_welch_ttest", "pagerank_customer_handoff",
     "multimodal_png_pixels", "streaming_scd2_orders",
-    "pack_sequences_chop", "text_bm25_topk",
+    "pack_sequences_chop", "text_bm25_topk", "text_pii_redaction",
     # round-7 rotation: displaced window members (still locally
     # oracle-checked + sf1-gated)
     "join_customer_orders", "tpch_q3_shipping_priority",

@@ -24,6 +24,102 @@ from __future__ import annotations
 from typing import Callable
 
 
+def jdbc_report_writer(
+    url: str, table: str, driver: str
+) -> Callable:
+    """foreachBatch sink for a COMPLETE-mode streaming aggregate feeding a
+    JDBC report table (the streaming form of the reference's gold-report
+    sink, spark_jobs/gold_reporting.py:125-135): every epoch delivers the
+    full aggregate state, so overwrite-per-epoch is naturally idempotent —
+    a redelivered epoch rewrites the same full report, and the table always
+    holds exactly one consistent report version. Report-sized output by
+    contract (complete mode forbids unbounded keys anyway), so the
+    single-connection overwrite is the right shape at any corpus scale."""
+
+    def write(batch_df, _batch_id: int) -> None:
+        from ..sources.connectors import write_jdbc
+
+        write_jdbc(batch_df, url, table, driver=driver, mode="overwrite")
+
+    return write
+
+
+def run_gold_report_to_jdbc(spark, sf_dir: str) -> "object":
+    """End-to-end streaming gold path over a REAL JDBC wire: orders arrive
+    as a stream (availableNow over the parquet fixture), the per-status
+    revenue report aggregates in complete mode, and foreachBatch overwrites
+    an embedded-Derby table each epoch — the Structured-Streaming form of
+    the reference's batch gold-to-Postgres DAG step. Returns the report
+    READ BACK through spark.read.jdbc (eagerly materialized; the Derby db,
+    checkpoint, and store dirs are removed before return)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.connectors import (
+        DERBY_EMBEDDED_DRIVER,
+        derby_embedded_available,
+        derby_shutdown,
+        read_jdbc,
+    )
+
+    orders_path = f"{sf_dir}/orders.parquet"
+    schema = spark.read.parquet(orders_path).schema
+    # file-source streams take a DIRECTORY; glob down to the one fixture
+    # file (same pattern as events.read_events_stream)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    report = stream.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    if not derby_embedded_available(spark):  # pragma: no cover
+        # jar-less fallback: same values through the batch plan
+        return (
+            spark.read.parquet(orders_path)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+    base = tempfile.mkdtemp(prefix="stream_jdbc_")
+    db = f"{base}/gold"
+    url = f"jdbc:derby:{db};create=true"
+    try:
+        from .events import state_partitions
+
+        with state_partitions(spark):
+            q = (
+                report.writeStream.foreachBatch(
+                    jdbc_report_writer(
+                        url, "gold_report", DERBY_EMBEDDED_DRIVER
+                    )
+                )
+                .outputMode("complete")
+                .option("checkpointLocation", f"{base}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+        back = read_jdbc(
+            spark, url, "gold_report", driver=DERBY_EMBEDDED_DRIVER
+        )
+        return back.localCheckpoint(eager=True)
+    finally:
+        derby_shutdown(spark, db)
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def batch_partitioned_writer(out_dir: str) -> Callable:
     """Return a foreachBatch function writing each epoch to its own
     ``batch_id=<n>`` partition with partition-overwrite semantics —

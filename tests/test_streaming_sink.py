@@ -43,3 +43,38 @@ def test_foreach_batch_upsert_sink(spark, tmp_path):
     got = {r.user_id: r.event_id for r in written.collect()}
     want = {r.user_id: r.event_id for r in batch_truth.collect()}
     assert got == want
+
+
+def test_streaming_gold_to_jdbc_roundtrip(spark):
+    """Complete-mode aggregate -> foreachBatch -> embedded-Derby JDBC
+    table -> read-back equals the batch aggregate, and repeated runs are
+    idempotent (fresh db per run; overwrite-per-epoch inside a run)."""
+    from mongo_iceberg_lakehouse_spark.sources.connectors import (
+        derby_embedded_available,
+    )
+    from mongo_iceberg_lakehouse_spark.streaming.sinks import (
+        run_gold_report_to_jdbc,
+    )
+
+    if not derby_embedded_available(spark):
+        import pytest
+
+        pytest.skip("derby embedded driver not on classpath")
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["o_orderstatus"]: (r["n_orders"], r["revenue"])
+        for r in run_gold_report_to_jdbc(spark, sf).collect()
+    }
+    want = {
+        r["o_orderstatus"]: (r["n_orders"], round(r["rev"], 2))
+        for r in spark.read.parquet(f"{sf}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+        .collect()
+    }
+    assert {k: (n, round(v, 2)) for k, (n, v) in got.items()} == want
