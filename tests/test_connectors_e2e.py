@@ -126,6 +126,37 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     assert again.agg(F.sum("amount")).collect()[0][0] == 121.5
 
 
+def test_jdbc_partitioned_parallel_read(spark, tmp_path):
+    """The 100 TB-posture JDBC SCAN: partitionColumn/bounds/numPartitions
+    fan the read out over N concurrent connections (one WHERE-range per
+    task) instead of funneling the table through one connection. Proven
+    against embedded Derby: the partitioned read yields the requested
+    task count AND the same rows as the single-connection read."""
+    if not C.derby_embedded_available(spark):
+        pytest.skip("derby embedded driver not on classpath")
+    url = f"jdbc:derby:{tmp_path}/derby_par;create=true"
+    df = spark.range(0, 1000).selectExpr(
+        "CAST(id AS INT) AS id", "CAST(id % 7 AS DOUBLE) AS v"
+    )
+    C.write_jdbc(df, url, "wide", driver=C.DERBY_EMBEDDED_DRIVER)
+    par = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "wide")
+        .option("driver", C.DERBY_EMBEDDED_DRIVER)
+        .option("partitionColumn", "id")
+        .option("lowerBound", "0")
+        .option("upperBound", "1000")
+        .option("numPartitions", "4")
+        .load()
+    )
+    assert par.rdd.getNumPartitions() == 4
+    single = C.read_jdbc(spark, url, "wide", driver=C.DERBY_EMBEDDED_DRIVER)
+    assert par.count() == 1000
+    assert par.exceptAll(single).count() == 0
+    assert single.exceptAll(par).count() == 0
+
+
 def test_kafka_stream_source_constructs(spark):
     if not C.kafka_connector_available(spark):
         pytest.skip("spark-sql-kafka jar not on classpath")
