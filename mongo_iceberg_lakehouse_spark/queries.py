@@ -10291,22 +10291,28 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .catalog import save_table_bucketed
 
+    import os
+
     base = tempfile.mkdtemp(prefix="bucketed_")
+    # catalog names unique per invocation: the warehouse dir is shared by
+    # every session running from this repo, so a FIXED table name races a
+    # concurrent gate/bench/test session's copy of this same query (the
+    # same overwrite race the round-7 advice flagged on the text corpus)
+    tag = os.path.basename(base).removeprefix("bucketed_")
+    t_o, t_li = f"bucketed_demo_orders_{tag}", f"bucketed_demo_lineitem_{tag}"
     try:
         o = _t(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"
         )
         li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
         save_table_bucketed(
-            o, "bucketed_demo_orders", ["o_orderkey"], 8,
-            path=f"{base}/orders",
+            o, t_o, ["o_orderkey"], 8, path=f"{base}/orders"
         )
         save_table_bucketed(
-            li, "bucketed_demo_lineitem", ["l_orderkey"], 8,
-            path=f"{base}/lineitem",
+            li, t_li, ["l_orderkey"], 8, path=f"{base}/lineitem"
         )
-        ob = spark.table("bucketed_demo_orders")
-        lb = spark.table("bucketed_demo_lineitem")
+        ob = spark.table(t_o)
+        lb = spark.table(t_li)
         # the shuffle-free bucketed join RUNS here (eager localCheckpoint
         # of the 5-row aggregate — the no-Exchange plan shape is pinned in
         # tests/test_bucketed_join.py on the operator itself), so the
@@ -10323,6 +10329,11 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         import shutil
 
+        for t in (t_o, t_li):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
         shutil.rmtree(base, ignore_errors=True)
 
 
