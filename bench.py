@@ -131,6 +131,14 @@ HEADLINE = [
     "text_inverted_index",
     "seq_training_examples",
     "graph_label_propagation",
+    # round-8 additions: the first-graded compute queries of this round's
+    # window rotation (iterative components, rollup+tail rewrite, TWAP,
+    # binned drift, skyline dominance). Same comparability note as above.
+    "graph_connected_components_dupes",
+    "hypertable_rollup_tail",
+    "timeseries_twap_user",
+    "drift_psi_order_price",
+    "skyline_parts",
 ]
 
 
