@@ -11943,9 +11943,33 @@ def pack_sequences_chop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (engine-on-subset), stated in its note.
 # ---------------------------------------------------------------------------
 
-def _anchor_vec(col: str) -> Column:
-    # 1/16 of vec ids; matches "substr(md5(CAST(vec_id AS VARCHAR)),1,1)='0'"
-    return F.substring(F.md5(F.col(col).cast("string")), 1, 1) == "0"
+def _vec_anchor_threshold(sf_dir: str) -> int:
+    """Scale-ADAPTIVE anchor budget for the vector probes: the md5-hex4
+    value (uniform in [0, 65536)) is kept below T(n) = clamp(65536*2048/n,
+    1, 2048), so the expected anchor count is min(n/32, ~2048) — constant
+    oracle cost per decade instead of the fixed 1/16 fraction whose
+    anchors-x-all ground truth outgrew DuckDB one decade after it was
+    sized (r8: 125k anchors x 2M vectors at sf100 hit the gate watchdog;
+    measured 225 s at sf10's ~4096 anchors x 200k vectors, so 2048 keeps
+    the sf100 anchors-x-2M oracle near ~20 min, inside the watchdog with
+    2x headroom). 2048 anchors is a regression tripwire, not a census: a
+    broken block map or similarity kernel perturbs hundreds of anchored
+    rows, never just one."""
+    from .sources.tables import table_rowcount
+
+    n = max(1, table_rowcount(sf_dir, "embeddings"))
+    return max(1, min(2048, (65536 * 2048) // n))
+
+
+def _anchor_vec(col: str, sf_dir: str) -> Column:
+    # mirrors _SQL_ANCHOR_VEC exactly (same md5-hex4 ordering)
+    t = _vec_anchor_threshold(sf_dir)
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        < F.lit(t)
+    )
 
 
 def _anchor_doc(col: str) -> Column:
@@ -11955,7 +11979,11 @@ def _anchor_doc(col: str) -> Column:
     return F.substring(F.md5(F.col(col).cast("string")), 1, 2) == "00"
 
 
-_SQL_ANCHOR_VEC = "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'"
+_SQL_ANCHOR_VEC = (
+    "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT) "
+    "< greatest(1, least(2048, CAST(65536.0 * 2048 "
+    "/ (SELECT count(*) FROM embeddings) AS BIGINT)))"
+)
 _SQL_ANCHOR_DOC = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) = '00'"
 
 _SHINGLE_OVERLAP_CTE = f"""
@@ -11977,17 +12005,21 @@ _SHINGLE_OVERLAP_CTE = f"""
 
 def _probe_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = REGISTRY["embedding_neardup_pairs"].fn(spark, sf_dir)
-    return out.filter(_anchor_vec("id_a") | _anchor_vec("id_b"))
+    return out.filter(
+        _anchor_vec("id_a", sf_dir) | _anchor_vec("id_b", sf_dir)
+    )
 
 
 def _probe_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = REGISTRY["embedding_neardup_blocked"].fn(spark, sf_dir)
-    return out.filter(_anchor_vec("id_a") | _anchor_vec("id_b"))
+    return out.filter(
+        _anchor_vec("id_a", sf_dir) | _anchor_vec("id_b", sf_dir)
+    )
 
 
 def _probe_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = REGISTRY["embedding_neardup_topk"].fn(spark, sf_dir)
-    return out.filter(_anchor_vec("doc_id"))
+    return out.filter(_anchor_vec("doc_id", sf_dir))
 
 
 def _probe_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
