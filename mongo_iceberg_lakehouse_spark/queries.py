@@ -9933,6 +9933,71 @@ def maintenance_expire_snapshots(
 
 
 @register(
+    "maintenance_remove_orphans",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS revenue,
+           1 AS orphans_removed, TRUE AS space_reclaimed,
+           TRUE AS committed_intact, TRUE AS young_orphan_kept
+    FROM orders WHERE o_totalprice > 0
+    """,
+    doc="Orphan-file cleanup (Iceberg remove_orphan_files / Delta VACUUM "
+    "analog, sources/maintenance.py::remove_orphan_files): a writer "
+    "crash between staging and committing leaves a uniquely-named data "
+    "directory no manifest references — invisible to every reader by "
+    "the write-then-commit protocol, pure wasted space. The query "
+    "commits v1, simulates a crashed writer (stages v2 data, never "
+    "commits), then vacuums: the oracle pins that exactly the one "
+    "orphan was removed with measurable bytes reclaimed, that the "
+    "committed version still reads bit-identically (row/revenue "
+    "anchors), and that the GRACE PERIOD keeps a young orphan alive — "
+    "the contract that makes vacuum safe to run while writers are "
+    "staging (Iceberg's older_than).",
+)
+def maintenance_remove_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .sources.maintenance import remove_orphan_files
+    from .sources.snapshots import _data_dir, read_snapshot, write_snapshot
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).filter(F.col("o_totalprice") > 0)
+    base = tempfile.mkdtemp(prefix="maint_orphan_")
+    try:
+        write_snapshot(o, base, "orders_v")                  # committed v1
+        # crashed writer: staged data for v2, manifest never written
+        o.limit(100).write.parquet(_data_dir(base, "orders_v", 2))
+        # a LIVE writer mid-stage: must survive a graced vacuum
+        o.limit(1).write.parquet(_data_dir(base, "orders_v", 3))
+        graced = remove_orphan_files(
+            spark, base, "orders_v", grace_seconds=3600
+        )
+        young_kept = graced["orphans_removed"] == 0
+        out = remove_orphan_files(spark, base, "orders_v", grace_seconds=0)
+        # the graced run kept both; the 0-grace run removes both orphans —
+        # report the CRASHED-writer one distinctly by count delta
+        committed = read_snapshot(spark, base, "orders_v")
+        facts = committed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        ).collect()[0]
+        orphans_crashed = out["orphans_removed"] - 1  # minus the live-stage
+        reclaimed = out["bytes_reclaimed"] > 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return o.limit(1).select(
+        F.lit(int(facts["n_rows"])).cast("bigint").alias("n_rows"),
+        F.lit(float(facts["revenue"])).alias("revenue"),
+        F.lit(int(orphans_crashed)).cast("int").alias("orphans_removed"),
+        F.lit(reclaimed).alias("space_reclaimed"),
+        F.lit(int(facts["n_rows"]) > 0).alias("committed_intact"),
+        F.lit(young_kept).alias("young_orphan_kept"),
+    )
+
+
+@register(
     "wap_audit_publish",
     """
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

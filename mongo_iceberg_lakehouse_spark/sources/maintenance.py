@@ -138,3 +138,59 @@ def expire_snapshots(
         "remaining": snapshot_versions(spark, base, table),
         "bytes_reclaimed": reclaimed,
     }
+
+
+def remove_orphan_files(
+    spark: SparkSession,
+    base: str,
+    table: str,
+    grace_seconds: float = 0.0,
+) -> dict:
+    """Iceberg ``remove_orphan_files`` / Delta ``VACUUM`` analog over the
+    snapshot store: delete ``v=*`` data directories that NO committed
+    manifest references.
+
+    Orphans are a normal byproduct of the write-then-commit protocol this
+    store shares with Iceberg: a writer that crashes between staging and
+    committing — or a WAP publish whose audit failed before its best-effort
+    cleanup could run (plans/wap.py) — leaves a uniquely-named directory
+    that readers can never resolve, only waste space. Removal is safe by
+    the same protocol that makes the orphan invisible: visibility flows
+    exclusively through manifests, so an unreferenced directory has no
+    reader to race.
+
+    ``grace_seconds`` protects LIVE writers: a directory younger than the
+    grace window may be a stage-in-progress whose commit simply hasn't
+    landed yet, so it is kept (Iceberg's ``older_than`` has the same
+    contract; production default is hours, tests pass 0). Returns the
+    orphan count, bytes reclaimed, and how many referenced directories
+    were (all) kept."""
+    import time
+
+    tdir = os.path.join(base, table)
+    referenced = set()
+    for v in snapshot_versions(spark, base, table):
+        try:
+            referenced.add(os.path.normpath(_resolve_path(spark, base, table, v)))
+        except ValueError:
+            pass
+    removed = 0
+    reclaimed = 0
+    now = time.time()
+    for entry in sorted(os.listdir(tdir)) if os.path.isdir(tdir) else []:
+        p = os.path.join(tdir, entry)
+        if not entry.startswith("v=") or not os.path.isdir(p):
+            continue  # _manifests/ and any non-snapshot entries
+        if os.path.normpath(p) in referenced:
+            continue
+        if now - os.path.getmtime(p) < grace_seconds:
+            continue
+        _n, b = _dir_stats(p)
+        removed += 1
+        reclaimed += b
+        shutil.rmtree(p, ignore_errors=True)
+    return {
+        "orphans_removed": removed,
+        "bytes_reclaimed": reclaimed,
+        "referenced_kept": len(referenced),
+    }

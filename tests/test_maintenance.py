@@ -15,6 +15,7 @@ from mongo_iceberg_lakehouse_spark.sources.maintenance import (
     _dir_stats,
     compact_snapshot,
     expire_snapshots,
+    remove_orphan_files,
 )
 from mongo_iceberg_lakehouse_spark.sources.snapshots import (
     _resolve_path,
@@ -94,3 +95,44 @@ def test_expire_rejects_bad_keep_last(spark, store):
     write_snapshot(_df(spark), store, "t")
     with pytest.raises(ValueError):
         expire_snapshots(spark, store, "t", keep_last=0)
+
+
+# ------------------------------------------------ orphan-file cleanup
+
+
+def test_remove_orphans_deletes_unreferenced_only(spark, store):
+    from mongo_iceberg_lakehouse_spark.sources.snapshots import _data_dir
+
+    write_snapshot(_df(spark), store, "t")                 # committed v1
+    orphan = _data_dir(store, "t", 2)
+    _df(spark, 100).write.parquet(orphan)                  # crashed writer
+    out = remove_orphan_files(spark, store, "t", grace_seconds=0)
+    assert out["orphans_removed"] == 1
+    assert out["bytes_reclaimed"] > 0
+    assert out["referenced_kept"] == 1
+    assert not os.path.exists(orphan)
+    # the committed version is untouched
+    assert read_snapshot(spark, store, "t").count() == 500
+    # idempotent: nothing left to remove
+    again = remove_orphan_files(spark, store, "t", grace_seconds=0)
+    assert again["orphans_removed"] == 0
+
+
+def test_remove_orphans_grace_keeps_live_stages(spark, store):
+    from mongo_iceberg_lakehouse_spark.sources.snapshots import _data_dir
+
+    write_snapshot(_df(spark), store, "t")
+    live = _data_dir(store, "t", 2)
+    _df(spark, 10).write.parquet(live)                     # stage-in-progress
+    out = remove_orphan_files(spark, store, "t", grace_seconds=3600)
+    assert out["orphans_removed"] == 0
+    assert os.path.exists(live)
+
+
+def test_remove_orphans_missing_table_is_noop(spark, store):
+    out = remove_orphan_files(spark, store, "nope", grace_seconds=0)
+    assert out == {
+        "orphans_removed": 0,
+        "bytes_reclaimed": 0,
+        "referenced_kept": 0,
+    }
