@@ -85,6 +85,12 @@ def main() -> int:
                 name,
                 "--timeout",
                 timeout,
+                # collect the engine side, STOP the JVM (shuffle dirs are
+                # deleted synchronously by its shutdown hook), then run
+                # the DuckDB oracle with the whole disk — a single sf100
+                # query's shuffle + the oracle's spill otherwise share
+                # the disk simultaneously (round-8 within-query ENOSPC)
+                "--fresh-oracle-disk",
             ],
             cwd=REPO,
             capture_output=True,

@@ -64,7 +64,11 @@ def sf1_eligible(name: str, present: list[str]) -> bool:
 
 
 def run_gate(
-    sf_dir: str, timeout: int = 300, spark=None, only=None
+    sf_dir: str,
+    timeout: int = 300,
+    spark=None,
+    only=None,
+    stop_spark_before_oracle: bool = False,
 ) -> tuple[int, int, int]:
     """Run the gate; returns (fails, skips, total). Importable so the
     pytest -m scale wrapper (tests/test_scale_gates.py) shares this exact
@@ -139,6 +143,11 @@ def run_gate(
             )
         return c
 
+    if stop_spark_before_oracle and len(names) > 1:
+        raise SystemExit(
+            "--fresh-oracle-disk runs one query per process (the JVM is "
+            "stopped after the engine collect); pass a single --only name"
+        )
     fails = skips = 0
     for name in names:
         q = SCALE_PROBES.get(name, REGISTRY[name])
@@ -149,13 +158,30 @@ def run_gate(
         def watchdog():
             timed_out[0] = True
             con.interrupt()
-            spark.sparkContext.cancelAllJobs()
+            try:
+                spark.sparkContext.cancelAllJobs()
+            except Exception:
+                pass  # context already stopped (fresh-oracle-disk phase 2)
 
         timer = threading.Timer(timeout, watchdog)
         timer.start()
         t0 = time.time()
         try:
-            ok, msg = compare_spark_duckdb(df, con, q.oracle)
+            if stop_spark_before_oracle:
+                # sf100 within-query disk bind: a single query's shuffle
+                # blocks (tens of GB) and the DuckDB oracle's out-of-core
+                # spill otherwise share the disk SIMULTANEOUSLY. Collect
+                # the engine side, STOP the JVM (its shutdown hook deletes
+                # blockmgr/shuffle dirs synchronously), then run the
+                # oracle with the whole disk.
+                from tests.compare import _collect_tuples, compare_rows_duckdb
+
+                scols = list(df.columns)
+                srows = _collect_tuples(df)
+                spark.stop()
+                ok, msg = compare_rows_duckdb(scols, srows, con, q.oracle)
+            else:
+                ok, msg = compare_spark_duckdb(df, con, q.oracle)
         except Exception as exc:  # noqa: BLE001
             if timed_out[0]:
                 skips += 1
@@ -200,8 +226,13 @@ def main() -> int:
 
         only = list(CURVE)
         args.remove("--curve")
+    fresh_disk = "--fresh-oracle-disk" in args
+    if fresh_disk:
+        args.remove("--fresh-oracle-disk")
     sf_dir = args[0] if args else "/root/repo/.scale/sf1"
-    fails, _skips, _total = run_gate(sf_dir, timeout, only=only)
+    fails, _skips, _total = run_gate(
+        sf_dir, timeout, only=only, stop_spark_before_oracle=fresh_disk
+    )
     return 1 if fails else 0
 
 

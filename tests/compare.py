@@ -115,9 +115,15 @@ def _collect_tuples(spark_df) -> list[tuple]:
         return [tuple(r) for r in spark_df.collect()]
 
 
-def compare_spark_duckdb(spark_df, duck_con, oracle_sql: str) -> tuple[bool, str]:
-    srows = _collect_tuples(spark_df)
-    scols = spark_df.columns
+def compare_rows_duckdb(
+    scols: list[str], srows: list[tuple], duck_con, oracle_sql: str
+) -> tuple[bool, str]:
+    """Oracle half of the compare, over ALREADY-COLLECTED engine rows.
+    Split out so gate runners can stop the Spark JVM between the engine
+    collect and the DuckDB oracle: at sf100 a single query's shuffle
+    blocks (tens of GB) otherwise sit on the same disk the oracle's
+    out-of-core spill needs — the round-8 within-query ENOSPC, one layer
+    under round 7's cross-query accumulation."""
     cur = duck_con.execute(oracle_sql)
     dcols = [d[0] for d in cur.description]
     drows = cur.fetchall()
@@ -131,3 +137,9 @@ def compare_spark_duckdb(spark_df, duck_con, oracle_sql: str) -> tuple[bool, str
         diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:5]
         return False, f"value mismatch, first diffs: {diffs}"
     return True, "ok"
+
+
+def compare_spark_duckdb(spark_df, duck_con, oracle_sql: str) -> tuple[bool, str]:
+    return compare_rows_duckdb(
+        spark_df.columns, _collect_tuples(spark_df), duck_con, oracle_sql
+    )
