@@ -121,20 +121,26 @@ def run_gate(
     except (OSError, ValueError):
         pass
 
-    def fresh_con():
+    def fresh_con(big: bool = False):
         # Fresh connection per query: sf10 showed a big oracle can OOM
         # DuckDB and leave the shared connection's allocator poisoned for
         # every later (tiny) query. Spill-to-disk + an explicit budget
         # make large verification oracles out-of-core instead of fatal.
         c = duckdb.connect()
         c.execute("SET temp_directory='/tmp/duckdb_gate_spill'")
-        # 16GB + 8 threads, NOT bigger: DuckDB's list/LATERAL
+        # 16GB + 8 threads by default, NOT bigger: DuckDB's list/LATERAL
         # intermediates are partly untracked, and per-thread buffers
         # multiply them — at sf10 the span-scrub oracle malloc-failed the
         # whole box under 48GB x 32 threads but finishes in 36 s under
         # this budget (the limit forces early spilling, which the
-        # untracked share then rides within).
-        c.execute("SET memory_limit='16GB'")
+        # untracked share then rides within). In --fresh-oracle-disk mode
+        # the Spark JVM is STOPPED before the oracle runs, so ~120 GB of
+        # RAM is free and the budget rises to 64GB (still 8 threads — the
+        # r5 malloc failure was the 32-thread multiplier, not the limit):
+        # the sf100 bpe-pair oracle spilled past 56 GB of DISK under the
+        # 16GB budget (round-8), and a larger in-memory share is the only
+        # lever left once the disk is already exclusively the oracle's.
+        c.execute(f"SET memory_limit='{'64GB' if big else '16GB'}'")
         c.execute("SET threads=8")
         for t in present:
             c.execute(
@@ -179,6 +185,12 @@ def run_gate(
                 scols = list(df.columns)
                 srows = _collect_tuples(df)
                 spark.stop()
+                # the JVM (and its ~24 GB heap) is gone: rebuild the
+                # oracle connection with the big-RAM budget so it spills
+                # less (the watchdog closure reads `con` at call time, so
+                # rebinding keeps the interrupt pointed at the live one)
+                con.close()
+                con = fresh_con(big=True)
                 ok, msg = compare_rows_duckdb(scols, srows, con, q.oracle)
             else:
                 ok, msg = compare_spark_duckdb(df, con, q.oracle)
