@@ -12374,6 +12374,31 @@ SCALE_PROBES: dict[str, Q] = {
 }
 
 
+def _probe_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = REGISTRY["quality_repetition_signals"].fn(spark, sf_dir)
+    return out.filter(_anchor_doc("doc_id"))
+
+
+# Per-doc-INDEPENDENT query, so the anchor slice is EXACT semantics (each
+# doc's repetition signals depend only on that doc): the probe oracle is
+# the registered SQL with the 1/256 doc anchor pushed into its first CTE
+# (programmatic rewrite so the two can never drift), cutting the oracle's
+# bigram+trigram explosion by 256x — the full oracle spilled past the
+# whole disk at sf100 (round-8 gate) even with the JVM stopped.
+_REP_PROBE_ORACLE = REGISTRY["quality_repetition_signals"].oracle.replace(
+    "FROM documents", f"FROM documents WHERE {_SQL_ANCHOR_DOC}", 1
+)
+assert "WHERE substr" in _REP_PROBE_ORACLE  # the rewrite must have landed
+SCALE_PROBES["quality_repetition_signals"] = Q(
+    fn=_probe_repetition,
+    oracle=_REP_PROBE_ORACLE,
+    doc="doc-anchored slice (1/256) of the full-scale engine output; "
+    "EXACT for this query (signals are per-doc independent), linear "
+    "oracle via the anchor pushed into the tokenize CTE",
+)
+
+
+
 # The driver's correctness gate walks queries() IN ORDER under a budget
 # (round 1 graded exactly the first 49 registered entries before cutting
 # off). Emit a curated order: one fast representative of every operator
