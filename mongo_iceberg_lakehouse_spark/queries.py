@@ -12046,8 +12046,8 @@ def _anchor_doc(col: str) -> Column:
 
 _SQL_ANCHOR_VEC = (
     "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT) "
-    "< greatest(1, least(2048, CAST(65536.0 * 2048 "
-    "/ (SELECT count(*) FROM embeddings) AS BIGINT)))"
+    "< greatest(1, least(2048, (65536 * 2048) "
+    "// (SELECT count(*) FROM embeddings)))"
 )
 _SQL_ANCHOR_DOC = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) = '00'"
 

@@ -130,11 +130,18 @@ def write_text_corpus(df: DataFrame, sf_dir: str, id_col: str, text_col: str) ->
     """
     import shutil
 
-    out = _stable_dir("textcorpus", sf_dir)
+    # v2 in the key: pre-gzip / pre-atomic-publish dirs from older code
+    # lived at the unversioned hash and may be partial (written in place,
+    # no completeness marker) — never reuse them (round-8 advice).
+    out = _stable_dir("textcorpus", f"v2:{sf_dir}")
     if os.path.isdir(out):
-        # already published (atomic rename => complete) and content-
-        # addressed => identical bytes; nothing to do
-        return out
+        if os.path.isfile(os.path.join(out, "_SUCCESS")):
+            # published complete (Spark's own commit marker survived the
+            # atomic rename) and content-addressed => identical bytes
+            return out
+        # exists but unmarked: a crashed pre-rename staging copy that got
+        # half-moved, or manual tampering — rebuild via staging below
+        shutil.rmtree(out, ignore_errors=True)
     staged = f"{out}.staging.{os.getpid()}"
     (
         df.select(

@@ -163,7 +163,14 @@ def run_gate(
 
         def watchdog():
             timed_out[0] = True
-            con.interrupt()
+            try:
+                con.interrupt()
+            except Exception:
+                # con can be mid-rebind (closed, fresh big-budget one not
+                # yet bound) in --fresh-oracle-disk phase 2; the rebind
+                # path re-checks timed_out right after binding so the
+                # timeout still lands even when this interrupt is lost
+                pass
             try:
                 spark.sparkContext.cancelAllJobs()
             except Exception:
@@ -191,6 +198,12 @@ def run_gate(
                 # rebinding keeps the interrupt pointed at the live one)
                 con.close()
                 con = fresh_con(big=True)
+                if timed_out[0]:
+                    # watchdog fired in the close->rebind window: its
+                    # interrupt hit the dead connection (guarded no-op),
+                    # so honor the timeout here instead of running a
+                    # big-budget oracle with no cancellation path
+                    raise TimeoutError("watchdog fired during oracle rebind")
                 ok, msg = compare_rows_duckdb(scols, srows, con, q.oracle)
             else:
                 ok, msg = compare_spark_duckdb(df, con, q.oracle)
