@@ -586,7 +586,7 @@ def bigram_lift_topk_hashed(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_count: int = 5,
-    k: int = 20,
+    k: int | None = 20,
     broadcast_hints: bool = True,
 ) -> DataFrame:
     """Hash-keyed-shuffle collocation extraction — same output contract as
@@ -689,11 +689,13 @@ def bigram_lift_topk_hashed(
             ),
         )
     )
-    return (
-        scored.select("bigram", "c_ab", "c_a", "c_b", "lift_micros")
-        .orderBy(F.col("lift_micros").desc(), "bigram")
-        .limit(k)
-    )
+    full = scored.select("bigram", "c_ab", "c_a", "c_b", "lift_micros")
+    if k is None:
+        # full exact lift table (every min_count survivor, no ranking) —
+        # the sf100 value-gate probe slices this by a gram-space hash
+        # bucket, which only works upstream of the top-k cut
+        return full
+    return full.orderBy(F.col("lift_micros").desc(), "bigram").limit(k)
 
 
 def bigram_lift_topk(

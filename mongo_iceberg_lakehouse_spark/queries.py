@@ -12398,6 +12398,200 @@ SCALE_PROBES["quality_repetition_signals"] = Q(
 )
 
 
+# --- scale-AWARE probes (round 9) -----------------------------------------
+# The four queries below have full oracles that are linear but whose
+# VERIFICATION artifacts outgrow one box at sf100 (round-8 gate log):
+# window_running_sum / scd2_customer_priority return ~150M rows (the Arrow
+# collect was OOM-killed, rc=-9), dedup_span_scrub's global span dictionary
+# + 5M-doc rebuild wants ~160 GB of RAM+spill, and text_collocations_lift's
+# string-keyed bigram count table spilled past 58 GB twice. Each probe is
+# SCALE-DISPATCHED on the driving table's rowcount: below the threshold
+# (sf1/sf10 — both proven in docs/SF1_GATE_r08.log / SF10_GATE_r05.log) the
+# probe IS the full query + full oracle, so the lower gates lose nothing;
+# above it, both sides cut to the same deterministic md5 slice. The
+# threshold lives in the SQL itself (a scalar subquery on the same table
+# the engine fn sizes with table_rowcount), so the two sides can't drift.
+
+_ORDERS_FULL_MAX = 20_000_000  # sf10 orders = 15M: full compare proven
+_DOCS_FULL_MAX = 600_000  # sf10 documents = 500k: full oracle proven
+
+_SQL_ORDERS_SMALL = f"(SELECT count(*) FROM orders) <= {_ORDERS_FULL_MAX}"
+_SQL_DOCS_SMALL = f"(SELECT count(*) FROM documents) <= {_DOCS_FULL_MAX}"
+_SQL_ANCHOR_CUST = "substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2) = '00'"
+
+
+def _probe_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = REGISTRY["window_running_sum"].fn(spark, sf_dir)
+    if table_rowcount(sf_dir, "orders") <= _ORDERS_FULL_MAX:
+        return out
+    return out.filter(_anchor_key("o_custkey"))
+
+
+def _probe_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = REGISTRY["scd2_customer_priority"].fn(spark, sf_dir)
+    if table_rowcount(sf_dir, "orders") <= _ORDERS_FULL_MAX:
+        return out
+    return out.filter(_anchor_key("custkey"))
+
+
+# Both window queries PARTITION BY o_custkey, so a custkey slice is EXACT
+# semantics (each customer's running sum / SCD2 history depends only on
+# that customer's orders); the anchor pushed into the oracle's orders scan
+# selects the identical 1/256 of customers the engine-side output filter
+# keeps. The engine still runs FULL-scale — Catalyst pushing the
+# partition-key filter below the Window is the same per-key pruning a real
+# cluster would do, and either way the compared values are full-fidelity.
+for _nm, _fn, _key in (
+    ("window_running_sum", _probe_window_running_sum, "o_custkey"),
+    ("scd2_customer_priority", _probe_scd2, "custkey"),
+):
+    _orc = REGISTRY[_nm].oracle.replace(
+        "FROM orders",
+        f"FROM orders WHERE ({_SQL_ORDERS_SMALL} OR {_SQL_ANCHOR_CUST})",
+        1,
+    )
+    assert "FROM orders WHERE" in _orc
+    SCALE_PROBES[_nm] = Q(
+        fn=_fn,
+        oracle=_orc,
+        doc=f"custkey-anchored slice (1/256) of the full-scale engine "
+        f"output above {_ORDERS_FULL_MAX:,} orders rows (the sf100 "
+        f"150M-row full compare was OOM-killed in round 8); EXACT for "
+        f"this query (windows partition by {_key}); full query + full "
+        f"oracle at sf1/sf10",
+    )
+
+
+def _probe_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = REGISTRY["dedup_span_scrub"].fn(spark, sf_dir)
+    if table_rowcount(sf_dir, "documents") <= _DOCS_FULL_MAX:
+        return out
+    return out.filter(_anchor_doc("doc_id"))
+
+
+# Span-dictionary semi-join probe (the round-8 gate log's proposal): a
+# doc anchor alone cannot slice the GLOBAL span dictionary (an anchored
+# doc's rebuild depends on whether each of its spans is duplicated
+# ANYWHERE), but the oracle never needs the whole dictionary — only the
+# rows for spans that occur in anchored docs. Restricting the dictionary
+# aggregation with a semi-join against the anchored docs' span set keeps
+# its state at ~|anchored spans| (1/256 of the corpus) while min/max still
+# range over EVERY document's occurrences, so canon choice and the >=2
+# distinct-docs test are computed at full corpus fidelity (min(doc_id) <>
+# max(doc_id) is equivalent to count(DISTINCT doc_id) >= 2). The rebuild
+# (the ~160 GB string_agg that broke the full oracle) runs on anchored
+# docs only. EXACT for the anchored docs, full-scale on the engine side.
+_SPAN_PROBE_ORACLE = f"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+    wa AS (SELECT * FROM w
+           WHERE {_SQL_ANCHOR_DOC} OR {_SQL_DOCS_SMALL}),
+    ga AS (SELECT doc_id, i AS s, array_to_string(ws[i:i+4], ' ') AS span
+           FROM wa, LATERAL (SELECT unnest(generate_series(
+                               1, greatest(len(ws) - 4, 0))) AS i) ii),
+    g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS span
+          FROM w, LATERAL (SELECT unnest(generate_series(
+                             1, greatest(len(ws) - 4, 0))) AS i) ii),
+    st AS (SELECT span, min(doc_id) AS canon
+           FROM g WHERE span IN (SELECT DISTINCT span FROM ga)
+           GROUP BY span HAVING min(doc_id) <> max(doc_id)),
+    rem AS (SELECT DISTINCT ga.doc_id, p
+            FROM ga JOIN st USING (span),
+                 LATERAL (SELECT unnest(generate_series(ga.s, ga.s + 4))
+                          AS p) pp
+            WHERE ga.doc_id <> st.canon),
+    pos AS (SELECT doc_id, i AS p, ws[i] AS word
+            FROM wa, LATERAL (SELECT unnest(generate_series(1, len(ws)))
+                              AS i) ii),
+    rebuilt AS (SELECT pos.doc_id,
+                       string_agg(word, ' ' ORDER BY pos.p) AS kept_text
+                FROM pos LEFT JOIN rem
+                  ON pos.doc_id = rem.doc_id AND pos.p = rem.p
+                WHERE rem.p IS NULL GROUP BY pos.doc_id),
+    nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+             FROM rem GROUP BY doc_id)
+    SELECT wa.doc_id, CAST(len(ws) AS INT) AS n_words,
+           CAST(coalesce(nrem.n_removed, 0) AS INT) AS n_removed,
+           coalesce(rebuilt.kept_text, '') AS kept_text
+    FROM wa LEFT JOIN rebuilt ON wa.doc_id = rebuilt.doc_id
+            LEFT JOIN nrem ON wa.doc_id = nrem.doc_id
+"""
+SCALE_PROBES["dedup_span_scrub"] = Q(
+    fn=_probe_span_scrub,
+    oracle=_SPAN_PROBE_ORACLE,
+    doc="doc-anchored slice (1/256) of the full-scale engine output with "
+    "a SEMI-JOIN-restricted global span dictionary: dictionary min/max "
+    "still range over every doc's occurrences (full-fidelity canon + "
+    ">=2-docs test) while oracle state stays ~1/256; rebuild on anchored "
+    "docs only; full query + full oracle at sf1/sf10",
+)
+
+
+def _probe_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import table_bytes
+
+    d = _t(spark, sf_dir, "documents")
+    nbytes = table_bytes(sf_dir, "documents")
+    out = T.bigram_lift_topk_hashed(
+        d,
+        "doc_id",
+        "text",
+        min_count=5,
+        k=None,
+        broadcast_hints=nbytes < (64 << 30),
+    )
+    if table_rowcount(sf_dir, "documents") <= _DOCS_FULL_MAX:
+        return out
+    return out.filter(F.substring(F.md5(F.col("bigram")), 1, 1) == "0")
+
+
+# Gram-space-bucketed probe: the registry's top-20 cut is pure ordering on
+# lift values verified here, so the probe compares the FULL exact lift
+# table (every min_count survivor — k=None upstream of the top-k) on a
+# 1/16 md5 bucket of the bigram-STRING space. Bucket membership is a
+# function of the gram itself, so every count stays GLOBAL (all 5M docs
+# scanned on both sides); only the oracle's group-by state shrinks 16x —
+# the full string-keyed count table spilled past 58 GB twice in round 8.
+# The engine side runs the PRODUCTION hashed pipeline unmodified (the
+# bucket filter sits on the post-aggregation survivor table, which
+# Catalyst cannot push below the hash-count shuffle because `bigram` is
+# itself an aggregate), so the 8-byte-key shuffle is exercised at full
+# sf100 scale.
+_COLL_PROBE_ORACLE = f"""
+    WITH w AS (SELECT list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '') AS ws
+               FROM documents),
+    n AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n_total FROM w),
+    bg AS (SELECT g AS bigram, count(*) AS c_ab
+           FROM (SELECT [array_to_string(ws[i:i+1], ' ')
+                         for i in generate_series(1, greatest(len(ws)-1, 0))]
+                   AS gs FROM w), unnest(gs) AS t(g)
+           WHERE substr(md5(g), 1, 1) = '0' OR {_SQL_DOCS_SMALL}
+           GROUP BY 1 HAVING count(*) >= 5),
+    wds AS (SELECT DISTINCT unnest(string_split(bigram, ' ')) AS w FROM bg),
+    uni AS (SELECT u.w AS w, count(*) AS c
+            FROM w, unnest(ws) AS u(w)
+            WHERE u.w IN (SELECT w FROM wds)
+            GROUP BY 1)
+    SELECT bigram, c_ab, a.c AS c_a, b.c AS c_b,
+           CAST((CAST(1000000 AS HUGEINT) * c_ab * n_total)
+                // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS lift_micros
+    FROM bg, n, uni a, uni b
+    WHERE a.w = string_split(bigram, ' ')[1]
+      AND b.w = string_split(bigram, ' ')[2]
+"""
+SCALE_PROBES["text_collocations_lift"] = Q(
+    fn=_probe_collocations,
+    oracle=_COLL_PROBE_ORACLE,
+    doc="full exact lift table on a 1/16 md5 bucket of the bigram-string "
+    "space; every count global (bucket membership is a function of the "
+    "gram), oracle group-by state 16x smaller; engine side is the "
+    "production hashed pipeline with the bucket filter above the "
+    "aggregation; unbucketed full table below 600k docs (sf1/sf10)",
+)
+
+
 
 # The driver's correctness gate walks queries() IN ORDER under a budget
 # (round 1 graded exactly the first 49 registered entries before cutting
