@@ -13248,87 +13248,90 @@ PRIORITY: list[str] = [
     # multimodal, streaming, lakehouse mutation, splits / mixing.
     # (Round 2 cut exactly at entry 50, which under the old ordering was
     # all relational parity and no LLM-pipeline surface at all.)
-    # Round-8 rotation (verdict r7 #5): TEN rotate in, ALL first-time-
-    # graded zero-history families — connected components (the round-7
-    # operator), hypertable rollup + TWAP (time-series), PSI + KS drift
-    # (statistics), skyline dominance, GDPR erasure propagation, UDTF
-    # surface, table maintenance (compaction), and binaryFile raw-asset
-    # ingest (which runs the PNG decode end-to-end, keeping multimodal
-    # covered as multimodal_png_pixels displaces). timeseries_gapfill_locf
-    # STAYS for its re-grade after the DECIMAL->DOUBLE fix (the round-7
-    # red row). Ten family-redundant multi-green mates displace to the
-    # tail (every family keeps >= 1 representative; displaced stay
-    # locally oracle-checked + sf1-gated).
+    # Round-9 rotation (verdict r8 #3): TWELVE rotate in, ALL first-time-
+    # graded zero-history families — snapshot expiry + orphan cleanup
+    # (the r7/r8 maintenance operators, never graded), BFS graph
+    # distance, VARIANT-style JSON scalars, Z-order layout pruning
+    # (displacing filter_scan_pushdown keeps the pushdown family via the
+    # strictly-stronger multi-column interleaved-bits prune), winnowing
+    # fingerprints, roaring-style bitmap overlap (joins sketch family),
+    # conversion funnel (windows family), token-budget corpus mixing,
+    # SALTED skew join (the 100 TB skew story, first graded slot),
+    # recursive-CTE hierarchy (new SQL-surface class), and image aHash
+    # near-dup (second multimodal rep). Twelve family-redundant
+    # multi-green mates displace to the tail (anti-join family stays via
+    # governance_erasure_propagation's broadcast anti cascade; COUNT
+    # verify via gold_sales_report's count agg; every displaced member
+    # stays locally oracle-checked + sf1-gated).
     # reference parity
-    "gold_sales_report", "bronze_verify_count", "silver_struct_evolution",
-    "window_dedup_latest", "topk_orders", "filter_scan_pushdown",
-    # join shapes (equi-join shape stays covered by broadcast + TPC-H;
-    # anti keeps the existence-join family, asof the ordered-join family)
+    "gold_sales_report", "silver_struct_evolution",
+    "window_dedup_latest", "topk_orders",
+    # join shapes (equi stays via broadcast + TPC-H; asof = ordered-join
+    # family; salted skew join — first grading)
     "join_broadcast_region_revenue",
-    "join_left_anti", "asof_join_purchase_view",
-    # SQL semantics (agg_approx displaces after 5 greens; approx-distinct
-    # stays graded via sketch_rollup_distinct)
-    "sql_grouping_sets",
-    # analytics: skyline dominance — first grading
-    "skyline_parts",
-    # scalars + reshape + set ops (+ map surface, repaired round-7)
-    "explode_word_counts", "union_by_name_drift", "map_type_ops",
-    # windows + sessions
-    "sessionize_events",
+    "asof_join_purchase_view", "join_salted_skew",
+    # SQL semantics (+ recursive CTE hierarchy — first grading)
+    "sql_grouping_sets", "sql_recursive_hierarchy",
+    # analytics: skyline dominance + conversion funnel (first grading)
+    "skyline_parts", "funnel_view_click_purchase",
+    # scalars + reshape + set ops (+ VARIANT JSON — first grading)
+    "union_by_name_drift", "map_type_ops", "scalar_variant_json",
+    # layout: Z-order interleaved-bits pruning — first grading
+    "layout_zorder_pruning",
     # TPC-H flagship
     "tpch_q1_pricing_summary",
-    # dedup (exact-hash rotates out — url_canonical keeps the exact
-    # family; the MinHash family gets its FIRST graded slot via the
-    # recall CONTRACT, which runs the LSH operator internally AND
-    # value-checks its recall against exact Jaccard — a full oracle
-    # where the raw pair emitter would only be a rows-only check)
-    "dedup_url_canonical", "dedup_span_scrub",
-    "dedup_minhash_recall_contract",
-    # similarity / semantic dedup + the round-6 dispatcher and
-    # train-once artifact contract (cross_corpus + neardup_topk displace
-    # after 4 greens each)
-    "ann_lsh_recall_contract", "pairs_hard_negatives",
-    "semdedup_embedding_prune", "ann_topk_auto", "ann_ivf_pretrained",
-    # text quality + curation + the composed web funnel (gopher + dsir +
-    # pii displace after 5/5/4 greens; sampling stays via
-    # sample_weighted_docs, quality via the web funnel's gates)
+    # dedup (url_canonical keeps the exact family; the MinHash family
+    # stays graded via the recall CONTRACT, which runs the LSH operator
+    # internally AND value-checks its recall against exact Jaccard)
+    "dedup_url_canonical", "dedup_minhash_recall_contract",
+    # similarity / ANN: the round-6 dispatcher and train-once artifact
+    # contract keep the family (semdedup/lsh-contract/hard-negatives
+    # displace after 6/5/5 greens)
+    "ann_topk_auto", "ann_ivf_pretrained",
+    # text quality + curation + the composed web funnel (+ winnowing
+    # fingerprints — first grading)
     "curation_domain_blocklist",
     "tokenizer_bpe_pair_counts",
-    "web_curation_pipeline",
-    # retrieval (bm25 displaces after 3 greens; two reps stay)
+    "web_curation_pipeline", "text_winnow_fingerprints",
+    # retrieval
     "rag_context_assembly", "text_inverted_index",
-    # JDBC sink e2e over embedded Derby (reference S7's real wire path,
-    # new this round) — first grading
+    # JDBC sink e2e over embedded Derby (reference S7's real wire path)
     "sink_jdbc_gold_report",
-    # statistics: PSI + KS drift — first gradings (welch displaces)
+    # statistics: PSI + KS drift
     "drift_psi_order_price", "drift_ks_order_price",
-    # sketches
-    "sketch_rollup_distinct",
-    # graph (pagerank displaces after 2 greens; connected components —
-    # the round-7 operator — first grading)
+    # sketches (+ bitmap week overlap — first grading)
+    "sketch_rollup_distinct", "bitmap_week_overlap",
+    # graph (+ BFS distance — first grading)
     "graph_label_propagation", "graph_connected_components_dupes",
-    # multimodal via raw-asset ingest: binaryFile listing-pruned scan +
-    # the REAL stdlib PNG decode — first grading (png_pixels displaces)
-    "source_binaryfile_ingest",
-    # streaming (scd2 displaces after 5 greens; update-mode stays; the
-    # complete-mode foreachBatch-to-JDBC wire path is new this round —
-    # first grading)
-    "streaming_embedding_drift_incremental", "streaming_gold_to_jdbc",
-    # time series: gapfill STAYS for the post-fix re-grade; rollup+tail
-    # rewrite and TWAP — first gradings
+    "graph_bfs_distance",
+    # multimodal: binaryFile raw-asset ingest with the REAL stdlib PNG
+    # decode + image aHash near-dup (first grading)
+    "source_binaryfile_ingest", "multimodal_image_ahash_dedup",
+    # streaming (the complete-mode foreachBatch-to-JDBC wire path stays;
+    # drift_incremental displaces after 4 greens)
+    "streaming_gold_to_jdbc",
+    # time series
     "timeseries_gapfill_locf", "hypertable_rollup_tail",
     "timeseries_twap_user",
-    # lakehouse mutation + maintenance (compaction — first grading)
-    "catalog_time_travel", "wap_audit_publish", "merge_on_read_orders",
-    "incremental_gold_orders", "maintenance_compact_small_files",
-    # governance — first grading
+    # lakehouse mutation + maintenance (+ snapshot expiry and orphan
+    # cleanup — first gradings of the r7/r8 operators)
+    "catalog_time_travel", "incremental_gold_orders",
+    "maintenance_compact_small_files", "maintenance_expire_snapshots",
+    "maintenance_remove_orphans",
+    # governance
     "governance_erasure_propagation",
-    # UDTF surface — first grading
+    # UDTF surface
     "udtf_sentence_split",
-    # splits / mixing / packing (pack_sequences_chop displaces after 4
-    # greens; the family keeps both newer reps)
-    "sample_weighted_docs", "seq_training_examples",
+    # splits / mixing / packing (+ token-budget mixing — first grading)
+    "sample_weighted_docs", "seq_training_examples", "mix_to_token_budget",
     # --- end of the 50-budget window; remaining families' siblings ---
+    # round-9 rotation: displaced window members (still locally
+    # oracle-checked + sf1-gated)
+    "bronze_verify_count", "filter_scan_pushdown", "join_left_anti",
+    "explode_word_counts", "sessionize_events", "dedup_span_scrub",
+    "semdedup_embedding_prune", "ann_lsh_recall_contract",
+    "pairs_hard_negatives", "merge_on_read_orders", "wap_audit_publish",
+    "streaming_embedding_drift_incremental",
     # round-8 rotation: displaced window members (still locally
     # oracle-checked + sf1-gated)
     "agg_approx", "dedup_cross_corpus_jaccard", "embedding_neardup_topk",
@@ -13381,7 +13384,7 @@ PRIORITY: list[str] = [
     # governance workflows, heavier dedup/lakehouse ops at the tail
     # (snapshot_diff / incremental_gold / rag_context / wap_audit /
     # catalog_time_travel moved INTO the round-6 graded window)
-    "cohort_ltv_curve", "bitmap_week_overlap", "timeseries_decay_score",
+    "cohort_ltv_curve", "timeseries_decay_score",
     "seasonal_baseline_bands", "concurrency_by_hour",
     "text_unigram_cross_entropy", "embedding_covariance_matrix",
     # (governance_erasure_propagation moved INTO the round-8 window)
