@@ -151,6 +151,16 @@ def test_jdbc_partitioned_parallel_read(spark, tmp_path):
         .load()
     )
     assert par.rdd.getNumPartitions() == 4
+    # plan-shape pin: the scan node itself must carry the fan-out (a
+    # repartition AFTER a single-connection read would also show 4 RDD
+    # partitions but funnel the table through one JDBC cursor)
+    plan = par._jdf.queryExecution().executedPlan().toString()
+    assert "numPartitions=4" in plan, plan
+    # each task must have scanned ITS OWN stride-250 id range — i.e. the
+    # four concurrent connections issued disjoint WHERE-range predicates,
+    # not four full scans deduplicated downstream
+    per_part = par.rdd.glom().map(len).collect()
+    assert per_part == [250, 250, 250, 250], per_part
     single = C.read_jdbc(spark, url, "wide", driver=C.DERBY_EMBEDDED_DRIVER)
     assert par.count() == 1000
     assert par.exceptAll(single).count() == 0
