@@ -385,3 +385,52 @@ def test_snapshotting_queries_clean_tmp(spark, qname, prefix):
     # the returned frame must still be collectable AFTER its backing
     # store is gone (eager materialization is part of the contract)
     assert df.count() >= 0
+
+
+def test_vec_anchor_threshold_sql_matches_python():
+    # r8 advice (medium): the SQL side rounded (CAST AS BIGINT) where the
+    # engine floor-divides — at any embeddings count with fraction >= .5
+    # (e.g. n=65537) the two sides selected DIFFERENT anchor sets. The
+    # SQL must integer-divide to match Python's // exactly.
+    from mongo_iceberg_lakehouse_spark.queries import _SQL_ANCHOR_VEC
+
+    con = duckdb.connect()
+    # extract the threshold expression by substituting a literal count
+    for n in (65537, 65535, 3, 100000, 131073, 2_000_000):
+        expr = _SQL_ANCHOR_VEC.split("< ", 1)[1].replace(
+            "(SELECT count(*) FROM embeddings)", str(n)
+        )
+        sql_t = con.execute(f"SELECT {expr}").fetchone()[0]
+        py_t = max(1, min(2048, (65536 * 2048) // n))
+        assert sql_t == py_t, (n, sql_t, py_t)
+    con.close()
+
+
+def test_text_corpus_rejects_unmarked_published_dir(spark):
+    # r8 advice (low): a pre-existing output dir was trusted blindly —
+    # a crashed pre-atomic-rename writer (or a manually damaged dir)
+    # would be reused forever. Only a dir carrying Spark's _SUCCESS
+    # marker may be reused; anything else is rebuilt via staging.
+    import os
+    import shutil
+
+    from mongo_iceberg_lakehouse_spark.sources.files import (
+        _stable_dir,
+        write_text_corpus,
+    )
+
+    sf_key = "/root/testdata/sf0.001"
+    out = _stable_dir("textcorpus", f"v2:{sf_key}")
+    shutil.rmtree(out, ignore_errors=True)
+    # plant a partial (unmarked) dir at the published path
+    os.makedirs(out)
+    with open(os.path.join(out, "part-00000"), "w") as f:
+        f.write("stale\tgarbage\n")
+    df = spark.read.parquet(f"{sf_key}/documents.parquet")
+    path = write_text_corpus(df, sf_key, "doc_id", "text")
+    assert path == out
+    assert os.path.isfile(os.path.join(out, "_SUCCESS"))  # rebuilt
+    lines = spark.read.text(path).count()
+    assert lines == df.count()  # stale garbage is gone
+    # second call now reuses the marked dir (idempotent fast path)
+    assert write_text_corpus(df, sf_key, "doc_id", "text") == out
