@@ -12592,6 +12592,65 @@ SCALE_PROBES["text_collocations_lift"] = Q(
 )
 
 
+def _probe_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = REGISTRY["text_bigram_perplexity"].fn(spark, sf_dir)
+    if table_rowcount(sf_dir, "documents") <= _DOCS_FULL_MAX:
+        return out
+    return out.filter(_anchor_doc("doc_id"))
+
+
+# Same dictionary-semi-join shape as the span-scrub probe: a doc's
+# perplexity depends on the GLOBAL bigram LM, but the oracle only needs
+# the LM rows for gram types occurring in anchored docs — joining the
+# count aggregations against the anchored docs' distinct gram set keeps
+# oracle state ~1/256 while every c_vw / c_v still counts ALL documents'
+# occurrences, and the smoothing denominator vsz stays the full global
+# vocabulary. EXACT for the anchored docs; the engine fits the full LM
+# (the doc_id filter rides the scoring branch only — bc/cc aggregate
+# doc_id away, so Catalyst cannot prune the model fit).
+_PERP_PROBE_ORACLE = f"""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS ws
+               FROM documents),
+    wa AS (SELECT * FROM w
+           WHERE {_SQL_ANCHOR_DOC} OR {_SQL_DOCS_SMALL}),
+    b AS (SELECT doc_id, ws[i] AS prev, ws[i+1] AS cur
+          FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+                           AS i) ii
+          WHERE len(ws) >= 2),
+    ba AS (SELECT doc_id, ws[i] AS prev, ws[i+1] AS cur
+           FROM wa, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+                             AS i) ii
+           WHERE len(ws) >= 2),
+    bc AS (SELECT b.prev, b.cur, count(*) AS c_vw
+           FROM b JOIN (SELECT DISTINCT prev, cur FROM ba) s
+             USING (prev, cur)
+           GROUP BY b.prev, b.cur),
+    cc AS (SELECT b.prev, count(*) AS c_v
+           FROM b JOIN (SELECT DISTINCT prev FROM ba) s USING (prev)
+           GROUP BY b.prev),
+    v AS (SELECT count(DISTINCT t) AS vsz
+          FROM (SELECT unnest(ws) AS t FROM w)),
+    lm AS (SELECT prev, cur,
+                  CAST(floor(-ln((c_vw + 1.0) / (c_v + vsz)) * 1000000)
+                    AS BIGINT) AS term_micros
+           FROM bc JOIN cc USING (prev), v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(term_micros) AS BIGINT) AS ce_micro_sum
+    FROM ba JOIN lm USING (prev, cur)
+    GROUP BY doc_id
+"""
+SCALE_PROBES["text_bigram_perplexity"] = Q(
+    fn=_probe_bigram_perplexity,
+    oracle=_PERP_PROBE_ORACLE,
+    doc="doc-anchored slice (1/256) with a SEMI-JOIN-restricted global "
+    "bigram LM: c_vw/c_v still count every document's occurrences and "
+    "vsz stays the full vocabulary, so the anchored docs' scores are "
+    "full-corpus-exact while oracle state shrinks 256x; full query + "
+    "full oracle below 600k docs (sf1/sf10)",
+)
+
+
 
 # The driver's correctness gate walks queries() IN ORDER under a budget
 # (round 1 graded exactly the first 49 registered entries before cutting

@@ -164,3 +164,24 @@ def test_collocations_k_none_matches_topk_head(spark):
     assert [tuple(r) for r in head.collect()] == [
         tuple(r) for r in top.collect()
     ]
+
+
+def test_big_arm_bigram_perplexity(spark, duck):
+    df = REGISTRY["text_bigram_perplexity"].fn(spark, SF).filter(
+        _anchor_doc("doc_id")
+    )
+    ok, msg = compare_spark_duckdb(
+        df, duck, _big_oracle("text_bigram_perplexity")
+    )
+    assert ok, msg
+
+
+def test_small_arm_bigram_perplexity(spark, duck):
+    probe = SCALE_PROBES["text_bigram_perplexity"].fn(spark, SF)
+    full = REGISTRY["text_bigram_perplexity"].fn(spark, SF)
+    assert probe.exceptAll(full).count() == 0
+    assert full.exceptAll(probe).count() == 0
+    ok, msg = compare_spark_duckdb(
+        probe, duck, SCALE_PROBES["text_bigram_perplexity"].oracle
+    )
+    assert ok, msg
