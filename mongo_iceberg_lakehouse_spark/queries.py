@@ -12375,7 +12375,11 @@ SCALE_PROBES: dict[str, Q] = {
 
 
 def _probe_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.tables import table_rowcount
+
     out = REGISTRY["quality_repetition_signals"].fn(spark, sf_dir)
+    if table_rowcount(sf_dir, "documents") <= 600_000:
+        return out
     return out.filter(_anchor_doc("doc_id"))
 
 
@@ -12384,17 +12388,24 @@ def _probe_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the registered SQL with the 1/256 doc anchor pushed into its first CTE
 # (programmatic rewrite so the two can never drift), cutting the oracle's
 # bigram+trigram explosion by 256x — the full oracle spilled past the
-# whole disk at sf100 (round-8 gate) even with the JVM stopped.
+# whole disk at sf100 (round-8 gate) even with the JVM stopped. Round 9
+# made the anchor SCALE-AWARE like the newer probes: below 600k docs
+# (sf1 7.9-10.5 s, sf10 96.6 s full compares on record) the probe is the
+# full query + full oracle, so the lower gates regain full fidelity.
 _REP_PROBE_ORACLE = REGISTRY["quality_repetition_signals"].oracle.replace(
-    "FROM documents", f"FROM documents WHERE {_SQL_ANCHOR_DOC}", 1
+    "FROM documents",
+    "FROM documents WHERE "
+    f"({_SQL_ANCHOR_DOC} OR (SELECT count(*) FROM documents) <= 600000)",
+    1,
 )
-assert "WHERE substr" in _REP_PROBE_ORACLE  # the rewrite must have landed
+assert "WHERE (substr" in _REP_PROBE_ORACLE  # the rewrite must have landed
 SCALE_PROBES["quality_repetition_signals"] = Q(
     fn=_probe_repetition,
     oracle=_REP_PROBE_ORACLE,
-    doc="doc-anchored slice (1/256) of the full-scale engine output; "
-    "EXACT for this query (signals are per-doc independent), linear "
-    "oracle via the anchor pushed into the tokenize CTE",
+    doc="doc-anchored slice (1/256) of the full-scale engine output above "
+    "600k docs; EXACT for this query (signals are per-doc independent), "
+    "linear oracle via the anchor pushed into the tokenize CTE; full "
+    "query + full oracle at sf1/sf10",
 )
 
 
