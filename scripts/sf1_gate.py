@@ -213,7 +213,11 @@ def run_gate(
                 print(f"SKIP {name}: timeout >{timeout}s", flush=True)
                 timer.cancel()
                 continue
-            ok, msg = False, f"error: {str(exc)[:200]}"
+            # 1200 chars: py4j prefixes ~90 chars of wrapper before the
+            # actual Java exception class/message — 200 cut it off
+            ok, msg = False, "error: " + " | ".join(
+                str(exc)[:1200].splitlines()
+            )
         finally:
             timer.cancel()
         status = "OK" if ok else "FAIL"
