@@ -11157,16 +11157,19 @@ def streaming_embedding_drift_incremental(
              CAST(list_dot_product(z2.codes, cent.ccodes) AS BIGINT) AS q
       FROM z2 CROSS JOIN cent
     ), best AS (
-      -- keep the n x k window payload-free (carrying the codes list
-      -- through this sort pinned ~30 GB at sf10); codes re-join below
-      SELECT vec_id, cid FROM (
-        SELECT vec_id, cid,
-               row_number() OVER (
-                 PARTITION BY vec_id
-                 ORDER BY (CASE WHEN q >= 0 THEN CAST(q*q AS DOUBLE)/cn2
-                                ELSE -CAST(q*q AS DOUBLE)/cn2 END) DESC, cid
-               ) AS rn
-        FROM scored) WHERE rn = 1
+      -- STREAMING argmax: the former row_number window forced a FULL
+      -- SORT of the n x k scored rows (2B x 32 B = 64 GB at sf100 —
+      -- ENOSPC past the whole 57 GB disk, round-9 gate) where a
+      -- max-over-struct aggregate keeps one struct per vec_id and
+      -- consumes the cross product pipelined. Struct comparison is
+      -- fieldwise, so {'s': score, 'c': -cid} reproduces ORDER BY
+      -- score DESC, cid ASC exactly — same correctly-rounded IEEE
+      -- double score as the engine, min cid on ties
+      SELECT vec_id,
+             -((max({'s': CASE WHEN q >= 0 THEN CAST(q*q AS DOUBLE)/cn2
+                               ELSE -CAST(q*q AS DOUBLE)/cn2 END,
+                     'c': -cid})).c) AS cid
+      FROM scored GROUP BY vec_id
     ), assign AS (
       SELECT best.vec_id, best.cid, z2.codes, z2.n2
       FROM best JOIN z2 ON best.vec_id = z2.vec_id
