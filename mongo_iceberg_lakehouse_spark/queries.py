@@ -12577,11 +12577,19 @@ _COLL_PROBE_ORACLE = f"""
                                   t -> t <> '') AS ws
                FROM documents),
     n AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n_total FROM w),
+    -- the small-corpus flag is evaluated ONCE and cross-joined (1 row):
+    -- inlining the scalar subquery into the per-gram WHERE made DuckDB
+    -- plan a blockwise-NL/delim join over the 450M-row unnest, whose
+    -- materialization ENOSPC'd the sf100 gate disk (round-9)
+    flags AS (SELECT ({_SQL_DOCS_SMALL.replace("(SELECT count(*) FROM"
+                                               " documents)",
+                                               "count(*)")}) AS small
+              FROM documents),
     bg AS (SELECT g AS bigram, count(*) AS c_ab
            FROM (SELECT [array_to_string(ws[i:i+1], ' ')
                          for i in generate_series(1, greatest(len(ws)-1, 0))]
-                   AS gs FROM w), unnest(gs) AS t(g)
-           WHERE substr(md5(g), 1, 1) = '0' OR {_SQL_DOCS_SMALL}
+                   AS gs FROM w), unnest(gs) AS t(g), flags
+           WHERE flags.small OR substr(md5(g), 1, 1) = '0'
            GROUP BY 1 HAVING count(*) >= 5),
     wds AS (SELECT DISTINCT unnest(string_split(bigram, ' ')) AS w FROM bg),
     uni AS (SELECT u.w AS w, count(*) AS c

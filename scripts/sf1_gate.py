@@ -140,8 +140,19 @@ def run_gate(
         # the sf100 bpe-pair oracle spilled past 56 GB of DISK under the
         # 16GB budget (round-8), and a larger in-memory share is the only
         # lever left once the disk is already exclusively the oracle's.
-        c.execute(f"SET memory_limit='{'64GB' if big else '16GB'}'")
-        c.execute("SET threads=8")
+        # env overrides (round-9; the r8 commit named these but the code
+        # never landed): LIST-heavy oracles carry an UNTRACKED allocation
+        # share of roughly the tracked budget again, so the right big
+        # budget is workload-dependent — semdedup at sf100 OOM-killed the
+        # box under 64GB tracked (~128GB real) where 24GB fits
+        import os as _os
+
+        mem = _os.environ.get(
+            "SPARK_GRAFT_GATE_ORACLE_MEM", "64GB" if big else "16GB"
+        )
+        thr = _os.environ.get("SPARK_GRAFT_GATE_ORACLE_THREADS", "8")
+        c.execute(f"SET memory_limit='{mem}'")
+        c.execute(f"SET threads={thr}")
         for t in present:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
