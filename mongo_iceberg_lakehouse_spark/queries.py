@@ -12577,25 +12577,43 @@ _COLL_PROBE_ORACLE = f"""
                                   t -> t <> '') AS ws
                FROM documents),
     n AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n_total FROM w),
-    -- the small-corpus flag is evaluated ONCE and cross-joined (1 row):
-    -- inlining the scalar subquery into the per-gram WHERE made DuckDB
-    -- plan a blockwise-NL/delim join over the 450M-row unnest, whose
-    -- materialization ENOSPC'd the sf100 gate disk (round-9)
-    flags AS (SELECT ({_SQL_DOCS_SMALL.replace("(SELECT count(*) FROM"
-                                               " documents)",
-                                               "count(*)")}) AS small
-              FROM documents),
-    bg AS (SELECT g AS bigram, count(*) AS c_ab
-           FROM (SELECT [array_to_string(ws[i:i+1], ' ')
-                         for i in generate_series(1, greatest(len(ws)-1, 0))]
-                   AS gs FROM w), unnest(gs) AS t(g), flags
-           WHERE flags.small OR substr(md5(g), 1, 1) = '0'
-           GROUP BY 1 HAVING count(*) >= 5),
-    wds AS (SELECT DISTINCT unnest(string_split(bigram, ' ')) AS w FROM bg),
-    uni AS (SELECT u.w AS w, count(*) AS c
-            FROM w, unnest(ws) AS u(w)
-            WHERE u.w IN (SELECT w FROM wds)
-            GROUP BY 1)
+    -- Three sf100 plan pathologies fixed here (round-9, each caught by
+    -- an isolation run on the real 5M-doc decade):
+    -- 1. the small-corpus flag is evaluated ONCE and cross-joined (a
+    --    scalar subquery inlined in a per-gram predicate planned as a
+    --    blockwise-NL/delim join);
+    -- 2. the bucket filter runs INSIDE the per-row projection via
+    --    list_filter with unnest in the SELECT list (a streaming
+    --    operator) — both the FROM-clause unnest(gs) and a LATERAL
+    --    generate_series form planned as RIGHT-DELIM joins that
+    --    materialized the gram stream and ENOSPC'd the 57 GB disk
+    --    (24 GB / 39 GB of spill before dying);
+    -- 3. the small CTEs are MATERIALIZED — inlining re-expanded bg
+    --    inside wds inside both uni copies (the corpus re-tokenized ~5x)
+    --    and left a serial tail that ran 70+ min at 1 thread where the
+    --    materialized pipeline finishes in ~80 s at 8.
+    flags AS MATERIALIZED (
+        SELECT ({_SQL_DOCS_SMALL.replace("(SELECT count(*) FROM"
+                                         " documents)",
+                                         "count(*)")}) AS small
+        FROM documents),
+    bg AS MATERIALIZED (
+        SELECT g AS bigram, count(*) AS c_ab
+        FROM (SELECT unnest(CASE WHEN flags.small THEN gs
+                            ELSE list_filter(gs,
+                              g -> substr(md5(g), 1, 1) = '0') END) AS g
+              FROM (SELECT [array_to_string(ws[i:i+1], ' ')
+                            for i in generate_series(
+                              1, greatest(len(ws) - 1, 0))] AS gs
+                    FROM w), flags)
+        GROUP BY 1 HAVING count(*) >= 5),
+    wds AS MATERIALIZED (
+        SELECT DISTINCT unnest(string_split(bigram, ' ')) AS w FROM bg),
+    uni AS MATERIALIZED (
+        SELECT w, count(*) AS c
+        FROM (SELECT unnest(ws) AS w FROM w) u
+        WHERE w IN (SELECT w FROM wds)
+        GROUP BY 1)
     SELECT bigram, c_ab, a.c AS c_a, b.c AS c_b,
            CAST((CAST(1000000 AS HUGEINT) * c_ab * n_total)
                 // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS lift_micros
