@@ -139,6 +139,17 @@ HEADLINE = [
     "timeseries_twap_user",
     "drift_psi_order_price",
     "skyline_parts",
+    # round-10 additions: the first-graded compute queries of this
+    # round's window rotation (the composed medallion pipeline, TPC-H
+    # Q18, n-gram train/test decontamination, cogroup event pairing,
+    # token-batch packing, the composite DQ report). Same comparability
+    # note as above.
+    "medallion_orders_pipeline",
+    "tpch_q18_large_orders",
+    "decontaminate_ngram_overlap",
+    "cogroup_view_click_pairs",
+    "pack_token_batches",
+    "dq_orders_report",
 ]
 
 

@@ -12691,6 +12691,148 @@ SCALE_PROBES["text_bigram_perplexity"] = Q(
 )
 
 
+# SemDeDup two-arm probe (round 10 — the last sf100 value gap): the full
+# oracle's n x k scored cross product is 2B rows at sf100 and OOM-killed
+# two 7200 s DuckDB runs even under the streaming argmax (round-9 gate).
+# A vec anchor alone cannot slice the KEEP column — keep(b) depends on
+# every vector assigned to b's cluster, and knowing ANY vector's cluster
+# costs k dot products, so membership of non-anchored vectors is exactly
+# the n x k the oracle cannot afford. Split what IS linear-checkable from
+# what is not:
+#
+# - `assign` arm (full-scale EXACT): the engine's full-corpus output,
+#   anchored to ~2048 vec_ids (_vec_anchor_threshold), projected to
+#   (vec_id, cluster_id). The oracle computes the centroid pool over the
+#   FULL corpus (top-k by md5 — linear) and scores only anchored vectors
+#   against it (|anchors| x k ~ 2M dots at sf100). A vector's assignment
+#   depends only on itself and the complete centroid set, so this slice
+#   is full-corpus-exact — it value-checks quantization, the
+#   content-addressed centroid pick, the argmax ordering, and the
+#   tie-break at real sf100 scale.
+# - `subset` arm (engine-on-subset, the dedup_survivors_quality idiom —
+#   weaker, stated): BOTH engines run the complete operator (including
+#   the in-cluster pair join and survivor rule, i.e. the keep column) on
+#   the same deterministic md5 1/16 of the sf100 corpus (~125k vectors,
+#   k = ceil(sqrt(n_sub/2)) on both sides), where the oracle's cross
+#   product is ~31M rows.
+#
+# Below _EMB_FULL_MAX both arms collapse to the full query + full oracle
+# (arm='full'), so sf1 (20k, 23.8 s green r9) and sf10 (200k, 84.2 s
+# green r5) keep full-fidelity verification.
+
+_EMB_FULL_MAX = 250_000  # sf10 embeddings = 200k: full compare proven
+
+_SQL_EMB_SMALL = f"(SELECT count(*) FROM embeddings) <= {_EMB_FULL_MAX}"
+_SQL_EMB_BIG = f"(SELECT count(*) FROM embeddings) > {_EMB_FULL_MAX}"
+_SQL_SUBSET_VEC = "substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'"
+
+
+def _probe_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    full = REGISTRY["semdedup_embedding_prune"].fn(spark, sf_dir)
+    if table_rowcount(sf_dir, "embeddings") <= _EMB_FULL_MAX:
+        return full.select(
+            F.lit("full").alias("arm"), "vec_id", "cluster_id", "keep"
+        )
+    assign = full.filter(_anchor_vec("vec_id", sf_dir)).select(
+        F.lit("assign").alias("arm"),
+        "vec_id",
+        "cluster_id",
+        F.lit(None).cast("boolean").alias("keep"),
+    )
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) == "0"
+    )
+    # exact subset rowcount (one cheap count job, gate-only path) — the
+    # oracle sizes k from count(*) of the same md5 slice, so the footer
+    # statistic scaled by 1/16 would drift off by the sampling noise
+    ns = e.count()
+    ks = max(1, math.ceil(math.sqrt(ns / 2.0)))
+    sub = S.semdedup_prune(e, k=ks, threshold_num=2, threshold_den=5).select(
+        F.lit("subset").alias("arm"), "vec_id", "cluster_id", "keep"
+    )
+    return assign.unionByName(sub)
+
+
+def _semdedup_arm_sql(scan_predicate: str) -> str:
+    """The registered oracle with its embeddings scan gated — the canonical
+    SQL text is reused verbatim so the arms cannot drift from it."""
+    base = REGISTRY["semdedup_embedding_prune"].oracle
+    out = base.replace(
+        "FROM embeddings))", f"FROM embeddings WHERE {scan_predicate}))", 1
+    )
+    assert out != base
+    return out
+
+
+# assign arm: full-corpus z2/cent (linear), anchored probe side only.
+# Mirrors the registered oracle's quantization / centroid-pick / streaming
+# argmax text with the n x k cross join cut to |anchors| x k.
+_SEMDEDUP_ASSIGN_SQL = f"""
+    WITH z AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x / s + 0.5) AS INT)) AS codes
+      FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CASE WHEN mx = 0 THEN 1.0 ELSE mx / 127.0 END AS s
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                             x -> abs(x))) AS mx
+              FROM embeddings))
+    ), z2 AS (
+      SELECT vec_id, codes,
+             CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT) * c))
+                  AS BIGINT) AS n2
+      FROM z
+    ), cent AS (
+      SELECT cid, ccodes, cn2 FROM (
+        SELECT vec_id AS cid, codes AS ccodes, n2 AS cn2,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS crn
+        FROM z2 WHERE n2 > 0) CROSS JOIN
+        (SELECT CAST(ceil(sqrt(count(*) / 2.0)) AS BIGINT) AS kk FROM z2)
+      WHERE crn <= kk
+    ), za AS (
+      SELECT * FROM z2
+      WHERE {_SQL_EMB_BIG} AND {_SQL_ANCHOR_VEC}
+    ), scored AS (
+      SELECT za.vec_id, cent.cid, cent.cn2,
+             CAST(list_dot_product(za.codes, cent.ccodes) AS BIGINT) AS q
+      FROM za CROSS JOIN cent
+    )
+    SELECT vec_id,
+           -((max({{'s': CASE WHEN q >= 0 THEN CAST(q*q AS DOUBLE)/cn2
+                         ELSE -CAST(q*q AS DOUBLE)/cn2 END,
+                   'c': -cid}})).c) AS cluster_id
+    FROM scored GROUP BY vec_id
+"""
+
+_SEMDEDUP_PROBE_ORACLE = f"""
+    SELECT 'full' AS arm, vec_id, cluster_id, keep
+    FROM ({_semdedup_arm_sql(_SQL_EMB_SMALL)})
+    UNION ALL
+    SELECT 'assign' AS arm, vec_id, cluster_id,
+           CAST(NULL AS BOOLEAN) AS keep
+    FROM ({_SEMDEDUP_ASSIGN_SQL})
+    UNION ALL
+    SELECT 'subset' AS arm, vec_id, cluster_id, keep
+    FROM ({_semdedup_arm_sql(f"{_SQL_EMB_BIG} AND {_SQL_SUBSET_VEC}")})
+"""
+
+SCALE_PROBES["semdedup_embedding_prune"] = Q(
+    fn=_probe_semdedup,
+    oracle=_SEMDEDUP_PROBE_ORACLE,
+    doc="two-arm probe above 250k embeddings: `assign` value-checks the "
+    "full-scale engine's (vec_id, cluster_id) on ~2048 anchored vectors "
+    "against full-corpus centroids (EXACT — assignment depends only on "
+    "the vector and the complete centroid set; |anchors| x k oracle), "
+    "`subset` runs the complete operator incl. the keep column on the "
+    "same md5 1/16 of the corpus on both engines (engine-on-subset, the "
+    "dedup_survivors_quality idiom — weaker, stated); full query + full "
+    "oracle below 250k embeddings (sf1/sf10)",
+)
+
 
 # The driver's correctness gate walks queries() IN ORDER under a budget
 # (round 1 graded exactly the first 49 registered entries before cutting
@@ -13347,83 +13489,95 @@ PRIORITY: list[str] = [
     # multimodal, streaming, lakehouse mutation, splits / mixing.
     # (Round 2 cut exactly at entry 50, which under the old ordering was
     # all relational parity and no LLM-pipeline surface at all.)
-    # Round-9 rotation (verdict r8 #3): TWELVE rotate in, ALL first-time-
-    # graded zero-history families — snapshot expiry + orphan cleanup
-    # (the r7/r8 maintenance operators, never graded), BFS graph
-    # distance, VARIANT-style JSON scalars, Z-order layout pruning
-    # (displacing filter_scan_pushdown keeps the pushdown family via the
-    # strictly-stronger multi-column interleaved-bits prune), winnowing
-    # fingerprints, roaring-style bitmap overlap (joins sketch family),
-    # conversion funnel (windows family), token-budget corpus mixing,
-    # SALTED skew join (the 100 TB skew story, first graded slot),
-    # recursive-CTE hierarchy (new SQL-surface class), and image aHash
-    # near-dup (second multimodal rep). Twelve family-redundant
-    # multi-green mates displace to the tail (anti-join family stays via
-    # governance_erasure_propagation's broadcast anti cascade; COUNT
-    # verify via gold_sales_report's count agg; every displaced member
-    # stays locally oracle-checked + sf1-gated).
-    # reference parity
-    "gold_sales_report", "silver_struct_evolution",
-    "window_dedup_latest", "topk_orders",
-    # join shapes (equi stays via broadcast + TPC-H; asof = ordered-join
-    # family; salted skew join — first grading)
-    "join_broadcast_region_revenue",
-    "asof_join_purchase_view", "join_salted_skew",
-    # SQL semantics (+ recursive CTE hierarchy — first grading)
-    "sql_grouping_sets", "sql_recursive_hierarchy",
-    # analytics: skyline dominance + conversion funnel (first grading)
+    # Round-10 rotation (verdict r9 #2): TWELVE rotate in, ALL first-time-
+    # graded zero-history families — the SURVEY Phase-A flagship
+    # composition (medallion_orders_pipeline, which CONTAINS the
+    # displaced gold/silver parity queries as its stages), TPC-H Q18
+    # (top-100 sort-limit keeps the displaced topk_orders family),
+    # raw MinHash-LSH pairs + the IVF ANN path (the two designed 100 TB
+    # similarity operators, rows-only by contract — the driver records
+    # the weaker check, stated), applyInPandas cogroup pairing (ordered
+    # event-pair family, standing in for the displaced as-of join),
+    # n-gram train/test decontamination (exact-matching dedup family for
+    # the displaced url_canonical), TF-IDF top terms (retrieval family
+    # for the displaced rag_context_assembly), stateful streaming dedup,
+    # partition-pruning layout audit, stratified sampling (for the
+    # displaced weighted sampling), token-batch packing, and the
+    # composite data-quality report (a never-graded family). Twelve
+    # family-redundant multi-green mates displace to the tail (9-green:
+    # gold_sales_report, silver_struct_evolution, window_dedup_latest,
+    # topk_orders, asof_join_purchase_view, sql_grouping_sets; 4-5-green:
+    # dedup_url_canonical, curation_domain_blocklist [stays via
+    # web_curation_pipeline which composes it], ann_topk_auto,
+    # rag_context_assembly, catalog_time_travel, sample_weighted_docs);
+    # every displaced member stays locally oracle-checked + sf1-gated.
+    # reference parity: the composed bronze->silver->gold pipeline
+    "medallion_orders_pipeline",
+    # join shapes (equi stays via broadcast + TPC-H; salted skew; cogroup
+    # event pairing — first grading)
+    "join_broadcast_region_revenue", "join_salted_skew",
+    "cogroup_view_click_pairs",
+    # SQL semantics
+    "sql_recursive_hierarchy",
+    # analytics: skyline dominance + conversion funnel
     "skyline_parts", "funnel_view_click_purchase",
-    # scalars + reshape + set ops (+ VARIANT JSON — first grading)
+    # scalars + reshape + set ops
     "union_by_name_drift", "map_type_ops", "scalar_variant_json",
-    # layout: Z-order interleaved-bits pruning — first grading
-    "layout_zorder_pruning",
-    # TPC-H flagship
-    "tpch_q1_pricing_summary",
-    # dedup (url_canonical keeps the exact family; the MinHash family
-    # stays graded via the recall CONTRACT, which runs the LSH operator
-    # internally AND value-checks its recall against exact Jaccard)
-    "dedup_url_canonical", "dedup_minhash_recall_contract",
-    # similarity / ANN: the round-6 dispatcher and train-once artifact
-    # contract keep the family (semdedup/lsh-contract/hard-negatives
-    # displace after 6/5/5 greens)
-    "ann_topk_auto", "ann_ivf_pretrained",
-    # text quality + curation + the composed web funnel (+ winnowing
-    # fingerprints — first grading)
-    "curation_domain_blocklist",
+    # layout: Z-order interleaved-bits + partition pruning (first grading)
+    "layout_zorder_pruning", "layout_partition_pruning",
+    # TPC-H flagship + large-orders top-100 (first grading)
+    "tpch_q1_pricing_summary", "tpch_q18_large_orders",
+    # dedup: MinHash recall CONTRACT + raw LSH pairs (first grading,
+    # rows-only by contract) + n-gram decontamination (first grading)
+    "dedup_minhash_recall_contract", "dedup_minhash_lsh",
+    "decontaminate_ngram_overlap",
+    # similarity / ANN: train-once artifact contract + the IVF path
+    # (first grading, rows-only by contract)
+    "ann_ivf_pretrained", "ann_topk_ivf",
+    # text quality + curation + the composed web funnel
     "tokenizer_bpe_pair_counts",
     "web_curation_pipeline", "text_winnow_fingerprints",
-    # retrieval
-    "rag_context_assembly", "text_inverted_index",
+    # retrieval (+ TF-IDF top terms — first grading)
+    "text_tfidf_top_terms", "text_inverted_index",
     # JDBC sink e2e over embedded Derby (reference S7's real wire path)
     "sink_jdbc_gold_report",
     # statistics: PSI + KS drift
     "drift_psi_order_price", "drift_ks_order_price",
-    # sketches (+ bitmap week overlap — first grading)
+    # sketches
     "sketch_rollup_distinct", "bitmap_week_overlap",
-    # graph (+ BFS distance — first grading)
+    # graph
     "graph_label_propagation", "graph_connected_components_dupes",
     "graph_bfs_distance",
     # multimodal: binaryFile raw-asset ingest with the REAL stdlib PNG
-    # decode + image aHash near-dup (first grading)
+    # decode + image aHash near-dup
     "source_binaryfile_ingest", "multimodal_image_ahash_dedup",
-    # streaming (the complete-mode foreachBatch-to-JDBC wire path stays;
-    # drift_incremental displaces after 4 greens)
-    "streaming_gold_to_jdbc",
+    # streaming (+ stateful dropDuplicates dedup — first grading)
+    "streaming_gold_to_jdbc", "streaming_dedup_events",
     # time series
     "timeseries_gapfill_locf", "hypertable_rollup_tail",
     "timeseries_twap_user",
-    # lakehouse mutation + maintenance (+ snapshot expiry and orphan
-    # cleanup — first gradings of the r7/r8 operators)
-    "catalog_time_travel", "incremental_gold_orders",
+    # lakehouse mutation + maintenance
+    "incremental_gold_orders",
     "maintenance_compact_small_files", "maintenance_expire_snapshots",
     "maintenance_remove_orphans",
     # governance
     "governance_erasure_propagation",
     # UDTF surface
     "udtf_sentence_split",
-    # splits / mixing / packing (+ token-budget mixing — first grading)
-    "sample_weighted_docs", "seq_training_examples", "mix_to_token_budget",
+    # data quality report — first grading of the family
+    "dq_orders_report",
+    # splits / mixing / packing (+ stratified sampling and token-batch
+    # packing — first gradings)
+    "sample_stratified_events", "seq_training_examples",
+    "mix_to_token_budget", "pack_token_batches",
     # --- end of the 50-budget window; remaining families' siblings ---
+    # round-10 rotation: displaced window members (still locally
+    # oracle-checked + sf1-gated)
+    "gold_sales_report", "silver_struct_evolution",
+    "window_dedup_latest", "topk_orders", "asof_join_purchase_view",
+    "sql_grouping_sets", "dedup_url_canonical",
+    "curation_domain_blocklist", "ann_topk_auto",
+    "rag_context_assembly", "catalog_time_travel", "sample_weighted_docs",
     # round-9 rotation: displaced window members (still locally
     # oracle-checked + sf1-gated)
     "bronze_verify_count", "filter_scan_pushdown", "join_left_anti",
@@ -13469,16 +13623,14 @@ PRIORITY: list[str] = [
     "window_lag_lead", "window_first_last_nth", "window_range_frame",
     "session_window_counts",
     "tpch_q5_local_supplier_volume", "tpch_q9_product_profit",
-    "tpch_q18_large_orders",
-    "dedup_exact_text", "dedup_minhash_lsh",
+    "dedup_exact_text",
     "ann_maxsim_multivector", "ann_cosine_topk", "embedding_dim_stats",
     "text_token_stats", "rank_fusion_rrf", "text_dup_ngram_spans",
     "text_lang_id",
     "multimodal_frame_sample",
     "streaming_view_click_join", "streaming_segment_counts",
-    "streaming_dedup_events",
     "governance_pseudonymized_rollup", "spatial_radius_pairs",
-    "sample_stratified_events", "markov_event_transitions",
+    "markov_event_transitions",
     # round-2 additions: finance/ops analytics, retrieval pipeline,
     # governance workflows, heavier dedup/lakehouse ops at the tail
     # (snapshot_diff / incremental_gold / rag_context / wap_audit /

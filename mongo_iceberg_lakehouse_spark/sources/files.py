@@ -156,8 +156,19 @@ def write_text_corpus(df: DataFrame, sf_dir: str, id_col: str, text_col: str) ->
     try:
         os.rename(staged, out)
     except OSError:
-        # another session published first — identical content, keep theirs
+        # Usually: another session published first — identical content,
+        # keep theirs. But if the rmtree above silently failed (open
+        # handle, permissions), `out` is the same unmarked PARTIAL dir we
+        # just refused to reuse and the rename lost to it, not to a
+        # concurrent publisher — re-check the completeness marker before
+        # trusting it (round-9 advice).
         shutil.rmtree(staged, ignore_errors=True)
+        if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+            raise RuntimeError(
+                f"text-corpus publish failed: {out} exists without a "
+                "_SUCCESS marker and could not be replaced — stale "
+                "partial dir holding the content-addressed slot"
+            )
     return out
 
 
