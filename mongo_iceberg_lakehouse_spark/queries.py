@@ -6573,6 +6573,18 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knife-edge discipline (see attribution_linear).",
 )
 def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark's recursion guard (spark.sql.cteRecursionRowLimit, default 1M
+    # ROWS ACCUMULATED ACROSS ALL ROUNDS) is a safety valve, not a
+    # semantic limit — this walk legitimately emits n_customers x
+    # O(log10 max_key) rows (~135M at sf100, where the default aborted
+    # the round-10 gate). Size it from the actual input: depth is bounded
+    # by the key's decimal digit count, 16x headroom covers it for any
+    # BIGINT key. The level limit (default 100) is already far above
+    # log10 of any key.
+    n_cust = table_rowcount(sf_dir, "customer")
+    spark.conf.set(
+        "spark.sql.cteRecursionRowLimit", str(max(1_000_000, 16 * n_cust))
+    )
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_rcte")
     return spark.sql(
         """
