@@ -289,3 +289,51 @@ def test_sentence_split_udtf_is_narrow(spark):
     # no exchange between the documents scan and the UDTF eval.
     plan = _plan(spark, "udtf_sentence_split", mode="simple")
     assert "CartesianProduct" not in plan
+
+
+# --- round-10 window entrants: plan shapes pinned at rotation time ---------
+
+
+def test_q18_all_joins_equi_no_nested_loop(spark):
+    # customer x orders x lineitem with a sum-qty HAVING subquery: every
+    # join must plan as an equi join (broadcast or sort-merge — AQE picks
+    # by size); any nested-loop/cartesian here is quadratic at 100 TB
+    plan = _plan(spark, "tpch_q18_large_orders", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_cogroup_pairs_one_exchange_per_side(spark):
+    # applyInPandas cogroup: exactly one hash-partitioning per input side
+    # feeding a single FlatMapCoGroupsInPandas — the minimal-shuffle
+    # shape for keyed pair assembly
+    plan = _plan(spark, "cogroup_view_click_pairs", mode="simple")
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
+    assert plan.count("Exchange") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_is_equi_join(spark):
+    # train/test n-gram overlap must be an equi join on the gram key,
+    # never an all-pairs comparison
+    plan = _plan(spark, "decontaminate_ngram_overlap", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_stratified_sample_single_shuffle(spark):
+    # content-addressed md5 thresholds are a NARROW filter: the only
+    # exchange is the final per-stratum aggregate
+    plan = _plan(spark, "sample_stratified_events", mode="simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_pack_batches_nested_loop_is_scalar_contract_only(spark):
+    # the one nested-loop join is the 1-row x 1-row contract cross
+    # (source totals x packed totals); the packing itself must stay
+    # cartesian-free
+    plan = _plan(spark, "pack_token_batches", mode="simple")
+    assert plan.count("BroadcastNestedLoop") == 1
+    assert "CartesianProduct" not in plan
