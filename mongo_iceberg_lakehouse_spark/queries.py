@@ -12389,11 +12389,21 @@ SCALE_PROBES: dict[str, Q] = {
 }
 
 
+# Scale-dispatch thresholds shared by every scale-AWARE probe below:
+# below them the probe IS the full query + full oracle (sf1/sf10 proven
+# in docs/SF1_GATE_r08.log / SF10_GATE_r05.log), above them both sides
+# cut to the same deterministic md5 slice. Baked into the oracle SQL as
+# a scalar count(*) subquery on the same table the engine fn sizes with
+# table_rowcount, so the two sides can't drift.
+_ORDERS_FULL_MAX = 20_000_000  # sf10 orders = 15M: full compare proven
+_DOCS_FULL_MAX = 600_000  # sf10 documents = 500k: full oracle proven
+
+
 def _probe_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.tables import table_rowcount
 
     out = REGISTRY["quality_repetition_signals"].fn(spark, sf_dir)
-    if table_rowcount(sf_dir, "documents") <= 600_000:
+    if table_rowcount(sf_dir, "documents") <= _DOCS_FULL_MAX:
         return out
     return out.filter(_anchor_doc("doc_id"))
 
@@ -12410,7 +12420,8 @@ def _probe_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REP_PROBE_ORACLE = REGISTRY["quality_repetition_signals"].oracle.replace(
     "FROM documents",
     "FROM documents WHERE "
-    f"({_SQL_ANCHOR_DOC} OR (SELECT count(*) FROM documents) <= 600000)",
+    f"({_SQL_ANCHOR_DOC} OR (SELECT count(*) FROM documents)"
+    f" <= {_DOCS_FULL_MAX})",
     1,
 )
 assert "WHERE (substr" in _REP_PROBE_ORACLE  # the rewrite must have landed
@@ -12437,9 +12448,8 @@ SCALE_PROBES["quality_repetition_signals"] = Q(
 # above it, both sides cut to the same deterministic md5 slice. The
 # threshold lives in the SQL itself (a scalar subquery on the same table
 # the engine fn sizes with table_rowcount), so the two sides can't drift.
-
-_ORDERS_FULL_MAX = 20_000_000  # sf10 orders = 15M: full compare proven
-_DOCS_FULL_MAX = 600_000  # sf10 documents = 500k: full oracle proven
+# (The threshold constants are defined above the repetition probe, whose
+# scale dispatch shares them.)
 
 _SQL_ORDERS_SMALL = f"(SELECT count(*) FROM orders) <= {_ORDERS_FULL_MAX}"
 _SQL_DOCS_SMALL = f"(SELECT count(*) FROM documents) <= {_DOCS_FULL_MAX}"

@@ -408,3 +408,35 @@ def test_knife_edge_embeddings_dispatch(spark, monkeypatch, tmp_path_factory):
     ok, msg = compare_spark_duckdb(probe_ab, con, oracle)
     con.close()
     assert ok, f"semdedup above-threshold: {msg}"
+
+
+def test_knife_edge_documents_dispatch(spark, monkeypatch, tmp_path_factory):
+    # the third dispatch constant (_DOCS_FULL_MAX): span-scrub probes the
+    # boundary; doc_ids 168/363/381 in the sf0.001 fixture already carry
+    # '00' md5 prefixes, so the big arm is naturally non-vacuous
+    from mongo_iceberg_lakehouse_spark import queries as Qmod
+
+    name = "dedup_span_scrub"
+    threshold, dirs = _edge_fixture(tmp_path_factory, "documents", None)
+    old = Qmod._DOCS_FULL_MAX
+    monkeypatch.setattr(Qmod, "_DOCS_FULL_MAX", threshold)
+    oracle = SCALE_PROBES[name].oracle.replace(f"<= {old}", f"<= {threshold}")
+
+    at = dirs["at"]
+    probe_at = SCALE_PROBES[name].fn(spark, at)
+    assert probe_at.count() == REGISTRY[name].fn(spark, at).count()
+    con = _edge_duck(at)
+    ok, msg = compare_spark_duckdb(probe_at, con, oracle)
+    con.close()
+    assert ok, f"{name} at-threshold: {msg}"
+
+    above = dirs["above"]
+    probe_ab = SCALE_PROBES[name].fn(spark, above)
+    full_ab = REGISTRY[name].fn(spark, above)
+    n_probe, n_full = probe_ab.count(), full_ab.count()
+    assert 0 < n_probe < n_full
+    assert n_probe == full_ab.filter(_anchor_doc("doc_id")).count()
+    con = _edge_duck(above)
+    ok, msg = compare_spark_duckdb(probe_ab, con, oracle)
+    con.close()
+    assert ok, f"{name} above-threshold: {msg}"
