@@ -44,11 +44,17 @@ def cogrouped_interval_match(
 ) -> DataFrame:
     """(key, n_pairs): per key, how many (left, right) pairs satisfy
     left_ts <= right_ts <= left_ts + window — computed with
-    ``cogroup().applyInPandas``, the two-sided grouped-map surface.
+    ``cogroup().applyInArrow``, the two-sided grouped-map surface.
 
-    Inside each key both sides arrive as pandas frames; the count uses a
+    Inside each key both sides arrive as Arrow tables; the count uses a
     sort + two binary searches per left row (O((n+m) log m)), not an n*m
-    product. Unlike the mapInPandas secondary-sort consumer above, cogroup
+    product. Arrow (not pandas) grouped-map: with thousands of small
+    per-key groups the per-group pandas DataFrame construction dominated
+    the whole operator — an interleaved A/B at sf0.1 (40k rows, 1500
+    keys) measured the applyInPandas form at 4.6 s with a TRIVIAL kernel
+    vs 0.6 s for the identical applyInArrow form (guide §4: control how
+    the batch crosses the boundary, the kernel math is unchanged).
+    Unlike the mapInPandas secondary-sort consumer above, cogroup
     MATERIALIZES each key's two groups in memory — right for bounded
     per-entity histories (user timelines), wrong for unbounded keys; the
     equivalent declarative form is the watermarked stream-stream interval
@@ -56,28 +62,47 @@ def cogrouped_interval_match(
     gate.
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
-    def match(lpdf: pd.DataFrame, rpdf: pd.DataFrame):
-        if lpdf.empty or rpdf.empty:
-            return pd.DataFrame({"key": [], "n_pairs": []}).astype(
-                {"key": "int64", "n_pairs": "int64"}
-            )
-        r = np.sort(rpdf[right_ts].to_numpy().astype("datetime64[us]"))
-        lo = lpdf[left_ts].to_numpy().astype("datetime64[us]")
-        hi = lo + np.timedelta64(window_seconds * 1_000_000, "us")
-        n = int(
-            (np.searchsorted(r, hi, "right") - np.searchsorted(r, lo, "left"))
-            .sum()
+    win_us = window_seconds * 1_000_000
+    empty = pa.table(
+        {"key": pa.array([], pa.int64()), "n_pairs": pa.array([], pa.int64())}
+    )
+
+    def match(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return empty
+        # tz-aware us-precision timestamps -> int64 epoch micros (numpy
+        # carries no tz; ordering and the +window shift are unchanged)
+        r = np.sort(
+            rt.column(right_ts)
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype("int64")
         )
-        return pd.DataFrame(
-            {"key": [lpdf[key].iloc[0]], "n_pairs": [n]}
+        lo = (
+            lt.column(left_ts)
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype("int64")
+        )
+        n = int(
+            (
+                np.searchsorted(r, lo + win_us, "right")
+                - np.searchsorted(r, lo, "left")
+            ).sum()
+        )
+        return pa.table(
+            {
+                "key": pa.array([lt.column(key)[0].as_py()], pa.int64()),
+                "n_pairs": pa.array([n], pa.int64()),
+            }
         )
 
     return (
         left.groupBy(key)
         .cogroup(right.groupBy(key))
-        .applyInPandas(match, schema="key long, n_pairs long")
+        .applyInArrow(match, schema="key long, n_pairs long")
         .withColumnRenamed("key", key)
         .filter(F.col("n_pairs") > 0)
     )

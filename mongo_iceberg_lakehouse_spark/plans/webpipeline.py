@@ -66,18 +66,26 @@ def curate_web_documents(
     (broadcast — a real blocklist is megabytes)."""
     d = parse_urls(docs, url_col)
     d = domain_blocklist_filter(d, blocked)
+    # Every slim doc_id-keyed stage frame below is referenced 2-3x (its own
+    # consumer stage + the final log join). Catalyst does not dedupe those
+    # subtrees (PERF_NOTES §7): unchecked, the executed plan re-runs the
+    # URL parse 5x and the tokenizer 3x (34 parquet scans / 122 Exchanges
+    # at sf0.1). Lazy localCheckpoints cut each to one execution; every
+    # stored frame is a few slim columns per doc, far smaller than the
+    # corpus text it replaces recomputing.
     base = d.select(
         "doc_id",
         "domain",
         F.col(order_col).alias("__ord"),
         canonical_url(F.col(url_col)).alias("canon_url"),
         F.col("kept").alias("__unblocked"),
-    )
+    ).localCheckpoint(eager=False)
     # stage 2: canonical-URL dedup among unblocked pages (min doc_id wins)
     w_url = Window.partitionBy("canon_url").orderBy("doc_id")
     rn_url = (
         base.filter(F.col("__unblocked"))
         .select("doc_id", F.row_number().over(w_url).alias("__rn_url"))
+        .localCheckpoint(eager=False)
     )
     # stage 3: per-domain cap among URL-unique pages (longest first)
     w_dom = Window.partitionBy("domain").orderBy(
@@ -89,10 +97,15 @@ def curate_web_documents(
         .select("doc_id", "domain", "__ord")
         .withColumn("__rk_dom", F.row_number().over(w_dom))
         .select("doc_id", "__rk_dom")
+        .localCheckpoint(eager=False)
     )
     # stages 4-5 inputs: ONE narrow projection for quality, language and
-    # the exact-dedup fingerprint (docpipeline.stage12_decisions)
-    st12 = stage12_decisions(docs, min_tokens, max_stop_ratio, langs)
+    # the exact-dedup fingerprint (docpipeline.stage12_decisions) —
+    # checkpointed so "one projection" holds in the executed plan too
+    # (pool4 + the log join would otherwise tokenize the corpus twice)
+    st12 = stage12_decisions(
+        docs, min_tokens, max_stop_ratio, langs
+    ).localCheckpoint(eager=False)
     # stage 5: exact content dedup among survivors of stages 1-4
     pool4 = (
         rk_dom.filter(F.col("__rk_dom") <= cap)
@@ -102,7 +115,7 @@ def curate_web_documents(
     w_fp = Window.partitionBy("fingerprint").orderBy("doc_id")
     rn_fp = pool4.select(
         "doc_id", F.row_number().over(w_fp).alias("__rn_fp")
-    )
+    ).localCheckpoint(eager=False)
     # stage 6: near-dup LSH on the post-exact pool only (smallest input)
     pool5 = rn_fp.filter(F.col("__rn_fp") == 1).select("doc_id")
     near_drops = (

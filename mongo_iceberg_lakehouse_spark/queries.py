@@ -13438,7 +13438,9 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = spark.createDataFrame(
         [(b,) for b in BLOCKED_DOMAINS], "blocked_domain string"
     )
-    log = curate_web_documents(d, blocked, cap=5)
+    # Two consumers below (the funnel agg + the cap-invariant check):
+    # checkpoint so the funnel executes once per action (PERF_NOTES §7).
+    log = curate_web_documents(d, blocked, cap=5).localCheckpoint(eager=False)
     # parity vs the STANDALONE stage-1 operator
     standalone = WB.domain_blocklist_filter(
         WB.parse_urls(d), blocked
@@ -13467,13 +13469,20 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
         ).alias("__blk_mismatch"),
     )
+    # cap-violation check stays IN the plan (a 1-row aggregate broadcast
+    # into the final row) — the previous eager .count() here executed the
+    # whole funnel a second time at query-construction (r10 opt round)
     cap_viol = (
         log.filter(F.col("status") == "kept")
         .groupBy("domain")
-        .count()
-        .filter(F.col("count") > 5)
-        .count()
+        .agg(F.count(F.lit(1)).alias("__dom_kept"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("__dom_kept") > 5).cast("long")), F.lit(0)
+            ).alias("__cap_viol")
+        )
     )
+    agg = agg.join(F.broadcast(cap_viol))
     return agg.select(
         "n_docs",
         "drop_blocklist_docs",
@@ -13497,7 +13506,7 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("drop_exact_dup_docs")
         ).alias("neardup_split_ok"),
         (F.col("__blk_mismatch") == 0).alias("blocklist_parity_ok"),
-        F.lit(cap_viol == 0).alias("cap_invariant_ok"),
+        (F.col("__cap_viol") == 0).alias("cap_invariant_ok"),
     )
 
 
