@@ -34,6 +34,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _symmetric_edges(
+    edges: DataFrame, *, src: str = "src", dst: str = "dst",
+    part_key: str = "dst",
+) -> DataFrame:
+    """Distinct symmetric (src, dst) neighbor list, persisted and HASH-
+    PARTITIONED on ``part_key`` (r10 opt round). Two structural wins over
+    the previous ``und.union(und.flipped).distinct()``:
+
+    - ONE pass over the edge construction: both directions come from a
+      2-element explode of each input edge, so an expensive upstream edge
+      pipeline (e.g. the two lag-window passes the handoff-graph queries
+      build) is not executed twice for the two union branches (Catalyst
+      does not dedupe the repeated subtree — PERF_NOTES §7).
+    - The iteration loops join this frame on ``part_key`` EVERY round:
+      ``repartition(part_key)`` before the dedup means the cached frame's
+      outputPartitioning already satisfies the join (and, because
+      hash(dst) clusters (src, dst), the dropDuplicates too — one
+      exchange total), so no round re-shuffles the edge list.
+
+    explode_outer: plain explode would trigger InferFiltersFromGenerate
+    and re-inline the pair array into a size()>0 predicate (PERF_NOTES
+    §2); the array is always 2 elements, so outer semantics are identical.
+    """
+    pair = F.explode_outer(
+        F.array(
+            F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+            F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+        )
+    )
+    return (
+        edges.select(F.col(src), F.col(dst))
+        .where(F.col(src) != F.col(dst))
+        .select(pair.alias("p"))
+        .select(F.col("p.s").alias("src"), F.col("p.d").alias("dst"))
+        .repartition(part_key)
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -174,26 +214,10 @@ def label_propagation(
     ``localCheckpoint`` every ``checkpoint_every`` rounds truncates the
     growing self-referential plan exactly as in :func:`pagerank`.
     """
-    from pyspark.sql import Window
-
-    und = (
-        edges.select("src", "dst")
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    nbr = (
-        und.unionByName(
-            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .persist()
-    )
+    nbr = _symmetric_edges(edges, part_key="dst")
     nbr.count()  # warm the cache before the iteration loop
     labels = nbr.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
-    )
-    top1 = Window.partitionBy("node").orderBy(
-        F.col("cnt").desc(), F.col("label").asc()
     )
     for i in range(iterations):
         votes = (
@@ -204,10 +228,17 @@ def label_propagation(
             )
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(top1))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+        # argmin via min_by on the total key (-cnt, label) — replaces the
+        # row_number window (PERF_NOTES §6 corollary): one map-side-
+        # combinable aggregate instead of exchange + full per-node sort.
+        # (cnt DESC, label ASC) == min (-cnt, label); counts are BIGINT so
+        # the negation is always safe, labels stay untouched (any orderable
+        # type), and labels are distinct per node so the key is total and
+        # the winner identical to the window form.
+        labels = votes.groupBy("node").agg(
+            F.min_by(
+                "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+            ).alias("label")
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             labels = labels.localCheckpoint(eager=True)
@@ -243,18 +274,7 @@ def connected_components(
     ``localCheckpoint`` every round truncates the self-referential plan
     exactly as in :func:`pagerank` / :func:`label_propagation`.
     """
-    und = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    sym = (
-        und.unionByName(
-            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .persist()
-    )
+    sym = _symmetric_edges(edges, src=src, dst=dst, part_key="dst")
     sym.count()
     p = (
         sym.groupBy(F.col("src").alias("node"))
@@ -279,7 +299,10 @@ def connected_components(
             .unionByName(via_nbr)
             .groupBy("node")
             .agg(F.min("cand").alias("component"))
-            .localCheckpoint(eager=True)
+            # lazy: the convergence-metric collect right below is the
+            # round's ONE action and materializes the checkpoint as a side
+            # effect — eager=True ran a second, separate job per round
+            .localCheckpoint(eager=False)
         )
         s = p.agg(F.sum("component")).collect()[0][0]
         if s == prev_sum:
