@@ -99,14 +99,33 @@ def observed_checks(df: DataFrame, checks: list[Check]):
 def referential_integrity(
     fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str | None = None
 ) -> DataFrame:
-    """Orphan-free rate via broadcast LEFT ANTI join (fact scans once; the
-    dimension's keys broadcast). passed iff no orphans."""
-    total = fact.count()
-    orphans = fact.join(
-        F.broadcast(dim.select(F.col(pk).alias(fk)).distinct()), fk, "left_anti"
-    ).count()
-    rate = 1.0 if total == 0 else 1.0 - orphans / total
-    return fact.sparkSession.createDataFrame(
-        [(name or f"ri_{fk}", float(rate), orphans == 0)],
-        "check string, metric double, passed boolean",
+    """Orphan-free rate via broadcast LEFT join + conditional aggregate
+    (fact scans once; the dimension's keys broadcast). passed iff no
+    orphans.
+
+    Fully declarative (r10 opt round): the previous form ran TWO eager
+    count() actions at construction (full fact scan each) and returned a
+    literal DataFrame — every construction of a report paid both scans
+    before any action ran. The same rate now computes inside the returned
+    plan: orphans are fact rows whose key finds no broadcast dim match,
+    counted in the single aggregate pass. Arithmetic is the identical
+    IEEE sequence (orphans/total in double, subtracted from 1.0)."""
+    dim_keys = (
+        dim.select(F.col(pk).alias(fk))
+        .distinct()
+        .withColumn("__dim_hit", F.lit(True))
+    )
+    joined = fact.select(fk).join(F.broadcast(dim_keys), fk, "left")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("__tot"),
+        F.count_if(F.col("__dim_hit").isNull()).alias("__orph"),
+    )
+    metric = F.when(F.col("__tot") == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        - F.col("__orph").cast("double") / F.col("__tot").cast("double")
+    )
+    return agg.select(
+        F.lit(name or f"ri_{fk}").alias("check"),
+        metric.cast("double").alias("metric"),
+        (F.col("__orph") == 0).alias("passed"),
     )

@@ -228,9 +228,15 @@ def dsir_importance(
         .filter(F.col("__feat").isNotNull())
         .select("__id", "__tgt", bucket.alias("__b"))
     )
+    # Two consumers (the bucket dictionary + the final weight join) —
+    # unchecked, the whole explode+md5 feature pipeline and its shuffle
+    # execute twice per action (PERF_NOTES §7). Interleaved A/B at sf0.1:
+    # 3.8 s -> 2.2 s min-of-3. Checkpointing the (tiny, 256-row) bstats
+    # too was measured SLOWER (extra materialization job > two cheap
+    # re-aggregations over the stored counts) and left alone.
     counts = occ.groupBy("__id", "__tgt", "__b").agg(
         F.count(F.lit(1)).alias("__cnt")
-    )
+    ).localCheckpoint(eager=False)
     # bucket dictionary: raw = all docs, target = filtered subset
     bstats = counts.groupBy("__b").agg(
         F.sum("__cnt").alias("__raw"),
