@@ -631,7 +631,10 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        # lazy: the convergence count below is the round's ONE action and
+        # materializes the checkpoint as a side effect (eager ran a second
+        # separate job per round); lineage is cut either way
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="id")

@@ -87,10 +87,16 @@ def pagerank(
     edges are dropped. Returns ``(node, pr)`` for every node appearing as
     a source or destination.
     """
+    # e feeds FOUR consumers (both node-set branches, the out-degree agg,
+    # and the edge table) — without a cut the upstream edge construction
+    # (often lag windows over a joined fact table) executes four times per
+    # warm-up action (PERF_NOTES §7); the lazy checkpoint stores the slim
+    # distinct (src, dst) rows once.
     e = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -99,7 +105,10 @@ def pagerank(
         .persist()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ee = e.join(outdeg, "src").persist()
+    # pre-partition the per-round join side on its key: the cached frame's
+    # outputPartitioning then satisfies every iteration's ranks join, so
+    # no round re-shuffles the edge table (same idiom as _symmetric_edges)
+    ee = e.join(outdeg, "src").repartition("src").persist()
     n = nodes.count()  # single scalar to the driver; also warms the cache
     ee.count()
     base = (1.0 - damping) / n

@@ -5848,10 +5848,12 @@ def _label_propagation_oracle(iterations: int = 4) -> str:
     "pagerank_customer_handoff): every node adopts its neighbors' most "
     "frequent label, ties to the smallest — deterministic community "
     "detection. operators/graph.py::label_propagation persists the "
-    "symmetric neighbor list once, does ONE map-side-combined shuffle per "
-    "round (per-(node,label) counts, not per-edge rows) plus a per-node "
-    "top-1 window, and localCheckpoints every 2 rounds to bound plan "
-    "depth. Oracle = identical recurrence unrolled into CTEs.",
+    "symmetric neighbor list once (built in ONE explode pass, pre-"
+    "partitioned on the per-round join key), does ONE map-side-combined "
+    "shuffle per round (per-(node,label) counts, not per-edge rows) plus "
+    "a sortless min_by argmax on the total (-cnt, label) key, and "
+    "localCheckpoints every 2 rounds to bound plan depth. Oracle = "
+    "identical recurrence unrolled into CTEs.",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import label_propagation
