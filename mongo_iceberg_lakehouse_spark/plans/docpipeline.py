@@ -106,9 +106,15 @@ def curate_documents(
     """Full pipeline decision log: (doc_id, n_tokens, status) with status in
     STATUS_ORDER. Near-dup (stage 4) runs MinHash-LSH only on stage-3
     survivors; within a near-dup pair the smaller doc_id is kept."""
+    # st12 feeds stage3's two branches (survivor window + the log join)
+    # and st3 feeds two consumers (survivor pool + the final label join);
+    # without cuts the tokenizer projection executes up to 4x per action
+    # (PERF_NOTES §7 — the same fix as plans/webpipeline.py). Both stored
+    # frames are a few slim columns per doc.
     st3 = stage3_exact_dedup(
         stage12_decisions(docs, min_tokens, max_stop_ratio, langs)
-    )
+        .localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)
     survivors = docs.join(
         st3.filter(F.col("status") == "kept").select("doc_id"), on="doc_id"
     )
