@@ -20,6 +20,20 @@ carries ``anchor_sec`` (this run's in-suite min-of-3 for the anchor),
 totals within a round. ``subtotal_r1_shared`` is the sum over the
 original 23 round-1 queries — the like-for-like series BASELINE.md's
 2x budget is stated against.
+
+Intra-session drift detection (round-11, per the round-10 verdict item 1 —
+additions-only): one anchor measured once at suite start cannot tell a
+poisoned session from a code regression (the r10 driver run regressed 33
+untouched queries 0.6-0.9x while its anchor got FASTER — the degradation
+grew mid-session). The suite now (a) drops persisted/checkpointed blocks
+after EVERY warm-up query and after EVERY timed rep, so no query's timing
+sits on another query's (or its own previous rep's) resident blocks, and
+(b) re-times the anchor mid-suite and at suite end, emitting ``anchor_mid``
+/ ``anchor_end`` plus ``rss_peak_mb`` (driver python + JVM VmHWM). Anchors
+within ~10% of each other certify the session was stable; a mid/end anchor
+far above the start anchor marks the session (not the code) as degraded.
+Timing methodology for the queries themselves is unchanged: same query
+set, same noop sink, same min-of-3, same JSON contract (new keys only).
 """
 
 from __future__ import annotations
@@ -170,6 +184,49 @@ def _drop_checkpoint_blocks(spark) -> None:
         rdd.unpersist()
 
 
+def _rss_peak_mb() -> float | None:
+    """Peak RSS (VmHWM) of the driver python process plus any direct java
+    child (the py4j gateway JVM), in MB. Best-effort: None on any failure
+    (non-procfs platforms)."""
+    import re
+
+    def vmhwm(pid: int) -> int:
+        with open(f"/proc/{pid}/status") as f:
+            m = re.search(r"VmHWM:\s+(\d+)\s+kB", f.read())
+        return int(m.group(1)) if m else 0
+
+    try:
+        total_kb = vmhwm(os.getpid())
+        me = str(os.getpid())
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    parts = f.read().split()
+                # stat fields: pid (comm) state ppid ...
+                if parts[3] == me and "java" in parts[1]:
+                    total_kb += vmhwm(int(d))
+            except OSError:
+                continue
+        return round(total_kb / 1024.0, 1)
+    except OSError:
+        return None
+
+
+def _time_anchor(spark, sf_dir: str) -> float:
+    """Min-of-3 re-time of the drift anchor (same methodology as the timed
+    loop) — used for the mid-suite and suite-end session-health checks."""
+    fn = REGISTRY[ANCHOR].fn
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+        _drop_checkpoint_blocks(spark)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -183,10 +240,15 @@ def main() -> None:
         REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save()
-    _drop_checkpoint_blocks(spark)
+        # r11: drop after EVERY warm-up query (not once after the loop) so
+        # the warm-up's peak resident footprint no longer grows with every
+        # suite addition — the r10 verdict's leading session-poison suspect.
+        _drop_checkpoint_blocks(spark)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    anchor_mid: float | None = None
+    mid_idx = len(HEADLINE) // 2
+    for qi, name in enumerate(HEADLINE):
         fn = REGISTRY[name].fn
         best = float("inf")
         for _ in range(3):  # min-of-3: ±15% scheduler noise on sub-second
@@ -194,9 +256,17 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
-        _drop_checkpoint_blocks(spark)
+            # r11: drop between reps too — each rep builds its own fresh
+            # checkpoint blocks, so releasing the previous rep's costs the
+            # next rep nothing and keeps min-of-3 off pinned-block pressure.
+            _drop_checkpoint_blocks(spark)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        if qi + 1 == mid_idx:
+            anchor_mid = _time_anchor(spark, sf_dir)
+            print(f"# anchor_mid: {anchor_mid}s", file=sys.stderr, flush=True)
+    anchor_end = _time_anchor(spark, sf_dir)
+    print(f"# anchor_end: {anchor_end}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     anchor_sec = timings.get(ANCHOR)
@@ -224,6 +294,14 @@ def main() -> None:
                 "subtotal_r1_shared_normalized": (
                     round(subtotal_shared / drift, 3) if drift else None
                 ),
+                # r11 session-health fields (additions-only): the anchor
+                # re-timed mid-suite and at suite end, plus peak RSS. All
+                # three anchors within ~10% == stable session; a mid/end
+                # anchor far above anchor_sec == in-session degradation
+                # (blame the session, not the code).
+                "anchor_mid": anchor_mid,
+                "anchor_end": anchor_end,
+                "rss_peak_mb": _rss_peak_mb(),
             }
         )
     )

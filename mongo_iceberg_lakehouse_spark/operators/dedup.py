@@ -22,12 +22,35 @@ functions + shuffles on bounded keys:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.expr import let_
+
+
+def _ckpt_grams() -> bool:
+    """r11 re-adjudication of the r5 'recompute beats store' decision for
+    the shingle-pipeline family (jaccard_join / jaccard_cross_best_match /
+    containment_join). The r10 verdict (item 3) asked whether the r5 loss
+    was an artifact of EAGER-storing wide gram arrays; this arm stores the
+    slim hashed (id, gram-long-array) rows with a LAZY localCheckpoint
+    instead (materialized by the query's own action, no extra job),
+    cutting 2-3 executions of tokenize+shingle+xxhash plus one
+    freq-join+collect_list aggregation per action.
+
+    Measured (interleaved same-session A/Bs, min-of-reps): the cut LOSES
+    again — sf1 cross-corpus 4.36 s recompute vs 5.26 s stored, sf1
+    containment 5.08 vs 6.88, sf0.1 containment 2.44 vs 3.07, exact-pairs
+    a wash at both scales. Recompute is a narrow codegen map pipelined
+    into each consumer; the checkpoint inserts a materialization barrier
+    and pays serialize+reread of the gram arrays, which exceeds the saved
+    hashing at every measured decade. Default therefore stays OFF
+    (recompute); the env gate remains for the next decade's re-test
+    (SPARK_GRAFT_JACCARD_CKPT=1)."""
+    return os.environ.get("SPARK_GRAFT_JACCARD_CKPT", "0") == "1"
 
 
 def window_dedup(
@@ -221,11 +244,20 @@ def _pair_value_join(
         ).select(
             "id_a", "id_b", F.col("s.id").alias("id"), F.col("s.side").alias("side")
         )
-        joined = (
-            src.join(F.broadcast(sides), src[id_col] == sides["id"])
-            .select("id_a", "id_b", "side", F.col(text_col).alias("__v"))
-            .repartition(par)
+        # repartition on the PAIR KEY, not round-robin (r11, guide §2.4):
+        # HashPartitioning(id_a, id_b) both spreads the CPU-bound value
+        # computation across `par` cores AND satisfies the reunite
+        # groupBy's required distribution, so the aggregation reuses this
+        # exchange — one shuffle where round-robin + groupBy paid two
+        # (and round-robin's mandatory sort-before-repartition besides).
+        # Spread is equivalent: every pair contributes exactly 2 rows.
+        joined = src.join(F.broadcast(sides), src[id_col] == sides["id"]).select(
+            "id_a", "id_b", "side", F.col(text_col).alias("__v")
         )
+        if os.environ.get("SPARK_GRAFT_PAIR_HASHPART", "1") != "0":
+            joined = joined.repartition(par, "id_a", "id_b")
+        else:  # pre-r11 round-robin arm (A/B baseline)
+            joined = joined.repartition(par)
         for step in value_steps:
             joined = joined.select(
                 "id_a", "id_b", "side", step(F.col("__v")).alias("__v")
@@ -795,11 +827,13 @@ def containment_join(
     base = hashed.select("__id", grams.alias("__tk"))
     # base feeds three consumers (toks below + both verify sides) and
     # Spark does NOT dedupe multi-consumer subtrees (0 ReusedExchange in
-    # the executed plan — PERF_NOTES §7), so the shingle pipeline
-    # executes per consumer. A localCheckpoint cut was A/B-measured
-    # SLOWER here (7.8 vs 7.0 s at sf1): the recompute is a narrow
-    # codegen map over the scan, cheaper than storing + rereading the
-    # gram arrays. Contrast span_scrub, where the cut wins.
+    # the executed plan — PERF_NOTES §7). Recompute still beats store: the
+    # r5 A/B measured an EAGER store of the gram arrays slower (7.8 vs
+    # 7.0 s at sf1) and the r11 re-run with a LAZY checkpoint of the slim
+    # hashed rows lost again at both decades (sf1 5.08 vs 6.88 s — see
+    # _ckpt_grams), so the cut stays off by default.
+    if _ckpt_grams():
+        base = base.localCheckpoint(eager=False)
     # explode_outer, NOT explode: plain explode makes InferFiltersFromGenerate
     # add "size(__tk) > 0 AND isnotnull(__tk)", which alias-substitutes the
     # ENTIRE gram pipeline into a Filter below the projection — the array is
@@ -824,6 +858,10 @@ def containment_join(
             ).alias("__srt")
         )
     )
+    if _ckpt_grams():
+        # ordered feeds both candidate sides — one materialization instead
+        # of two executions of the df-join + collect_list aggregation.
+        ordered = ordered.localCheckpoint(eager=False)
     prefix_len = (
         F.size("__srt")
         - F.ceil(F.lit(threshold) * F.size("__srt")).cast("int")
@@ -922,9 +960,11 @@ def jaccard_join(
         F.transform(F.sequence(F.lit(0), F.size(th) - shingle_n), mk)
     )
     base = hashed.select("__id", grams.alias("__tk"))
-    # (multi-consumer subtree, but a localCheckpoint cut measured slower
-    # here — see the containment_join comment; recompute is the cheaper
-    # side of the PERF_NOTES §7 trade for shingle pipelines)
+    # multi-consumer subtree (toks + both verify sides); the r5 eager-store
+    # A/B said recompute, and the r11 lazy-checkpoint re-run confirmed it
+    # at both decades — see _ckpt_grams and the containment_join comment.
+    if _ckpt_grams():
+        base = base.localCheckpoint(eager=False)
     toks = base.select(
         "__id",
         F.size("__tk").alias("__sz"),
@@ -941,6 +981,10 @@ def jaccard_join(
             ).alias("__srt")
         )
     )
+    if _ckpt_grams():
+        # ordered feeds both prefix sides — one materialization instead of
+        # two executions of the df-join + collect_list aggregation.
+        ordered = ordered.localCheckpoint(eager=False)
     prefix_len = (
         F.size("__srt")
         - F.ceil(F.lit(threshold) * F.size("__srt")).cast("int")
@@ -1181,6 +1225,12 @@ def jaccard_cross_best_match(
         F.transform(F.sequence(F.lit(0), F.size(th) - shingle_n), mk)
     )
     base = hashed.select("__id", "__ev", grams.alias("__tk"))
+    if _ckpt_grams():
+        # Lazy checkpoint of the slim (id, ev, gram-hash array) rows: base
+        # feeds FOUR consumers (freq, the ordered join, and both verify
+        # sides). Default off — the r11 A/B measured recompute faster at
+        # both decades (see _ckpt_grams).
+        base = base.localCheckpoint(eager=False)
     toks = base.select(
         "__id",
         "__ev",
@@ -1201,6 +1251,10 @@ def jaccard_cross_best_match(
             ).alias("__srt"),
         )
     )
+    if _ckpt_grams():
+        # ordered feeds both prefix sides — one materialization instead of
+        # two executions of the df-join + collect_list aggregation.
+        ordered = ordered.localCheckpoint(eager=False)
     prefix_len = (
         F.size("__srt")
         - F.ceil(F.lit(threshold) * F.size("__srt")).cast("int")

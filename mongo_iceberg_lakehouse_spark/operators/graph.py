@@ -142,6 +142,15 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             # Truncate lineage: plan stays O(checkpoint_every) deep.
             ranks = ranks.localCheckpoint(eager=True)
+    # Eager-checkpoint the final ranks so the loop-local caches can be
+    # released before return (r11 opt round, memory hygiene — guide §5): a
+    # long-lived session composing many graph queries must not accumulate
+    # pinned edge/node blocks on the executors. The tail rounds execute
+    # exactly once either way (here instead of at the caller's first
+    # action); the checkpointed result no longer references nodes/ee.
+    ranks = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
+    ee.unpersist()
     return ranks
 
 
@@ -251,6 +260,11 @@ def label_propagation(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             labels = labels.localCheckpoint(eager=True)
+    # Final eager checkpoint + unpersist: same memory hygiene as pagerank
+    # (the r10 advice item — connected_components already released sym;
+    # this releases nbr once the tail rounds are materialized).
+    labels = labels.localCheckpoint(eager=True)
+    nbr.unpersist()
     return labels.select("node", F.col("label").alias("community"))
 
 
@@ -363,4 +377,8 @@ def bfs_levels(
         if checkpoint_every and i % checkpoint_every == 0 and i < max_hops:
             dist = dist.localCheckpoint(eager=True)
             frontier = frontier.localCheckpoint(eager=True)
+    # Same memory hygiene as pagerank/label_propagation: materialize the
+    # tail rounds once, then release the cached edge list.
+    dist = dist.localCheckpoint(eager=True)
+    e.unpersist()
     return dist

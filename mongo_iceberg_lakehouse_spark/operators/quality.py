@@ -109,7 +109,12 @@ def referential_integrity(
     before any action ran. The same rate now computes inside the returned
     plan: orphans are fact rows whose key finds no broadcast dim match,
     counted in the single aggregate pass. Arithmetic is the identical
-    IEEE sequence (orphans/total in double, subtracted from 1.0)."""
+    IEEE sequence (orphans/total in double, subtracted from 1.0).
+
+    Callers that act on the returned 1-row report MORE than once (show +
+    collect, retries) should cache/collect it first — each action re-runs
+    the embedded fact scan, where the old eager form paid it exactly once
+    at construction (r10 advice note; net win for single-action paths)."""
     dim_keys = (
         dim.select(F.col(pk).alias(fk))
         .distinct()

@@ -3471,28 +3471,49 @@ def ann_ivf_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
         save_centroids(spark, base, "ivf_centroids", cents)
         v2 = save_centroids(spark, base, "ivf_centroids", cents)  # replace
         loaded = load_centroids(spark, base, "ivf_centroids")
+        # Parity is fully declarative (r11 opt round, same fold as
+        # quality.py::referential_integrity): the previous form ran TWO
+        # eager exceptAll().count() actions at construction — four IVF
+        # top-k executions before the returned frame's first action. The
+        # identical boolean (both multiset differences empty) now computes
+        # inside the returned plan; the lazy localCheckpoints make each
+        # IVF result materialize ONCE even though exceptAll references
+        # each side twice (4 executions -> 2).
         inline = S.ann_topk_ivf(
             e, q, k=5, n_probe=4, centroids=cents
-        ).select("query_id", "neighbor_id", "rank")
+        ).select("query_id", "neighbor_id", "rank").localCheckpoint(
+            eager=False
+        )
         pre = S.ann_topk_ivf(
             e, q, k=5, n_probe=4, centroids=loaded
-        ).select("query_id", "neighbor_id", "rank")
-        identical = (
-            (inline.exceptAll(pre).count() == 0)
-            and (pre.exceptAll(inline).count() == 0)
+        ).select("query_id", "neighbor_id", "rank").localCheckpoint(
+            eager=False
+        )
+        parity = (
+            inline.exceptAll(pre)
+            .agg(F.count(F.lit(1)).alias("__d_ab"))
+            .crossJoin(
+                pre.exceptAll(inline).agg(F.count(F.lit(1)).alias("__d_ba"))
+            )
+            .select(
+                ((F.col("__d_ab") == 0) & (F.col("__d_ba") == 0)).alias(
+                    "pretrained_matches_inline"
+                )
+            )
         )
     finally:
-        # every comparison above is evaluated eagerly, so the artifact dir
-        # is dead weight by here — repeated bench/gate runs must not leak
-        # snapshot dirs into /tmp (the sf100 sweep's bottleneck filesystem)
+        # load_centroids collected the artifact to a driver-side list at
+        # construction, so the returned plan never touches the snapshot
+        # dir — it is dead weight by here. Repeated bench/gate runs must
+        # not leak snapshot dirs into /tmp (the sf100 sweep's bottleneck
+        # filesystem).
         import shutil
 
         shutil.rmtree(base, ignore_errors=True)
     return q.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_queries"),
         F.lit(v2).cast("int").alias("artifact_version"),
-        F.lit(identical).alias("pretrained_matches_inline"),
-    )
+    ).crossJoin(F.broadcast(parity))
 
 
 @register(
@@ -9865,23 +9886,54 @@ def maintenance_compact_small_files(
         # the snapshot outgrows it — the sf100 orders snapshot is ~2 GiB,
         # which would break the oracle's pinned files_after one decade up)
         stats = compact_snapshot(spark, base, "orders_c", target_bytes=None)
-        before = read_snapshot(spark, base, "orders_c", stats["src_version"])
-        after = read_snapshot(spark, base, "orders_c", stats["new_version"])
-        identical = (
-            before.exceptAll(after).count() == 0
-            and after.exceptAll(before).count() == 0
+        # Content parity folded into the returned plan (r11 opt round,
+        # same fold as quality.py::referential_integrity): the previous
+        # form ran TWO eager exceptAll().count() actions at construction,
+        # scanning EACH snapshot version twice (4 snapshot scans + driver
+        # counts before any action — at sf100 that is ~8 GiB of hidden
+        # pre-action reads). The checkpoints here must be EAGER because
+        # the snapshot store is deleted below — one scan per version, the
+        # multiset-difference counts now run inside the plan on the
+        # checkpointed blocks.
+        before = read_snapshot(
+            spark, base, "orders_c", stats["src_version"]
+        ).localCheckpoint()
+        after = read_snapshot(
+            spark, base, "orders_c", stats["new_version"]
+        ).localCheckpoint()
+        parity = (
+            before.exceptAll(after)
+            .agg(F.count(F.lit(1)).alias("__d_ab"))
+            .crossJoin(
+                after.exceptAll(before).agg(F.count(F.lit(1)).alias("__d_ba"))
+            )
+            .select(
+                ((F.col("__d_ab") == 0) & (F.col("__d_ba") == 0)).alias(
+                    "content_identical"
+                )
+            )
         )
     finally:
-        # every fact above is computed eagerly; the returned frame reads
-        # only the source table, so the snapshot store can go now
+        # both versions are checkpointed to executor-local blocks above,
+        # so the returned plan never re-reads the snapshot store — it can
+        # go now
         shutil.rmtree(base, ignore_errors=True)
-    return o.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        F.lit(stats["files_before"]).cast("int").alias("files_before"),
-        F.lit(stats["files_after"]).cast("int").alias("files_after"),
-        F.lit(identical).alias("content_identical"),
-        F.lit(stats["new_version"]).cast("int").alias("latest_version"),
+    return (
+        o.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.lit(stats["files_before"]).cast("int").alias("files_before"),
+            F.lit(stats["files_after"]).cast("int").alias("files_after"),
+        )
+        .crossJoin(F.broadcast(parity))
+        .select(
+            "n_rows",
+            "revenue",
+            "files_before",
+            "files_after",
+            "content_identical",
+            F.lit(stats["new_version"]).cast("int").alias("latest_version"),
+        )
     )
 
 
